@@ -1,0 +1,269 @@
+"""Functional JAX BERT encoder, designed TPU-first.
+
+Replaces the reference's HF-torch towers (``DRT/model/biencoder.py:205-206``,
+``AutoModel.from_pretrained``) with a pure-functional encoder:
+
+- parameters are a plain pytree with the 12 transformer blocks **stacked on a
+  leading layer axis** and iterated with ``jax.lax.scan`` — one compiled block
+  regardless of depth, remat-friendly, and trivially shardable;
+- compute dtype is configurable (bf16 on the MXU by default for training);
+  layernorms and the softmax run in fp32 for stability;
+- all shapes are static (the data layer pads to q_max/p_max), so every step
+  compiles exactly once;
+- weight import from / export to HF torch ``BertModel`` checkpoints lives in
+  ``models/hf_import.py``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import math
+import os
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Params = Dict[str, Any]
+
+
+@dataclass(frozen=True)
+class BertConfig:
+    vocab_size: int = 30522
+    hidden_size: int = 768
+    num_hidden_layers: int = 12
+    num_attention_heads: int = 12
+    intermediate_size: int = 3072
+    max_position_embeddings: int = 512
+    type_vocab_size: int = 2
+    layer_norm_eps: float = 1e-12
+    pad_token_id: int = 0
+    initializer_range: float = 0.02
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_attention_heads
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+    @classmethod
+    def from_json(cls, blob: str) -> "BertConfig":
+        data = json.loads(blob)
+        names = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in data.items() if k in names})
+
+    @classmethod
+    def from_hf_config(cls, hf_config) -> "BertConfig":
+        return cls(
+            vocab_size=hf_config.vocab_size,
+            hidden_size=hf_config.hidden_size,
+            num_hidden_layers=hf_config.num_hidden_layers,
+            num_attention_heads=hf_config.num_attention_heads,
+            intermediate_size=hf_config.intermediate_size,
+            max_position_embeddings=hf_config.max_position_embeddings,
+            type_vocab_size=hf_config.type_vocab_size,
+            layer_norm_eps=hf_config.layer_norm_eps,
+            pad_token_id=hf_config.pad_token_id,
+        )
+
+
+def save_config(config: BertConfig, path: str) -> None:
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "bert_config.json"), "w") as fh:
+        fh.write(config.to_json())
+
+
+def load_config(path: str) -> BertConfig:
+    with open(os.path.join(path, "bert_config.json")) as fh:
+        return BertConfig.from_json(fh.read())
+
+
+# ---------------------------------------------------------------------------
+# Initialization
+# ---------------------------------------------------------------------------
+
+
+def _dense_init(key, shape, std, dtype):
+    return (jax.random.normal(key, shape) * std).astype(dtype)
+
+
+def init_params(rng: jax.Array, config: BertConfig, dtype=jnp.float32) -> Params:
+    """Random-init a parameter pytree. Layer weights stacked on axis 0."""
+    c = config
+    L, H, F, V = c.num_hidden_layers, c.hidden_size, c.intermediate_size, c.vocab_size
+    std = c.initializer_range
+    keys = iter(jax.random.split(rng, 16))
+
+    def zeros(*shape):
+        return jnp.zeros(shape, dtype)
+
+    def ones(*shape):
+        return jnp.ones(shape, dtype)
+
+    params: Params = {
+        "embeddings": {
+            "word": _dense_init(next(keys), (V, H), std, dtype),
+            "position": _dense_init(next(keys), (c.max_position_embeddings, H), std, dtype),
+            "token_type": _dense_init(next(keys), (c.type_vocab_size, H), std, dtype),
+            "ln_scale": ones(H),
+            "ln_bias": zeros(H),
+        },
+        "layers": {
+            "q_kernel": _dense_init(next(keys), (L, H, H), std, dtype),
+            "q_bias": zeros(L, H),
+            "k_kernel": _dense_init(next(keys), (L, H, H), std, dtype),
+            "k_bias": zeros(L, H),
+            "v_kernel": _dense_init(next(keys), (L, H, H), std, dtype),
+            "v_bias": zeros(L, H),
+            "o_kernel": _dense_init(next(keys), (L, H, H), std, dtype),
+            "o_bias": zeros(L, H),
+            "attn_ln_scale": ones(L, H),
+            "attn_ln_bias": zeros(L, H),
+            "wi_kernel": _dense_init(next(keys), (L, H, F), std, dtype),
+            "wi_bias": zeros(L, F),
+            "wo_kernel": _dense_init(next(keys), (L, F, H), std, dtype),
+            "wo_bias": zeros(L, H),
+            "mlp_ln_scale": ones(L, H),
+            "mlp_ln_bias": zeros(L, H),
+        },
+        "pooler": {
+            "kernel": _dense_init(next(keys), (H, H), std, dtype),
+            "bias": zeros(H),
+        },
+    }
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+
+def _layer_norm(x, scale, bias, eps):
+    """LayerNorm in fp32 regardless of compute dtype."""
+    dt = x.dtype
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    return y.astype(dt)
+
+
+def _encoder_block(x, layer, mask_bias, config: BertConfig, compute_dtype):
+    """One post-LN BERT block. ``x``: [B,S,H]; ``mask_bias``: [B,1,1,S] fp32."""
+    c = config
+    B, S, H = x.shape
+    nh, hd = c.num_attention_heads, c.head_dim
+
+    def dense(h, kernel, bias):
+        return (
+            jnp.dot(h, kernel.astype(compute_dtype), preferred_element_type=compute_dtype)
+            + bias.astype(compute_dtype)
+        )
+
+    q = dense(x, layer["q_kernel"], layer["q_bias"]).reshape(B, S, nh, hd)
+    k = dense(x, layer["k_kernel"], layer["k_bias"]).reshape(B, S, nh, hd)
+    v = dense(x, layer["v_kernel"], layer["v_bias"]).reshape(B, S, nh, hd)
+
+    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+    scores = scores / math.sqrt(hd) + mask_bias
+    probs = jax.nn.softmax(scores, axis=-1).astype(compute_dtype)
+    ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v, preferred_element_type=compute_dtype)
+    ctx = ctx.reshape(B, S, H)
+
+    attn_out = dense(ctx, layer["o_kernel"], layer["o_bias"])
+    x = _layer_norm(x + attn_out, layer["attn_ln_scale"], layer["attn_ln_bias"], c.layer_norm_eps)
+
+    h = dense(x, layer["wi_kernel"], layer["wi_bias"])
+    h = jax.nn.gelu(h, approximate=False)
+    h = dense(h, layer["wo_kernel"], layer["wo_bias"])
+    x = _layer_norm(x + h, layer["mlp_ln_scale"], layer["mlp_ln_bias"], c.layer_norm_eps)
+    return x
+
+
+def bert_encode(
+    params: Params,
+    config: BertConfig,
+    input_ids: jax.Array,
+    attention_mask: jax.Array,
+    token_type_ids: Optional[jax.Array] = None,
+    compute_dtype=jnp.float32,
+    remat: bool = False,
+) -> jax.Array:
+    """Encoder forward. Returns last_hidden_state [B, S, H] in ``compute_dtype``."""
+    c = config
+    B, S = input_ids.shape
+    emb = params["embeddings"]
+
+    x = jnp.take(emb["word"], input_ids, axis=0)
+    pos_ids = jnp.arange(S)[None, :]
+    x = x + jnp.take(emb["position"], pos_ids, axis=0)
+    if token_type_ids is None:
+        token_type_ids = jnp.zeros_like(input_ids)
+    x = x + jnp.take(emb["token_type"], token_type_ids, axis=0)
+    x = _layer_norm(x, emb["ln_scale"], emb["ln_bias"], c.layer_norm_eps)
+    x = x.astype(compute_dtype)
+
+    # additive mask bias, fp32: 0 where attended, -1e9 where padded
+    mask_bias = (1.0 - attention_mask.astype(jnp.float32))[:, None, None, :] * -1e9
+
+    block = partial(_encoder_block, config=c, compute_dtype=compute_dtype)
+    if remat:
+        block = jax.checkpoint(block, static_argnums=())
+
+    def scan_fn(h, layer):
+        return block(h, layer, mask_bias), None
+
+    x, _ = jax.lax.scan(scan_fn, x, params["layers"])
+    return x
+
+
+def bert_pooler(params: Params, hidden: jax.Array, compute_dtype=jnp.float32) -> jax.Array:
+    """HF-style pooler: tanh(dense(CLS)). Only used when feature='pooler_output'."""
+    cls = hidden[:, 0, :]
+    w = params["pooler"]["kernel"].astype(compute_dtype)
+    b = params["pooler"]["bias"].astype(compute_dtype)
+    return jnp.tanh(jnp.dot(cls, w, preferred_element_type=compute_dtype) + b)
+
+
+# ---------------------------------------------------------------------------
+# Persistence (numpy archive; HF-interop lives in hf_import.py)
+# ---------------------------------------------------------------------------
+
+
+def _flatten(tree: Params, prefix: str = "") -> Dict[str, np.ndarray]:
+    out = {}
+    for k, v in tree.items():
+        key = f"{prefix}{k}" if not prefix else f"{prefix}/{k}"
+        if isinstance(v, dict):
+            out.update(_flatten(v, key))
+        else:
+            out[key] = np.asarray(v)
+    return out
+
+
+def _unflatten(flat: Dict[str, np.ndarray]) -> Params:
+    tree: Params = {}
+    for key, v in flat.items():
+        parts = key.split("/")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = jnp.asarray(v)
+    return tree
+
+
+def save_params(params: Params, path: str, name: str = "weights") -> None:
+    os.makedirs(path, exist_ok=True)
+    np.savez(os.path.join(path, f"{name}.npz"), **_flatten(params))
+
+
+def load_params(path: str, name: str = "weights") -> Params:
+    with np.load(os.path.join(path, f"{name}.npz")) as z:
+        return _unflatten({k: z[k] for k in z.files})

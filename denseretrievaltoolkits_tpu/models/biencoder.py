@@ -1,0 +1,265 @@
+"""DPR-style dual encoder (DRModel), TPU-native.
+
+Functional re-design of the reference biencoder (``DRT/model/biencoder.py:36-285``):
+the model object holds only *static* configuration; parameters are an explicit
+pytree argument to every method, so ``forward`` jits/pjits cleanly and the same
+object drives training, corpus encoding, and inference.
+
+Capability parity:
+- tied/untied q/p towers (`untie_encoder`, biencoder.py:204-209)
+- optional bias-free LinearHead projections (biencoder.py:147-148)
+- first/mean/max pooling + optional L2 normalize (biencoder.py:139-150)
+- contrastive loss with stride targets computed inside forward (biencoder.py:107-116)
+- save/load with the ``openmatch_config.json`` manifest layout (biencoder.py:171-241)
+
+Cross-device negative sharing (``negatives_x_device``/``dist_gather_tensor``,
+biencoder.py:103-105,243-254) has no explicit code here: the loss is written
+over the global batch and GSPMD inserts the all_gather when the batch is
+sharded over the data axis (see parallel/mesh.py and train/trainer.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..train.losses import contrastive_loss, stride_targets
+from . import bert, linear
+from .pooling import l2_normalize, pool
+
+MANIFEST = "openmatch_config.json"
+
+
+def _compute_dtype(name: str):
+    return {"float32": jnp.float32, "float16": jnp.float16, "bfloat16": jnp.bfloat16}[name]
+
+
+@dataclass(frozen=True)
+class DRModelSpec:
+    """Static model configuration (everything jit can close over)."""
+
+    bert_config: bert.BertConfig
+    tied: bool = True
+    feature: str = "last_hidden_state"
+    pooling: str = "first"
+    linear_head: bool = False
+    normalize: bool = False
+    dtype: str = "float32"
+    remat: bool = False
+    backbone: str = "bert"
+
+
+class DRModel:
+    """Dual encoder. Methods are pure in (params, batch) — safe under jit/pjit."""
+
+    def __init__(self, spec: DRModelSpec):
+        self.spec = spec
+
+    # -- parameter construction -------------------------------------------
+
+    def init_params(self, rng: jax.Array, projection_in_dim: int = None,
+                    projection_out_dim: int = None) -> Dict[str, Any]:
+        spec = self.spec
+        k_q, k_p, k_hq, k_hp = jax.random.split(rng, 4)
+        params: Dict[str, Any] = {"lm_q": bert.init_params(k_q, spec.bert_config)}
+        if not spec.tied:
+            params["lm_p"] = bert.init_params(k_p, spec.bert_config)
+        if spec.linear_head:
+            in_dim = projection_in_dim or spec.bert_config.hidden_size
+            out_dim = projection_out_dim or spec.bert_config.hidden_size
+            params["head_q"] = linear.init_head(k_hq, in_dim, out_dim)
+            if not spec.tied:
+                params["head_p"] = linear.init_head(k_hp, in_dim, out_dim)
+        return params
+
+    # -- encoding -----------------------------------------------------------
+
+    def _encode(self, lm_params, head_params, batch: Dict[str, jnp.ndarray]):
+        spec = self.spec
+        dtype = _compute_dtype(spec.dtype)
+        hidden = bert.bert_encode(
+            lm_params,
+            spec.bert_config,
+            batch["input_ids"],
+            batch["attention_mask"],
+            batch.get("token_type_ids"),
+            compute_dtype=dtype,
+            remat=spec.remat,
+        )
+        if spec.feature == "pooler_output":
+            reps = bert.bert_pooler(lm_params, hidden, compute_dtype=dtype)
+        else:
+            reps = pool(hidden, batch["attention_mask"], spec.pooling)
+        if head_params is not None:
+            reps = linear.apply_head(head_params, reps)
+        reps = reps.astype(jnp.float32)
+        if spec.normalize:
+            reps = l2_normalize(reps)
+        return reps
+
+    def encode_query(self, params, query: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+        return self._encode(params["lm_q"], params.get("head_q"), query)
+
+    def encode_passage(self, params, passage: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+        lm = params["lm_q"] if self.spec.tied else params["lm_p"]
+        head_key = "head_q" if self.spec.tied else "head_p"
+        return self._encode(lm, params.get(head_key), passage)
+
+    # -- training forward -----------------------------------------------------
+
+    def forward(
+        self,
+        params,
+        query: Optional[Dict[str, jnp.ndarray]] = None,
+        passage: Optional[Dict[str, jnp.ndarray]] = None,
+    ) -> Dict[str, jnp.ndarray]:
+        """Encode and, when both sides are present, compute the contrastive loss.
+
+        Mirrors ``DRModel.forward`` (biencoder.py:88-125): encode-only calls
+        return just the reps; training calls return loss + score matrix.
+        """
+        out: Dict[str, jnp.ndarray] = {}
+        if query is not None:
+            out["q_reps"] = self.encode_query(params, query)
+        if passage is not None:
+            out["p_reps"] = self.encode_passage(params, passage)
+        if query is None or passage is None:
+            return out
+        loss, scores = contrastive_loss(out["q_reps"], out["p_reps"])
+        out["loss"] = loss
+        out["scores"] = scores
+        return out
+
+    # -- persistence ---------------------------------------------------------
+
+    def _manifest(self) -> Dict[str, Any]:
+        # Same manifest schema as the reference (biencoder.py:75-86).
+        return {
+            "tied": self.spec.tied,
+            "plm_backbone": {"type": self.spec.backbone, "feature": self.spec.feature},
+            "pooling": self.spec.pooling,
+            "linear_head": self.spec.linear_head,
+            "normalize": self.spec.normalize,
+            "dtype": self.spec.dtype,
+        }
+
+    def save(self, params, output_dir: str) -> None:
+        """Save in the reference's directory layout (biencoder.py:226-241)."""
+        os.makedirs(output_dir, exist_ok=True)
+        if not self.spec.tied:
+            qdir = os.path.join(output_dir, "query_model")
+            pdir = os.path.join(output_dir, "passage_model")
+            bert.save_params(params["lm_q"], qdir)
+            bert.save_config(self.spec.bert_config, qdir)
+            bert.save_params(params["lm_p"], pdir)
+            bert.save_config(self.spec.bert_config, pdir)
+            if self.spec.linear_head:
+                linear.save_head(params["head_q"], os.path.join(output_dir, "query_head"))
+                linear.save_head(params["head_p"], os.path.join(output_dir, "passage_head"))
+        else:
+            bert.save_params(params["lm_q"], output_dir)
+            bert.save_config(self.spec.bert_config, output_dir)
+            if self.spec.linear_head:
+                linear.save_head(params["head_q"], output_dir)
+        with open(os.path.join(output_dir, MANIFEST), "w") as fh:
+            json.dump(self._manifest(), fh, indent=4)
+
+    def export_hf(self, params, output_dir: str) -> None:
+        """Export towers to the HF torch deploy format."""
+        from .hf_import import save_pretrained_hf
+
+        if self.spec.tied:
+            save_pretrained_hf(params["lm_q"], self.spec.bert_config, output_dir)
+        else:
+            save_pretrained_hf(params["lm_q"], self.spec.bert_config,
+                               os.path.join(output_dir, "query_model"))
+            save_pretrained_hf(params["lm_p"], self.spec.bert_config,
+                               os.path.join(output_dir, "passage_model"))
+
+    @classmethod
+    def build(
+        cls,
+        model_args,
+        rng: Optional[jax.Array] = None,
+        bert_config: Optional[bert.BertConfig] = None,
+    ) -> Tuple["DRModel", Dict[str, Any]]:
+        """Build from a saved checkpoint dir, an HF checkpoint, or random init.
+
+        Mirrors ``DRModel.build`` (biencoder.py:159-224): a dir containing
+        ``openmatch_config.json`` is one of ours; otherwise treat the path as an
+        HF checkpoint; otherwise random-init from ``bert_config``.
+        """
+        path = model_args.model_name_or_path
+        manifest = None
+        if path and os.path.isdir(path) and os.path.exists(os.path.join(path, MANIFEST)):
+            with open(os.path.join(path, MANIFEST)) as fh:
+                manifest = json.load(fh)
+
+        if manifest is not None:
+            tied = manifest["tied"]
+            if tied:
+                config = bert.load_config(path)
+                params = {"lm_q": bert.load_params(path)}
+                if manifest["linear_head"]:
+                    params["head_q"] = linear.load_head(path)
+            else:
+                qdir = os.path.join(path, "query_model")
+                pdir = os.path.join(path, "passage_model")
+                config = bert.load_config(qdir)
+                params = {"lm_q": bert.load_params(qdir), "lm_p": bert.load_params(pdir)}
+                if manifest["linear_head"]:
+                    params["head_q"] = linear.load_head(os.path.join(path, "query_head"))
+                    params["head_p"] = linear.load_head(os.path.join(path, "passage_head"))
+            spec = DRModelSpec(
+                bert_config=config,
+                tied=tied,
+                feature=manifest["plm_backbone"]["feature"],
+                pooling=manifest["pooling"],
+                linear_head=manifest["linear_head"],
+                normalize=manifest["normalize"],
+                dtype=getattr(model_args, "dtype", manifest.get("dtype", "float32")),
+                remat=getattr(model_args, "remat", False),
+            )
+            return cls(spec), params
+
+        tied = not model_args.untie_encoder
+        if path and (os.path.isdir(path) or "/" in path or path.startswith("bert")):
+            # HF checkpoint (hub id or local save_pretrained dir)
+            from .hf_import import params_from_pretrained
+
+            lm_params, config = params_from_pretrained(path)
+        else:
+            config = bert_config or bert.BertConfig()
+            rng = rng if rng is not None else jax.random.key(0)
+            lm_params = bert.init_params(jax.random.fold_in(rng, 0), config)
+
+        spec = DRModelSpec(
+            bert_config=config,
+            tied=tied,
+            feature=model_args.feature,
+            pooling=model_args.pooling,
+            linear_head=model_args.add_linear_head,
+            normalize=model_args.normalize,
+            dtype=model_args.dtype,
+            remat=getattr(model_args, "remat", False),
+        )
+        model = cls(spec)
+        params: Dict[str, Any] = {"lm_q": lm_params}
+        if not tied:
+            params["lm_p"] = jax.tree.map(jnp.copy, lm_params)
+        if spec.linear_head:
+            rng = rng if rng is not None else jax.random.key(0)
+            k_hq, k_hp = jax.random.split(jax.random.fold_in(rng, 1))
+            params["head_q"] = linear.init_head(
+                k_hq, model_args.projection_in_dim, model_args.projection_out_dim
+            )
+            if not tied:
+                params["head_p"] = linear.init_head(
+                    k_hp, model_args.projection_in_dim, model_args.projection_out_dim
+                )
+        return model, params
