@@ -1,0 +1,207 @@
+"""Host data loading: deterministic, shardable, static-shape batch iterators.
+
+Replaces the reference's four ``torch.utils.data.DataLoader`` factory classes
+(``DRT/dataloader/*.py``).  There is no torch here: a loader is a plain Python
+iterator that applies a collator to index-selected examples.  Cross-replica
+semantics differ from DDP by design — on a TPU mesh there is ONE pjit step
+consuming the GLOBAL batch, so the loader yields global batches and pjit
+shards them over the data axis (no per-rank ``DistributedSampler``; the
+``shard_num``/``shard_idx`` options exist for multi-host processes, where each
+host feeds its slice of the global batch).
+
+Static shapes: training iterates full batches only (``drop_last``), so the
+train step compiles once; eval/corpus loaders pad the final batch up to
+``batch_size`` and report the valid count, so encode steps also compile once.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Optional, Sequence
+
+import numpy as np
+
+
+class DataLoader:
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        collate_fn: Callable,
+        shuffle: bool = False,
+        drop_last: Optional[bool] = None,
+        seed: int = 0,
+        shard_num: int = 1,
+        shard_idx: int = 0,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.collate_fn = collate_fn
+        self.shuffle = shuffle
+        self.drop_last = shuffle if drop_last is None else drop_last
+        self.seed = seed
+        self.shard_num = shard_num
+        self.shard_idx = shard_idx
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        """Reseed the shuffle per epoch (the reference's sampler.set_epoch,
+        ``trainer.py:142-143``)."""
+        self.epoch = epoch
+
+    def _indices(self) -> np.ndarray:
+        n = len(self.dataset)
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self.epoch)
+            idx = rng.permutation(n)
+        else:
+            idx = np.arange(n)
+        if self.shard_num > 1:
+            idx = idx[self.shard_idx :: self.shard_num]
+        return idx
+
+    def __len__(self) -> int:
+        n = len(self._indices())
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self):
+        idx = self._indices()
+        n_full = len(idx) // self.batch_size
+        for b in range(n_full):
+            rows = idx[b * self.batch_size : (b + 1) * self.batch_size]
+            yield self.collate_fn([self.dataset[int(i)] for i in rows])
+        rem = len(idx) - n_full * self.batch_size
+        if rem and not self.drop_last:
+            rows = idx[n_full * self.batch_size :]
+            yield self.collate_fn([self.dataset[int(i)] for i in rows])
+
+
+def pad_to_batch(batch_arrays: dict, batch_size: int):
+    """Pad a final partial batch dict up to ``batch_size`` rows; returns
+    (padded, valid_count). Use for eval/corpus encode steps to keep one
+    compiled shape."""
+    valid = next(iter(batch_arrays.values())).shape[0]
+    if valid == batch_size:
+        return batch_arrays, valid
+    out = {}
+    for k, v in batch_arrays.items():
+        pad_rows = np.zeros((batch_size - valid,) + v.shape[1:], dtype=v.dtype)
+        out[k] = np.concatenate([v, pad_rows], axis=0)
+    return out, valid
+
+
+# ---------------------------------------------------------------------------
+# Factory classes mirroring DRT/dataloader/*.py public surfaces
+# ---------------------------------------------------------------------------
+
+from .collators import (  # noqa: E402
+    EncodeCollator,
+    EVCollator,
+    EVRRCollator,
+    PPCollator,
+    QPCollator,
+    RRCollator,
+)
+
+
+class ExactMatchDataloader:
+    """Train/eval/test loaders for answer-labeled datasets
+    (reference ``DRT/dataloader/exactmatch_dataloader.py:8-151``)."""
+
+    def __init__(self, data_args, dataset, tokenizer, neg_sampler,
+                 batch_size: Sequence[int] = (1, 1, 1), seed: int = 0,
+                 shard_num: int = 1, shard_idx: int = 0):
+        self.data_args = data_args
+        self.dataset = dataset
+        self.tokenizer = tokenizer
+        self.neg_sampler = neg_sampler
+        self.batch_size = list(batch_size)
+        self.seed = seed
+        self.shard_num = shard_num
+        self.shard_idx = shard_idx
+
+    def get_dataset(self):
+        self.train_dataset, self.eval_dataset, self.test_dataset = self.dataset.load_train()
+
+    def _loader(self, ds, bs, collator, shuffle):
+        return DataLoader(ds, bs, collator, shuffle=shuffle, seed=self.seed,
+                          shard_num=self.shard_num, shard_idx=self.shard_idx)
+
+    def get_dataloader(self):
+        if not hasattr(self, "train_dataset"):
+            self.get_dataset()
+        qp = QPCollator(self.data_args, self.neg_sampler, self.tokenizer)
+        ev = EVCollator(self.data_args, self.tokenizer)
+        return (
+            self._loader(self.train_dataset, self.batch_size[0], qp, True),
+            self._loader(self.eval_dataset, self.batch_size[1], ev, False),
+            self._loader(self.test_dataset, self.batch_size[2], ev, False),
+        )
+
+    def get_bm25dataloader(self, dataset):
+        """Train loader over the BM25-mined dataset (exactmatch_dataloader.py:30-42)."""
+        qp = QPCollator(self.data_args, self.neg_sampler, self.tokenizer)
+        return self._loader(dataset, self.batch_size[0], qp, True)
+
+    def get_rr_dataloader(self):
+        if not hasattr(self, "train_dataset"):
+            self.get_dataset()
+        rr = RRCollator(self.data_args, self.neg_sampler, self.tokenizer)
+        return self._loader(self.train_dataset, self.batch_size[0], rr, True)
+
+    def get_query_dataloader(self):
+        ds = self.dataset.load_query_data()
+        enc = EncodeCollator(self.tokenizer, q_max_len=self.data_args.q_max_len)
+        return self._loader(ds, self.batch_size[0], enc, False)
+
+    def get_corpus_dataloader(self, batch_size: int):
+        ds = self.dataset.load_corpus_data()
+        pp = PPCollator(self.data_args, self.tokenizer)
+        return self._loader(ds, batch_size, pp, False)
+
+
+class RelevancyDataloader(ExactMatchDataloader):
+    """MS MARCO-style relevancy-judged datasets
+    (reference ``DRT/dataloader/relevancy_dataloader.py:27-66``)."""
+
+
+class CorpusDataloader:
+    """Sequential corpus-passage loader (reference ``corpus_dataloader.py:27-39``).
+
+    Exposes ``.dataset`` so the evaluation loop can look up original passage
+    text by row index (``trainer.py:307``)."""
+
+    def __init__(self, data_args, dataset, tokenizer, batch_size: int = 128,
+                 shard_num: int = 1, shard_idx: int = 0):
+        self.data_args = data_args
+        self.corpus = dataset
+        self.tokenizer = tokenizer
+        self.batch_size = batch_size
+        self.shard_num = shard_num
+        self.shard_idx = shard_idx
+
+    def get_dataloader(self):
+        self.dataset = self.corpus.load_dataset()
+        pp = PPCollator(self.data_args, self.tokenizer)
+        return DataLoader(self.dataset, self.batch_size, pp, shuffle=False,
+                          shard_num=self.shard_num, shard_idx=self.shard_idx)
+
+    # reference spelling (corpus_dataloader.py `get_dataloder`) kept as alias
+    get_dataloder = get_dataloader
+
+
+class RerankerDataloader:
+    """Loader over the dense retriever's dump for cross-encoder eval
+    (reference ``reranker_dataloader.py:26-40``)."""
+
+    def __init__(self, data_args, dataset, tokenizer, batch_size: int = 128):
+        self.data_args = data_args
+        self.dataset = dataset
+        self.tokenizer = tokenizer
+        self.batch_size = batch_size
+
+    def get_eval_dataloader(self):
+        ds = self.dataset.load_dataset()
+        collator = EVRRCollator(self.data_args, self.tokenizer)
+        return DataLoader(ds, self.batch_size, collator, shuffle=False)

@@ -1,0 +1,116 @@
+"""Negative samplers, run host-side inside the train collator.
+
+- ``RandomSampleNegatives``: 1 random positive + (n-1) shuffled negatives per
+  query (reference ``DRT/trainer/sampler.py:23-46``), with a seeded RNG for
+  reproducibility (the reference used the global ``random`` state).
+- ``BM25Negatives``: mines top-k BM25 negatives for every train query over the
+  pool of all train passages, excluding the query's own positive span, and
+  caches the mined dataset as jsonl (reference ``sampler.py:49-127``).
+  Fixed defects (SURVEY.md §2.2): the own-passage exclusion filter is no
+  longer inverted (``sampler.py:121-122`` kept docs *in* positives), and the
+  mined dataset is returned as a plain list (the reference returned the
+  undefined name ``ListDataset``, ``sampler.py:99``).
+
+On-device dense hard-negative mining (the ANCE-style refresh that replaces
+offline BM25 once the HBM index exists) lives in ``mine/``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+from typing import List, Sequence, Tuple
+
+from ..evaluator.bm25 import BM25Retriever
+
+Batch = Tuple[List[List[int]], List[List[List[int]]]]
+
+
+class RandomSampleNegatives:
+    def __init__(self, data_args, seed: int = 0):
+        self.num_negative = data_args.train_n_passages - 1
+        self.positive_no_shuffle = getattr(data_args, "positive_passage_no_shuffle", False)
+        self.negative_no_shuffle = getattr(data_args, "negative_passage_no_shuffle", False)
+        self._rng = random.Random(seed)
+
+    def __call__(self, samples) -> Batch:
+        queries, documents = [], []
+        for sample in samples:
+            queries.append(sample["query"])
+            docs = []
+            positives = sample["positives"]
+            if self.positive_no_shuffle:
+                docs.append(positives[0])
+            else:
+                docs.append(self._rng.choice(positives))
+            negatives = sample["negatives"]
+            if len(negatives) < self.num_negative:
+                raise ValueError(
+                    f"need {self.num_negative} negatives, sample has {len(negatives)}"
+                )
+            if self.negative_no_shuffle:
+                chosen = list(range(self.num_negative))
+            else:
+                chosen = self._rng.sample(range(len(negatives)), self.num_negative)
+            docs.extend(negatives[i] for i in chosen)
+            documents.append(docs)
+        return queries, documents
+
+
+class BM25Negatives:
+    """Offline BM25 hard-negative miner + collate-time sampler."""
+
+    def __init__(self, data_args, vocab_size: int, seed: int = 0):
+        self.cache_dir = data_args.data_cache_dir
+        self.num_negative = data_args.train_n_passages - 1
+        self.retriever = BM25Retriever(self.num_negative, vocab_size, seed=seed)
+        self._random = RandomSampleNegatives(data_args, seed=seed)
+
+    def load_passages(self, corpus) -> List[dict]:
+        """Mine (or load cached) BM25 negatives for every train sample.
+
+        Returns the train samples with their ``negatives`` replaced by mined
+        BM25 negatives (reference sampler.py:57-99, cache layout
+        ``{cache}/BM25data/bm25negatives``).
+        """
+        out_dir = os.path.join(self.cache_dir or ".", "BM25data")
+        cache_file = os.path.join(out_dir, "bm25negatives")
+        if os.path.exists(cache_file):
+            with open(cache_file, encoding="utf-8") as fh:
+                return [json.loads(line) for line in fh]
+
+        corpus = list(corpus)
+        bp, ep = self.retriever.load_passages(corpus)
+        data = []
+        for sample, b, e in zip(corpus, bp, ep):
+            mined = []
+            # over-fetch so own-positive hits can be skipped
+            neg_docs = self.retriever.search(
+                sample["query"], self.num_negative + len(sample["positives"])
+            )
+            for doc in neg_docs:
+                if b <= doc < e:  # the query's own positive span — exclude
+                    continue
+                mined.append(self.retriever.passage[doc])
+                if len(mined) == self.num_negative:
+                    break
+            row = dict(sample)
+            row["negatives"] = mined
+            data.append(row)
+
+        self.save(data, out_dir, "bm25negatives")
+        return data
+
+    def save(self, data, out_dir: str, data_name: str) -> None:
+        os.makedirs(out_dir, exist_ok=True)
+        with open(os.path.join(out_dir, data_name), "w", encoding="utf-8") as fh:
+            for sample in data:
+                json.dump(sample, fh, ensure_ascii=False)
+                fh.write("\n")
+
+    def __call__(self, samples) -> Batch:
+        """Collate-time sampling over the mined negatives (intended semantics
+        of reference sampler.py:111-127, whose live-search path kept positives
+        due to the inverted filter)."""
+        return self._random(samples)

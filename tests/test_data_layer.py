@@ -1,0 +1,229 @@
+"""Data layer: preprocessors, collators, samplers, datasets, loaders."""
+
+import random
+
+import numpy as np
+import pytest
+
+from denseretrievaltoolkits_tpu.config import DataArguments
+from denseretrievaltoolkits_tpu.data.collators import (
+    EVCollator,
+    EVRRCollator,
+    PPCollator,
+    QPCollator,
+    RRCollator,
+    pad_batch,
+)
+from denseretrievaltoolkits_tpu.data.datasets import (
+    EXACTMATCH_DATASET,
+    RELEVANCY_DATASET,
+    CorpusDataset,
+    ExactMatchDataset,
+)
+from denseretrievaltoolkits_tpu.data.loaders import (
+    CorpusDataloader,
+    DataLoader,
+    ExactMatchDataloader,
+    pad_to_batch,
+)
+from denseretrievaltoolkits_tpu.data.samplers import BM25Negatives, RandomSampleNegatives
+
+from helpers import make_exactmatch_dataset, make_tokenizer
+
+
+@pytest.fixture(scope="module")
+def tokenizer(tmp_path_factory):
+    return make_tokenizer(tmp_path_factory.mktemp("tok"))
+
+
+@pytest.fixture(scope="module")
+def tiny_data(tmp_path_factory):
+    rng = random.Random(0)
+    return make_exactmatch_dataset(tmp_path_factory.mktemp("data"), rng)
+
+
+def _data_args(data_dir, corpus_path, **kw):
+    kw.setdefault("train_n_passages", 3)
+    kw.setdefault("q_max_len", 16)
+    kw.setdefault("p_max_len", 24)
+    return DataArguments(data_dir=data_dir, corpus_path=corpus_path, **kw)
+
+
+def test_registries():
+    assert RELEVANCY_DATASET == ["msmarco"]
+    assert EXACTMATCH_DATASET == ["nq", "wq", "tq", "squad"]
+
+
+def test_pad_batch_static_shapes(tokenizer):
+    out = pad_batch([[5, 6], [5, 6, 7, 8, 9]], 4, tokenizer.pad_token_id)
+    assert out["input_ids"].shape == (2, 4)
+    np.testing.assert_array_equal(out["input_ids"][0], [5, 6, 0, 0])
+    np.testing.assert_array_equal(out["attention_mask"][0], [1, 1, 0, 0])
+    np.testing.assert_array_equal(out["input_ids"][1], [5, 6, 7, 8])  # truncated
+
+
+def test_dataset_load_and_preprocess(tokenizer, tiny_data):
+    data_dir, corpus_path, splits, corpus_rows = tiny_data
+    args = _data_args(data_dir, corpus_path)
+    ds = ExactMatchDataset(args, tokenizer)
+    train, dev, test = ds.load_train()
+    assert len(train) == 16 and len(dev) == 8 and len(test) == 8
+    row = train[0]
+    assert isinstance(row["query"], list) and isinstance(row["query"][0], int)
+    assert len(row["positives"]) == 1 and len(row["negatives"]) == 4
+    dev_row = dev[0]
+    assert dev_row["answers"] == splits["dev"][0]["answers"]
+    assert dev_row["original"] == splits["dev"][0]["query"]
+
+
+def test_corpus_dataset(tokenizer, tiny_data):
+    data_dir, corpus_path, _, corpus_rows = tiny_data
+    args = _data_args(data_dir, corpus_path)
+    corpus = CorpusDataset(args, tokenizer)
+    ds = corpus.load_dataset()
+    assert len(ds) == 64
+    assert ds[0]["id"] == "d0"
+    assert ds[0]["original"].endswith(corpus_rows[0]["text"])
+
+
+def test_random_sampler_and_qp_collator(tokenizer, tiny_data):
+    data_dir, corpus_path, _, _ = tiny_data
+    args = _data_args(data_dir, corpus_path)
+    ds = ExactMatchDataset(args, tokenizer)
+    train, _, _ = ds.load_train()
+    sampler = RandomSampleNegatives(args, seed=0)
+    collator = QPCollator(args, sampler, tokenizer)
+    batch = [train[i] for i in range(4)]
+    q, p = collator(batch)
+    assert q["input_ids"].shape == (4, 16)
+    assert p["input_ids"].shape == (4 * 3, 24)  # train_n_passages=3
+    # CLS prepended by prepare_for_model
+    assert (q["input_ids"][:, 0] == tokenizer.cls_token_id).all()
+
+
+def test_sampler_insufficient_negatives(tiny_data, tokenizer):
+    data_dir, corpus_path, _, _ = tiny_data
+    args = _data_args(data_dir, corpus_path, train_n_passages=10)
+    sampler = RandomSampleNegatives(args, seed=0)
+    with pytest.raises(ValueError):
+        sampler([{"query": [1], "positives": [[2]], "negatives": [[3]] * 4}])
+
+
+def test_ev_collator(tokenizer, tiny_data):
+    data_dir, corpus_path, splits, _ = tiny_data
+    args = _data_args(data_dir, corpus_path)
+    ds = ExactMatchDataset(args, tokenizer)
+    _, dev, _ = ds.load_train()
+    collator = EVCollator(args, tokenizer)
+    qid, q, ans, qt = collator([dev[i] for i in range(3)])
+    assert len(qid) == 3 and q["input_ids"].shape == (3, 16)
+    assert ans[0] == splits["dev"][0]["answers"]
+
+
+def test_rr_collator(tokenizer, tiny_data):
+    data_dir, corpus_path, _, _ = tiny_data
+    args = _data_args(data_dir, corpus_path)
+    ds = ExactMatchDataset(args, tokenizer)
+    train, _, _ = ds.load_train()
+    sampler = RandomSampleNegatives(args, seed=0)
+    collator = RRCollator(args, sampler, tokenizer)
+    pos, neg = collator([train[i] for i in range(2)])
+    assert pos["input_ids"].shape == (2, 40)  # q_max+p_max
+    assert neg["input_ids"].shape == (2 * 2, 40)  # (n_passages-1) negs per query
+    # pair contains a [SEP] between query and passage
+    assert (pos["input_ids"] == tokenizer.sep_token_id).sum(axis=1).min() >= 2
+
+
+def test_evrr_collator(tokenizer, tiny_data):
+    data_dir, corpus_path, _, _ = tiny_data
+    args = _data_args(data_dir, corpus_path)
+    feats = [
+        {
+            "query_id": "q0",
+            "query": [7, 8, 9],
+            "doc_id": "d3",
+            "document": [10, 11, 12, 13],
+            "original": "some doc text",
+            "answers": ["paris"],
+        }
+    ]
+    qid, batch, ans, doc, did = EVRRCollator(args, tokenizer)(feats)
+    assert qid == ["q0"] and did == ["d3"] and doc == ["some doc text"]
+    assert batch["input_ids"].shape == (1, 40)
+
+
+def test_dataloader_epoch_shuffle_determinism(tokenizer, tiny_data):
+    data_dir, corpus_path, _, _ = tiny_data
+    args = _data_args(data_dir, corpus_path)
+    ds = ExactMatchDataset(args, tokenizer)
+    _, dev, _ = ds.load_train()
+    ident = lambda feats: [f["query_id"] for f in feats]
+    dl = DataLoader(dev, 4, ident, shuffle=True, seed=7)
+    dl.set_epoch(0)
+    ep0 = [tuple(b) for b in dl]
+    dl.set_epoch(0)
+    assert [tuple(b) for b in dl] == ep0  # deterministic per epoch
+    dl.set_epoch(1)
+    assert [tuple(b) for b in dl] != ep0  # reshuffled across epochs
+    assert len(dl) == 2 and all(len(b) == 4 for b in ep0)
+
+
+def test_dataloader_sharding_partitions(tokenizer, tiny_data):
+    data_dir, corpus_path, _, _ = tiny_data
+    args = _data_args(data_dir, corpus_path)
+    ds = ExactMatchDataset(args, tokenizer)
+    _, dev, _ = ds.load_train()
+    ident = lambda feats: [f["query_id"] for f in feats]
+    seen = []
+    for shard in range(2):
+        dl = DataLoader(dev, 4, ident, shuffle=False, shard_num=2, shard_idx=shard)
+        for b in dl:
+            seen.extend(b)
+    assert sorted(seen) == sorted(f["query_id"] for f in dev)
+
+
+def test_pad_to_batch():
+    batch = {"input_ids": np.ones((3, 5), np.int32)}
+    padded, valid = pad_to_batch(batch, 8)
+    assert padded["input_ids"].shape == (8, 5) and valid == 3
+    assert (padded["input_ids"][3:] == 0).all()
+
+
+def test_exactmatch_dataloader_factory(tokenizer, tiny_data):
+    data_dir, corpus_path, _, _ = tiny_data
+    args = _data_args(data_dir, corpus_path)
+    ds = ExactMatchDataset(args, tokenizer)
+    sampler = RandomSampleNegatives(args, seed=0)
+    factory = ExactMatchDataloader(args, ds, tokenizer, sampler, batch_size=[4, 4, 4])
+    train_dl, eval_dl, test_dl = factory.get_dataloader()
+    q, p = next(iter(train_dl))
+    assert q["input_ids"].shape == (4, 16) and p["input_ids"].shape == (12, 24)
+    qid, qb, ans, qt = next(iter(eval_dl))
+    assert len(qid) == 4 and qb["input_ids"].shape == (4, 16)
+
+    corpus = CorpusDataset(args, tokenizer)
+    cdl = CorpusDataloader(args, corpus, tokenizer, batch_size=16).get_dataloader()
+    did, pb = next(iter(cdl))
+    assert len(did) == 16 and pb["input_ids"].shape == (16, 24)
+
+
+def test_bm25_negatives_mining(tokenizer, tiny_data, tmp_path):
+    data_dir, corpus_path, _, _ = tiny_data
+    args = _data_args(data_dir, corpus_path, data_cache_dir=str(tmp_path))
+    ds = ExactMatchDataset(args, tokenizer)
+    train, _, _ = ds.load_train()
+    miner = BM25Negatives(args, vocab_size=tokenizer.vocab_size, seed=0)
+    mined = miner.load_passages(list(train))
+    assert len(mined) == len(train)
+    for sample in mined:
+        assert len(sample["negatives"]) == args.train_n_passages - 1
+        # mined negatives must not be the sample's own positives
+        for neg in sample["negatives"]:
+            assert neg not in sample["positives"]
+    # cache hit path returns same data
+    mined2 = miner.load_passages(list(train))
+    assert mined2 == mined
+    # mined samples work in the train collator
+    collator = QPCollator(args, miner, tokenizer)
+    q, p = collator(mined[:2])
+    assert p["input_ids"].shape == (6, 24)
