@@ -72,8 +72,10 @@ class EVCollator:
 
     def __call__(self, features):
         qid = [s["query_id"] for s in features]
-        ans = [s["answers"] for s in features]
-        qt = [s["original"] for s in features]
+        # ExactMatch rows carry answer strings; Relevancy rows carry positive
+        # docids (EvalPreProcessor) — either serves as the relevance labels.
+        ans = [s.get("answers", s.get("positives_ids")) for s in features]
+        qt = [s.get("original", "") for s in features]
         enq = [create_one_example(s["query"], self.tokenizer, q_max_len=self.max_q_len)
                for s in features]
         q = pad_batch(enq, self.max_q_len, _pad_id(self.tokenizer))

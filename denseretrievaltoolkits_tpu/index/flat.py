@@ -1,0 +1,210 @@
+"""HBM-resident flat inner-product index with blockwise top-k search.
+
+This is the TPU-native replacement for FAISS ``IndexFlatIP``
+(``DRT/evaluator/index.py:16-44``, used by the trainer's evaluation pipeline
+``trainer.py:191-297``).  Design:
+
+- the corpus embedding matrix lives on-device (HBM), in fp32 / bf16 / int8
+  (per-row absmax scales) — the dtype menu replaces FAISS's quantized factory
+  variants (``index.py:47-54``);
+- search never materializes the full [nq, n_docs] score matrix: a
+  ``lax.scan`` over corpus blocks keeps a running top-k (scores, ids) carry,
+  fusing the MXU matmul with the merge (the Pallas fused kernel in
+  ``ops/topk.py`` implements the same contract for the TPU hot path);
+- multi-chip: see ``parallel/sharded_index.py`` — each device owns a corpus
+  shard, per-shard top-k candidates are merged with one all_gather over ICI
+  (replacing the reference's npy→disk→faiss→disk broadcast dance,
+  ``trainer.py:191-262``).
+
+``search`` returns (scores, indices) sorted by descending score — the
+*intended* semantics of the reference's ``BaseFaissIPRetriever.search``
+(its re-sort of faiss output is buggy for batched queries, SURVEY.md §2.2).
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+DEFAULT_BLOCK = 4096
+
+
+def quantize_int8(reps: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Symmetric per-row int8 quantization. Returns (values int8, scales fp32)."""
+    absmax = np.abs(reps).max(axis=1, keepdims=True)
+    scales = (absmax / 127.0).astype(np.float32)
+    scales = np.where(scales == 0, 1.0, scales)
+    values = np.clip(np.round(reps / scales), -127, 127).astype(np.int8)
+    return values, scales.squeeze(1)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "block_size"))
+def blockwise_topk(
+    q_reps: jax.Array,
+    corpus: jax.Array,
+    k: int,
+    block_size: int = DEFAULT_BLOCK,
+    scales: Optional[jax.Array] = None,
+    valid: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Exact top-k inner-product search, O(k + block) memory per query.
+
+    q_reps: [Q, H] float; corpus: [N, H] (fp32/bf16/int8); scales: [N] for
+    int8 dequant; valid: scalar count of real rows (padded rows masked out).
+    Returns (scores [Q, k] fp32, indices [Q, k] int32), sorted descending.
+    """
+    Q, H = q_reps.shape
+    N = corpus.shape[0]
+    n_blocks = -(-N // block_size)
+    pad = n_blocks * block_size - N
+    if pad:
+        corpus = jnp.pad(corpus, ((0, pad), (0, 0)))
+        if scales is not None:
+            scales = jnp.pad(scales, (0, pad))
+    n_valid = jnp.asarray(N if valid is None else valid, jnp.int32)
+
+    qf = q_reps.astype(jnp.float32)
+    compute_dtype = corpus.dtype if corpus.dtype == jnp.bfloat16 else jnp.float32
+
+    corpus_blocks = corpus.reshape(n_blocks, block_size, H)
+    scale_blocks = (
+        scales.reshape(n_blocks, block_size) if scales is not None else None
+    )
+    offsets = jnp.arange(n_blocks, dtype=jnp.int32) * block_size
+    local_ids = jnp.arange(block_size, dtype=jnp.int32)
+
+    init_s = jnp.full((Q, k), -jnp.inf, jnp.float32)
+    init_i = jnp.zeros((Q, k), jnp.int32)
+
+    def body(carry, blk):
+        run_s, run_i = carry
+        if scale_blocks is None:
+            block, offset = blk
+            blk_mat = block.astype(compute_dtype)
+            s = jnp.dot(
+                qf.astype(compute_dtype), blk_mat.T, preferred_element_type=jnp.float32
+            )
+        else:
+            block, scale, offset = blk
+            s = jnp.dot(qf, block.astype(jnp.float32).T, preferred_element_type=jnp.float32)
+            s = s * scale[None, :]
+        ids = offset + local_ids  # [B]
+        s = jnp.where(ids[None, :] < n_valid, s, -jnp.inf)
+        cat_s = jnp.concatenate([run_s, s], axis=1)
+        cat_i = jnp.concatenate([run_i, jnp.broadcast_to(ids, (Q, block_size))], axis=1)
+        top_s, top_pos = jax.lax.top_k(cat_s, k)
+        top_i = jnp.take_along_axis(cat_i, top_pos, axis=1)
+        return (top_s, top_i), None
+
+    xs = (
+        (corpus_blocks, offsets)
+        if scale_blocks is None
+        else (corpus_blocks, scale_blocks, offsets)
+    )
+    (scores, indices), _ = jax.lax.scan(body, (init_s, init_i), xs)
+    return scores, indices
+
+
+class FlatIPIndex:
+    """Device-resident flat IP index: add / search / batch_search / save / load.
+
+    API mirror of the reference ``BaseFaissIPRetriever`` (index.py:16-44) with
+    intended (scores, indices) search semantics."""
+
+    def __init__(self, dim_or_reps, dtype: str = "float32", block_size: int = DEFAULT_BLOCK):
+        if isinstance(dim_or_reps, np.ndarray):
+            self.dim = int(dim_or_reps.shape[1])
+        else:
+            self.dim = int(dim_or_reps)
+        self.dtype = dtype
+        self.block_size = block_size
+        self._chunks: List[np.ndarray] = []
+        self._device_corpus = None
+        self._device_scales = None
+        self._n = 0
+        self.docid: List = []
+        if isinstance(dim_or_reps, np.ndarray):
+            self.add(dim_or_reps)
+
+    def __len__(self):
+        return self._n
+
+    def add(self, p_reps: np.ndarray) -> None:
+        """Append corpus embeddings (host-side staging; device upload is lazy)."""
+        p_reps = np.asarray(p_reps, np.float32)
+        assert p_reps.shape[1] == self.dim
+        self._chunks.append(p_reps)
+        self._n += p_reps.shape[0]
+        self._device_corpus = None  # invalidate
+
+    def _materialize(self):
+        if self._device_corpus is not None:
+            return
+        full = (
+            np.concatenate(self._chunks, axis=0)
+            if len(self._chunks) != 1
+            else self._chunks[0]
+        )
+        if self.dtype == "int8":
+            values, scales = quantize_int8(full)
+            self._device_corpus = jnp.asarray(values)
+            self._device_scales = jnp.asarray(scales)
+        elif self.dtype == "bfloat16":
+            self._device_corpus = jnp.asarray(full, jnp.bfloat16)
+            self._device_scales = None
+        else:
+            self._device_corpus = jnp.asarray(full)
+            self._device_scales = None
+
+    def search(self, q_reps: np.ndarray, k: int = 1000) -> Tuple[np.ndarray, np.ndarray]:
+        """Exact top-k. Returns (scores [Q,k], indices [Q,k]) sorted descending."""
+        self._materialize()
+        k = min(k, self._n)
+        scores, indices = blockwise_topk(
+            jnp.asarray(q_reps, jnp.float32),
+            self._device_corpus,
+            k,
+            min(self.block_size, max(256, 1 << (self._n - 1).bit_length())),
+            scales=self._device_scales,
+        )
+        return np.asarray(scores), np.asarray(indices)
+
+    def batch_search(
+        self, q_reps: np.ndarray, k: int, batch_size: int, quiet: bool = False
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Chunked search over many queries (reference index.py:35-44)."""
+        all_scores, all_indices = [], []
+        for start in range(0, q_reps.shape[0], batch_size):
+            s, i = self.search(q_reps[start : start + batch_size], k)
+            all_scores.append(s)
+            all_indices.append(i)
+        return np.concatenate(all_scores), np.concatenate(all_indices)
+
+    # -- persistence (replaces faiss.write_index/read_index + docid file,
+    #    trainer.py:245-261) --------------------------------------------------
+
+    def save(self, path: str) -> None:
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        full = np.concatenate(self._chunks, axis=0) if self._chunks else np.zeros((0, self.dim), np.float32)
+        np.savez(path + ".npz", reps=full)
+        with open(path + ".meta.json", "w") as fh:
+            json.dump({"dim": self.dim, "dtype": self.dtype, "n": self._n,
+                       "docid": self.docid}, fh)
+
+    @classmethod
+    def load(cls, path: str) -> "FlatIPIndex":
+        with open(path + ".meta.json") as fh:
+            meta = json.load(fh)
+        idx = cls(meta["dim"], dtype=meta["dtype"])
+        with np.load(path + ".npz") as z:
+            reps = z["reps"]
+        if reps.shape[0]:
+            idx.add(reps)
+        idx.docid = meta.get("docid", [])
+        return idx

@@ -1,0 +1,365 @@
+"""Training + retrieval-evaluation orchestration (L5).
+
+TPU-native re-design of the reference ``DRT/trainer/trainer.py:30-484``:
+
+- the train step is ONE jitted pure function (forward → loss → grad → optax
+  update) with donated state; when a mesh is attached (parallel/mesh.py) the
+  same step pjits over the data axis, gradient reduction is implicit, and the
+  contrastive loss sees the global in-batch negative pool (the reference's
+  DDP + negatives_x_device + loss×world_size machinery, trainer.py:47-63,
+  biencoder.py:103-119, collapses into sharding annotations);
+- the evaluation pipeline (corpus encode → index → search → label → metrics,
+  reference trainer.py:191-346) streams corpus batches through a jitted
+  encoder directly into the device-resident FlatIPIndex — no
+  npy→disk→faiss→disk→read exchange; the disk artifacts (encoded shards,
+  retrieval jsonl, metrics json) are still written for interop/debug parity;
+- checkpoint/resume is Orbax over {params, opt_state, epoch} — the resume
+  format the reference declared but never wired (trainer.py:367-389).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import time
+from typing import Any, Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..data.loaders import pad_to_batch
+from ..evaluator.metrics import get_metrics
+from ..evaluator.nq_eval import has_answers
+from ..index.flat import FlatIPIndex
+from .optimizers import get_optimizer
+
+logger = logging.getLogger(__name__)
+
+
+class Trainer:
+    """Dense-retriever trainer (reference ``Trainer``, trainer.py:30-389)."""
+
+    def __init__(
+        self,
+        training_args,
+        model,
+        params,
+        corpus_dataloader=None,
+        train_loader=None,
+        eval_loader=None,
+        test_loader=None,
+        mesh=None,
+        label_kind: str = "answers",
+    ):
+        self.training_args = training_args
+        self.model = model
+        self.train_loader = train_loader
+        self.corpus_dataloader = corpus_dataloader
+        self.eval_loader = eval_loader
+        self.test_loader = test_loader
+        self.start_epoch = 0
+        self.eval_method = training_args.eval_method
+        self.label_kind = label_kind  # "answers" (NQ-style) | "docids" (relevancy)
+        self.topk = training_args.topk_list
+        self.mesh = mesh
+
+        self.optimizer = get_optimizer(training_args)
+        self.state = {"params": params, "opt_state": self.optimizer.init(params)}
+        self.step = 0
+        self.idx: List = []  # docid order of the corpus index
+        self.index: Optional[FlatIPIndex] = None
+
+        self._build_steps()
+
+    # -- jitted steps --------------------------------------------------------
+
+    def _loss_fn(self, params, batch):
+        out = self.model.forward(params, batch["query"], batch["passage"])
+        return out["loss"]
+
+    def _build_steps(self):
+        optimizer = self.optimizer
+
+        def train_step(state, batch):
+            loss, grads = jax.value_and_grad(self._loss_fn)(state["params"], batch)
+            updates, opt_state = optimizer.update(
+                grads, state["opt_state"], state["params"]
+            )
+            params = optax.apply_updates(state["params"], updates)
+            return {"params": params, "opt_state": opt_state}, loss
+
+        def encode_query(params, batch):
+            return self.model.encode_query(params, batch)
+
+        def encode_passage(params, batch):
+            return self.model.encode_passage(params, batch)
+
+        if self.mesh is not None:
+            from ..parallel.mesh import shard_steps
+
+            self._train_step, self._encode_query, self._encode_passage = shard_steps(
+                train_step, encode_query, encode_passage, self.mesh, self.state
+            )
+        else:
+            self._train_step = jax.jit(train_step, donate_argnums=(0,))
+            self._encode_query = jax.jit(encode_query)
+            self._encode_passage = jax.jit(encode_passage)
+
+    def train_step(self, batch) -> float:
+        """One optimizer update on a {query, passage} batch
+        (reference trainer.py:118-132)."""
+        inputs = {"query": batch[0], "passage": batch[1]}
+        self.state, loss = self._train_step(self.state, inputs)
+        self.step += 1
+        return float(loss)
+
+    # -- epoch loop ----------------------------------------------------------
+
+    def train(self):
+        """Epoch loop with save/eval cadences + final test eval
+        (reference trainer.py:134-162)."""
+        args = self.training_args
+        for ep in range(self.start_epoch, args.max_epochs):
+            self.train_loader.set_epoch(ep)
+            t0 = time.time()
+            losses = []
+            for step_idx, batch in enumerate(self.train_loader):
+                loss = self.train_step(batch)
+                losses.append(loss)
+                if args.log_every and (step_idx + 1) % args.log_every == 0:
+                    logger.info(
+                        "epoch %d step %d loss %.4f (%.2f s/step)",
+                        ep + 1, step_idx + 1, loss, (time.time() - t0) / (step_idx + 1),
+                    )
+            logger.info("epoch %d done, mean loss %.4f", ep + 1, float(np.mean(losses)))
+            if (ep + 1) % args.save_per_train == 0:
+                self.save(ep + 1)
+            if self.eval_loader is not None and (ep + 1) % args.eval_per_train == 0:
+                self.evaluate(self.eval_loader, ep + 1)
+        if self.test_loader is not None:
+            self.evaluate(self.test_loader, -1)
+
+    # -- retrieval evaluation -------------------------------------------------
+
+    def _encode_batches(self, loader, encode_fn, what: str):
+        """Stream batches through a jitted encoder at ONE compiled shape."""
+        ids, reps = [], []
+        bs = loader.batch_size
+        for batch_ids, batch in loader:
+            padded, valid = pad_to_batch(batch, bs)
+            out = np.asarray(encode_fn(self.state["params"], padded))
+            reps.append(out[:valid])
+            ids.extend(batch_ids)
+        return ids, np.concatenate(reps, axis=0)
+
+    def _encoding_corpus(self, ep: int):
+        """Encode the corpus into the device-resident index; dump npy+docids
+        for interop (reference trainer.py:191-218 layout: {ep}.{rank}.npy)."""
+        args = self.training_args
+        loader = self.corpus_dataloader
+        ids, reps = self._encode_batches(loader, self._encode_passage, "corpus")
+        self.idx = ids
+        self.index = FlatIPIndex(reps.shape[1], dtype=args.index_dtype)
+        self.index.add(reps)
+        self.index.docid = ids
+        np.save(os.path.join(args.encode_corpus_dir, f"{ep}.0.npy"), reps)
+        with open(os.path.join(args.encode_corpus_dir, f"{ep}.0.json"), "w",
+                  encoding="utf-8") as fh:
+            json.dump({"id": ids}, fh, ensure_ascii=False)
+
+    def _index_corpus(self, ep: int):
+        """Persist the index + docid order (reference trainer.py:220-250)."""
+        args = self.training_args
+        self.index.save(args.index_file + str(ep))
+        with open(os.path.join(args.index_order_dir, f"{ep}.docid.txt"), "w",
+                  encoding="utf-8") as fh:
+            json.dump({"id": self.idx}, fh, ensure_ascii=False)
+
+    def _load_index(self, ep: int):
+        """Restore a saved index (reference trainer.py:252-262)."""
+        args = self.training_args
+        self.index = FlatIPIndex.load(args.index_file + str(ep))
+        with open(os.path.join(args.index_order_dir, f"{ep}.docid.txt"),
+                  encoding="utf-8") as fh:
+            self.idx = json.load(fh)["id"]
+
+    def _label_hit(self, doc_text: str, doc_id, answers) -> bool:
+        if self.label_kind == "docids":
+            return doc_id in answers
+        return has_answers(doc_text, answers)
+
+    def evaluate(self, query_loader, ep: int) -> Dict[str, float]:
+        """Full retrieval evaluation (reference trainer.py:269-346):
+        corpus encode → index → per-batch query encode + top-k search →
+        answer labeling → running metric sums → retrieval jsonl + metrics json.
+        """
+        args = self.training_args
+        if self.index is None or ep != getattr(self, "_indexed_ep", None):
+            self._encoding_corpus(ep)
+            self._index_corpus(ep)
+            self._indexed_ep = ep
+
+        corpus_ds = getattr(self.corpus_dataloader, "dataset", None)
+        m_all = {f"{m}@{k}": 0.0 for m in ("MRR", "NDCG", "Recall") for k in self.topk}
+        eval_num = 0
+        retrieve_k = args.retrieve_num
+        dump_rows = []
+
+        bs = query_loader.batch_size
+        for qids, batch, answers, originals in query_loader:
+            padded, valid = pad_to_batch(batch, bs)
+            q_reps = np.asarray(self._encode_query(self.state["params"], padded))[:valid]
+            k = min(retrieve_k, len(self.index))
+            scores, indices = self.index.search(q_reps, k)
+            pos_index = np.zeros((valid, k), dtype=np.int8)
+            for i in range(valid):
+                eval_num += 1
+                for j, row in enumerate(indices[i]):
+                    docid = self.idx[row]
+                    doc_text = corpus_ds[int(row)]["original"] if corpus_ds is not None else ""
+                    if self._label_hit(doc_text, docid, answers[i]):
+                        pos_index[i][j] = 1
+                    dump_rows.append(
+                        {
+                            "doc_id": docid,
+                            "query_id": qids[i],
+                            "query": originals[i],
+                            "document": doc_text,
+                            "answers": list(answers[i]),
+                            "score": float(scores[i][j]),
+                        }
+                    )
+            batch_metrics = get_metrics(pos_index, self.topk)
+            for key in m_all:
+                m_all[key] += batch_metrics[key]
+
+        # retrieval dump for the reranker (reference trainer.py:323-337 layout)
+        with open(os.path.join(args.retrieve_dir, f"{ep}.0.json"), "w",
+                  encoding="utf-8") as fh:
+            for row in dump_rows:
+                json.dump(row, fh, ensure_ascii=False)
+                fh.write("\n")
+
+        for key in m_all:
+            m_all[key] = m_all[key] / max(eval_num, 1)
+            logger.info("%s %.4f", key, m_all[key])
+        m_all["query_num"] = eval_num
+        with open(os.path.join(args.cache_train_dir, f"{ep}.0_metrics"), "w",
+                  encoding="utf-8") as fh:
+            json.dump(m_all, fh, ensure_ascii=False)
+        return m_all
+
+    # -- persistence ---------------------------------------------------------
+
+    def save(self, i_epoch: int):
+        """Deploy-format save (reference trainer.py:348-356 layout
+        {cache}/result{N}) + Orbax resume checkpoint."""
+        args = self.training_args
+        path = os.path.join(args.cache_train_dir, f"result{i_epoch}")
+        self.model.save(self.state["params"], path)
+        self.save_checkpoint(os.path.join(args.output_dir, "checkpoint"), i_epoch)
+
+    def save_checkpoint(self, path: str, epoch: int):
+        import orbax.checkpoint as ocp
+
+        path = os.path.abspath(path)
+        payload = {
+            "params": jax.tree.map(np.asarray, self.state["params"]),
+            "opt_state": jax.tree.map(np.asarray, self.state["opt_state"]),
+            "meta": {"epoch": np.asarray(epoch), "step": np.asarray(self.step)},
+        }
+        with ocp.PyTreeCheckpointer() as ckpt:
+            ckpt.save(os.path.join(path, f"ep{epoch}"), payload, force=True)
+
+    def load(self, filename: str, ckpt_type=None):
+        """Resume params+opt_state+epoch (reference trainer.py:383-389)."""
+        import orbax.checkpoint as ocp
+
+        with ocp.PyTreeCheckpointer() as ckpt:
+            payload = ckpt.restore(os.path.abspath(filename))
+        as_jnp = lambda tree: jax.tree.map(jnp.asarray, tree)
+        self.state = {
+            "params": as_jnp(payload["params"]),
+            "opt_state": as_jnp(payload["opt_state"]),
+        }
+        self.start_epoch = int(payload["meta"]["epoch"]) + 1 if ckpt_type is None else 0
+        self.step = int(payload["meta"]["step"])
+
+
+class RRTrainer(Trainer):
+    """Cross-encoder reranker trainer (reference ``RRTrainer``,
+    trainer.py:392-484)."""
+
+    def _loss_fn(self, params, batch):
+        out = self.model.forward(params, batch["pos_pairs"], batch["neg_pairs"])
+        return out["loss"]
+
+    def _build_steps(self):
+        optimizer = self.optimizer
+
+        def train_step(state, batch):
+            loss, grads = jax.value_and_grad(self._loss_fn)(state["params"], batch)
+            updates, opt_state = optimizer.update(
+                grads, state["opt_state"], state["params"]
+            )
+            params = optax.apply_updates(state["params"], updates)
+            return {"params": params, "opt_state": opt_state}, loss
+
+        def score(params, batch):
+            return self.model.encode(params, batch)
+
+        self._train_step = jax.jit(train_step, donate_argnums=(0,))
+        self._score = jax.jit(score)
+
+    def train_step(self, batch) -> float:
+        inputs = {"pos_pairs": batch[0], "neg_pairs": batch[1]}
+        self.state, loss = self._train_step(self.state, inputs)
+        self.step += 1
+        return float(loss)
+
+    def evaluate(self, pair_loader, ep: int) -> Dict[str, float]:
+        """Score each (q, d) pair, group by qid, sort by score, compute metrics
+        (reference trainer.py:403-482)."""
+        args = self.training_args
+        result: Dict[Any, list] = {}
+        bs = pair_loader.batch_size
+        for qids, batch, answers, docs, dids in pair_loader:
+            padded, valid = pad_to_batch(batch, bs)
+            scores = np.asarray(self._score(self.state["params"], padded))[:valid]
+            for q, a, d, s, did in zip(qids, answers, docs, scores, dids):
+                bucket = result.setdefault(q, ([], [], [], []))
+                bucket[0].append(float(s[0]))
+                bucket[1].append(int(has_answers(d, a)))
+                bucket[2].append(d)
+                bucket[3].append(did)
+
+        # per-rank jsonl dump (reference trainer.py:432-444 row schema)
+        with open(os.path.join(args.rr_result_dir, f"{ep}.0.json"), "w",
+                  encoding="utf-8") as fh:
+            for qid, (scores, is_true, ds, dids) in result.items():
+                for s, j, d, did in zip(scores, is_true, ds, dids):
+                    json.dump({"qid": qid, "did": did, "score": s, "match": j,
+                               "document": d}, fh, ensure_ascii=False)
+                    fh.write("\n")
+
+        # merge + per-qid sort + metrics (reference trainer.py:448-482)
+        m_all = {f"{m}@{k}": 0.0 for m in ("MRR", "NDCG", "Recall") for k in self.topk}
+        eval_num = 0
+        for qid, (scores, is_true, _, _) in result.items():
+            eval_num += 1
+            order = np.argsort(-np.asarray(scores))
+            pos_index = np.asarray(is_true)[order][None, :]
+            batch_metrics = get_metrics(pos_index, self.topk)
+            for key in m_all:
+                m_all[key] += batch_metrics[key]
+        for key in m_all:
+            m_all[key] = m_all[key] / max(eval_num, 1)
+            logger.info("%s %.4f", key, m_all[key])
+        m_all["query_num"] = eval_num
+        with open(os.path.join(args.cache_train_dir, f"{ep}.0_RR_metrics"), "w",
+                  encoding="utf-8") as fh:
+            json.dump(m_all, fh, ensure_ascii=False)
+        return m_all
