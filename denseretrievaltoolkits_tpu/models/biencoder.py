@@ -228,7 +228,14 @@ class DRModel:
             return cls(spec), params
 
         tied = not model_args.untie_encoder
-        if path and (os.path.isdir(path) or "/" in path or path.startswith("bert")):
+        if path and os.path.isdir(path) and os.path.exists(
+            os.path.join(path, "bert_config.json")
+        ) and not os.path.exists(os.path.join(path, "weights.npz")):
+            # architecture-only dir: random init from the config (offline path)
+            config = bert.load_config(path)
+            rng = rng if rng is not None else jax.random.key(0)
+            lm_params = bert.init_params(jax.random.fold_in(rng, 0), config)
+        elif path and (os.path.isdir(path) or "/" in path or path.startswith("bert")):
             # HF checkpoint (hub id or local save_pretrained dir)
             from .hf_import import params_from_pretrained
 

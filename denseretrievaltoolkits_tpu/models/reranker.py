@@ -163,7 +163,13 @@ class RRModel:
             return cls(spec), params
 
         rng = rng if rng is not None else jax.random.key(0)
-        if path and (os.path.isdir(path) or "/" in path or path.startswith("bert")):
+        if path and os.path.isdir(path) and os.path.exists(
+            os.path.join(path, "bert_config.json")
+        ) and not os.path.exists(os.path.join(path, "weights.npz")):
+            # architecture-only dir: random init from the config (offline path)
+            config = bert.load_config(path)
+            lm_params = bert.init_params(jax.random.fold_in(rng, 0), config)
+        elif path and (os.path.isdir(path) or "/" in path or path.startswith("bert")):
             from .hf_import import params_from_pretrained
 
             lm_params, config = params_from_pretrained(path)
@@ -182,10 +188,11 @@ class RRModel:
             dtype=model_args.dtype,
             remat=getattr(model_args, "remat", False),
         )
+        # the head maps pooled hidden states → 1 score, so its input dim is the
+        # encoder hidden size (the reference's projection_in_dim default of 768
+        # only coincides with bert-base, reranker.py:165)
         params = {
             "lm": lm_params,
-            "head": linear.init_head(
-                jax.random.fold_in(rng, 1), model_args.projection_in_dim, 1
-            ),
+            "head": linear.init_head(jax.random.fold_in(rng, 1), config.hidden_size, 1),
         }
         return cls(spec), params

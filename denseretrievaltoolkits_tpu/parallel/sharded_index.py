@@ -1,0 +1,149 @@
+"""ICI-sharded flat index: per-shard blockwise top-k + all_gather merge.
+
+TPU-native replacement for the reference's corpus-sharded evaluation exchange
+(``trainer.py:191-262``): each rank encoded its corpus shard, dumped npy to
+disk, rank 0 rebuilt one FAISS index, wrote it back to disk, and other ranks
+read it.  Here the corpus embedding matrix is ONE jax array sharded over the
+mesh's data axis; search runs under ``shard_map`` — every device scans only
+its own HBM shard with the blockwise top-k kernel, producing k candidates
+with globally-offset ids, and a single ``all_gather`` over ICI merges the
+(n_dev × k) candidates with one final ``lax.top_k``.  No disk, no barriers,
+and per-query work is N/n_dev per chip.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..index.flat import DEFAULT_BLOCK, blockwise_topk, quantize_int8
+from .mesh import DATA_AXIS
+
+
+class ShardedFlatIndex:
+    """Corpus embeddings sharded over the mesh data axis; exact global top-k."""
+
+    def __init__(self, mesh: Mesh, dim: int, dtype: str = "float32",
+                 block_size: int = DEFAULT_BLOCK):
+        self.mesh = mesh
+        self.dim = dim
+        self.dtype = dtype
+        self.block_size = block_size
+        self.n_shards = mesh.shape[DATA_AXIS]
+        self._chunks: List[np.ndarray] = []
+        self._n = 0
+        self._corpus = None  # [n_shards, rows_per_shard, dim], sharded on axis 0
+        self._scales = None
+        self._rows_per_shard = 0
+        self.docid: List = []
+        self._search_fn = None
+
+    def __len__(self):
+        return self._n
+
+    def add(self, p_reps: np.ndarray) -> None:
+        p_reps = np.asarray(p_reps, np.float32)
+        assert p_reps.shape[1] == self.dim
+        self._chunks.append(p_reps)
+        self._n += p_reps.shape[0]
+        self._corpus = None
+
+    def _materialize(self):
+        if self._corpus is not None:
+            return
+        full = np.concatenate(self._chunks, axis=0)
+        # pad rows so every shard holds the same static count
+        per = -(-self._n // self.n_shards)
+        pad = per * self.n_shards - self._n
+        if pad:
+            full = np.concatenate([full, np.zeros((pad, self.dim), np.float32)])
+        self._rows_per_shard = per
+
+        if self.dtype == "int8":
+            values, scales = quantize_int8(full)
+            corpus_np, scales_np = values, scales
+        elif self.dtype == "bfloat16":
+            corpus_np, scales_np = full, None
+        else:
+            corpus_np, scales_np = full, None
+
+        stacked = corpus_np.reshape(self.n_shards, per, self.dim)
+        sharding = NamedSharding(self.mesh, P(DATA_AXIS, None, None))
+        arr = jnp.asarray(stacked, jnp.bfloat16 if self.dtype == "bfloat16" else None)
+        self._corpus = jax.device_put(arr, sharding)
+        if scales_np is not None:
+            self._scales = jax.device_put(
+                jnp.asarray(scales_np.reshape(self.n_shards, per)),
+                NamedSharding(self.mesh, P(DATA_AXIS, None)),
+            )
+        else:
+            self._scales = None
+        self._search_fn = None
+
+    def _build_search(self, k: int):
+        mesh = self.mesh
+        per = self._rows_per_shard
+        n_valid_total = self._n
+        block = min(self.block_size, per)
+        has_scales = self._scales is not None
+
+        def local_search(q, corpus_shard, scales_shard):
+            # corpus_shard: [1, per, dim] (this device's rows)
+            shard_idx = jax.lax.axis_index(DATA_AXIS)
+            offset = shard_idx * per
+            # rows beyond the global corpus length are padding
+            local_valid = jnp.clip(n_valid_total - offset, 0, per)
+            scores, ids = blockwise_topk(
+                q,
+                corpus_shard[0],
+                k,
+                block,
+                scales=scales_shard[0] if has_scales else None,
+                valid=local_valid,
+            )
+            ids = ids + offset
+            # merge candidates from every shard over ICI
+            all_scores = jax.lax.all_gather(scores, DATA_AXIS, axis=1, tiled=True)
+            all_ids = jax.lax.all_gather(ids, DATA_AXIS, axis=1, tiled=True)
+            top_s, pos = jax.lax.top_k(all_scores, k)
+            top_i = jnp.take_along_axis(all_ids, pos, axis=1)
+            return top_s, top_i
+
+        in_specs = (
+            P(),  # queries replicated
+            P(DATA_AXIS, None, None),
+            P(DATA_AXIS, None) if has_scales else P(),
+        )
+        fn = shard_map(
+            local_search,
+            mesh=mesh,
+            in_specs=in_specs,
+            out_specs=(P(), P()),
+            check_rep=False,
+        )
+        return jax.jit(fn)
+
+    def search(self, q_reps: np.ndarray, k: int = 1000) -> Tuple[np.ndarray, np.ndarray]:
+        self._materialize()
+        k = min(k, self._n)
+        if self._search_fn is None or self._search_k != k:
+            self._search_fn = self._build_search(k)
+            self._search_k = k
+        q = jnp.asarray(q_reps, jnp.float32)
+        dummy_scales = self._scales if self._scales is not None else jnp.zeros((1,), jnp.float32)
+        scores, indices = self._search_fn(q, self._corpus, dummy_scales)
+        return np.asarray(scores), np.asarray(indices)
+
+    def batch_search(self, q_reps, k, batch_size, quiet=False):
+        out_s, out_i = [], []
+        for start in range(0, q_reps.shape[0], batch_size):
+            s, i = self.search(q_reps[start : start + batch_size], k)
+            out_s.append(s)
+            out_i.append(i)
+        return np.concatenate(out_s), np.concatenate(out_i)

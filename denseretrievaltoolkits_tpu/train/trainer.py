@@ -67,7 +67,12 @@ class Trainer:
         self.mesh = mesh
 
         self.optimizer = get_optimizer(training_args)
-        self.state = {"params": params, "opt_state": self.optimizer.init(params)}
+        if mesh is not None:
+            from ..parallel.mesh import shard_state
+
+            self.state = shard_state({"params": params}, self.optimizer, mesh)
+        else:
+            self.state = {"params": params, "opt_state": self.optimizer.init(params)}
         self.step = 0
         self.idx: List = []  # docid order of the corpus index
         self.index: Optional[FlatIPIndex] = None
