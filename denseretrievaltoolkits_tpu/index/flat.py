@@ -163,14 +163,26 @@ class FlatIPIndex:
             self._device_scales = None
 
     def search(self, q_reps: np.ndarray, k: int = 1000) -> Tuple[np.ndarray, np.ndarray]:
-        """Exact top-k. Returns (scores [Q,k], indices [Q,k]) sorted descending."""
+        """Exact top-k. Returns (scores [Q,k], indices [Q,k]) sorted descending.
+
+        On TPU the fused Pallas kernel (ops/topk.py) serves fp32/bf16 corpora
+        — ~30x faster than the lax.scan path, whose per-block lax.top_k sort
+        dominates; elsewhere (and for int8, whose dequant-scale fusion the
+        kernel doesn't carry yet) the XLA scan serves."""
         self._materialize()
         k = min(k, self._n)
+        block = min(self.block_size, max(256, 1 << (self._n - 1).bit_length()))
+        if jax.default_backend() == "tpu" and self._device_scales is None:
+            from ..ops.topk import pallas_topk
+
+            return pallas_topk(
+                jnp.asarray(q_reps, jnp.float32), self._device_corpus, k, block
+            )
         scores, indices = blockwise_topk(
             jnp.asarray(q_reps, jnp.float32),
             self._device_corpus,
             k,
-            min(self.block_size, max(256, 1 << (self._n - 1).bit_length())),
+            block,
             scales=self._device_scales,
         )
         return np.asarray(scores), np.asarray(indices)

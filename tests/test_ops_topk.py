@@ -1,0 +1,64 @@
+"""Pallas top-k kernel (interpret mode on CPU) vs numpy exact search."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from denseretrievaltoolkits_tpu.ops.topk import _pallas_block_topj, pallas_topk
+
+
+def test_block_topj_matches_numpy():
+    rng = np.random.default_rng(0)
+    corpus = rng.normal(size=(512, 128)).astype(np.float32)
+    q = rng.normal(size=(8, 128)).astype(np.float32)
+    vals, ids = _pallas_block_topj(jnp.asarray(q), jnp.asarray(corpus), 4, 256, 512)
+    vals, ids = np.asarray(vals), np.asarray(ids)
+    full = q @ corpus.T
+    for b in range(2):
+        blk = full[:, b * 256 : (b + 1) * 256]
+        ref_idx = np.argsort(-blk, axis=1)[:, :4] + b * 256
+        np.testing.assert_array_equal(ids[b], ref_idx)
+        ref_val = -np.sort(-blk, axis=1)[:, :4]
+        np.testing.assert_allclose(vals[b], ref_val, atol=1e-4)
+
+
+def test_block_topj_masks_padding():
+    rng = np.random.default_rng(1)
+    corpus = np.zeros((256, 128), np.float32)
+    corpus[:100] = rng.normal(size=(100, 128))
+    corpus[100:] = 100.0  # huge scores in the padded region must be masked
+    q = rng.normal(size=(8, 128)).astype(np.float32)
+    vals, ids = _pallas_block_topj(jnp.asarray(q), jnp.asarray(corpus), 4, 256, 100)
+    assert np.asarray(ids).max() < 100
+
+
+def test_pallas_topk_exact_random():
+    rng = np.random.default_rng(2)
+    corpus = rng.normal(size=(3000, 64)).astype(np.float32)
+    q = rng.normal(size=(9, 64)).astype(np.float32)
+    s, i = pallas_topk(q, jnp.asarray(corpus), k=25, block_size=512)
+    full = q @ corpus.T
+    ref_s = -np.sort(-full, axis=1)[:, :25]
+    np.testing.assert_allclose(s, ref_s, atol=1e-4)
+
+
+def test_pallas_topk_adversarial_clustered():
+    """All top-k in one block: the certificate must trigger the fallback."""
+    n = 2048
+    vals = np.linspace(1, 0, n).astype(np.float32)
+    corpus = vals[:, None] * np.ones((1, 64), np.float32)
+    q = np.ones((8, 64), np.float32)
+    s, i = pallas_topk(q, jnp.asarray(corpus), k=30, block_size=512)
+    for r in range(8):
+        assert sorted(i[r].tolist()) == list(range(30))
+
+
+def test_pallas_topk_k_larger_than_candidates():
+    rng = np.random.default_rng(3)
+    corpus = rng.normal(size=(600, 32)).astype(np.float32)
+    q = rng.normal(size=(4, 32)).astype(np.float32)
+    s, i = pallas_topk(q, jnp.asarray(corpus), k=100, block_size=512)
+    full = q @ corpus.T
+    ref_s = -np.sort(-full, axis=1)[:, : s.shape[1]]
+    np.testing.assert_allclose(s, ref_s, atol=1e-4)
