@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from ..train.losses import contrastive_loss, stride_targets
-from . import bert, linear
+from . import bert, linear, t5
 from .pooling import l2_normalize, pool
 
 MANIFEST = "openmatch_config.json"
@@ -51,7 +51,7 @@ class DRModelSpec:
     normalize: bool = False
     dtype: str = "float32"
     remat: bool = False
-    backbone: str = "bert"
+    backbone: str = "bert"  # "bert" | "t5" (encoder tower) | "t5_full" (enc+dec step-0 reps)
 
 
 class DRModel:
@@ -82,19 +82,34 @@ class DRModel:
     def _encode(self, lm_params, head_params, batch: Dict[str, jnp.ndarray]):
         spec = self.spec
         dtype = _compute_dtype(spec.dtype)
-        hidden = bert.bert_encode(
-            lm_params,
-            spec.bert_config,
-            batch["input_ids"],
-            batch["attention_mask"],
-            batch.get("token_type_ids"),
-            compute_dtype=dtype,
-            remat=spec.remat,
-        )
-        if spec.feature == "pooler_output":
-            reps = bert.bert_pooler(lm_params, hidden, compute_dtype=dtype)
+        if spec.backbone in ("t5", "t5_full"):
+            hidden = t5.t5_encode(
+                lm_params, spec.bert_config,
+                batch["input_ids"], batch["attention_mask"],
+                compute_dtype=dtype, remat=spec.remat,
+            )
+            if spec.backbone == "t5_full":
+                # full-T5 rep: decoder step-0 hidden (reference biencoder.py:131-135)
+                reps = t5.t5_decode_step0(
+                    lm_params, spec.bert_config, hidden, batch["attention_mask"],
+                    compute_dtype=dtype, return_logits=False,
+                )
+            else:
+                reps = pool(hidden, batch["attention_mask"], spec.pooling)
         else:
-            reps = pool(hidden, batch["attention_mask"], spec.pooling)
+            hidden = bert.bert_encode(
+                lm_params,
+                spec.bert_config,
+                batch["input_ids"],
+                batch["attention_mask"],
+                batch.get("token_type_ids"),
+                compute_dtype=dtype,
+                remat=spec.remat,
+            )
+            if spec.feature == "pooler_output":
+                reps = bert.bert_pooler(lm_params, hidden, compute_dtype=dtype)
+            else:
+                reps = pool(hidden, batch["attention_mask"], spec.pooling)
         if head_params is not None:
             reps = linear.apply_head(head_params, reps)
         reps = reps.astype(jnp.float32)
@@ -151,19 +166,22 @@ class DRModel:
     def save(self, params, output_dir: str) -> None:
         """Save in the reference's directory layout (biencoder.py:226-241)."""
         os.makedirs(output_dir, exist_ok=True)
+        save_cfg = (
+            t5.save_config if self.spec.backbone in ("t5", "t5_full") else bert.save_config
+        )
         if not self.spec.tied:
             qdir = os.path.join(output_dir, "query_model")
             pdir = os.path.join(output_dir, "passage_model")
             bert.save_params(params["lm_q"], qdir)
-            bert.save_config(self.spec.bert_config, qdir)
+            save_cfg(self.spec.bert_config, qdir)
             bert.save_params(params["lm_p"], pdir)
-            bert.save_config(self.spec.bert_config, pdir)
+            save_cfg(self.spec.bert_config, pdir)
             if self.spec.linear_head:
                 linear.save_head(params["head_q"], os.path.join(output_dir, "query_head"))
                 linear.save_head(params["head_p"], os.path.join(output_dir, "passage_head"))
         else:
             bert.save_params(params["lm_q"], output_dir)
-            bert.save_config(self.spec.bert_config, output_dir)
+            save_cfg(self.spec.bert_config, output_dir)
             if self.spec.linear_head:
                 linear.save_head(params["head_q"], output_dir)
         with open(os.path.join(output_dir, MANIFEST), "w") as fh:
@@ -180,6 +198,16 @@ class DRModel:
                                os.path.join(output_dir, "query_model"))
             save_pretrained_hf(params["lm_p"], self.spec.bert_config,
                                os.path.join(output_dir, "passage_model"))
+
+    def encode_only_forward(self, params, query=None, passage=None):
+        """Encode-only forward: reps, never a loss (the inference contract of
+        the reference's ``DRModelForInference.forward``, biencoder.py:278-285)."""
+        out = {}
+        if query is not None:
+            out["q_reps"] = self.encode_query(params, query)
+        if passage is not None:
+            out["p_reps"] = self.encode_passage(params, passage)
+        return out
 
     @classmethod
     def build(
@@ -202,15 +230,17 @@ class DRModel:
 
         if manifest is not None:
             tied = manifest["tied"]
+            backbone = manifest["plm_backbone"].get("type", "bert")
+            load_cfg = t5.load_config if backbone in ("t5", "t5_full") else bert.load_config
             if tied:
-                config = bert.load_config(path)
+                config = load_cfg(path)
                 params = {"lm_q": bert.load_params(path)}
                 if manifest["linear_head"]:
                     params["head_q"] = linear.load_head(path)
             else:
                 qdir = os.path.join(path, "query_model")
                 pdir = os.path.join(path, "passage_model")
-                config = bert.load_config(qdir)
+                config = load_cfg(qdir)
                 params = {"lm_q": bert.load_params(qdir), "lm_p": bert.load_params(pdir)}
                 if manifest["linear_head"]:
                     params["head_q"] = linear.load_head(os.path.join(path, "query_head"))
@@ -218,6 +248,7 @@ class DRModel:
             spec = DRModelSpec(
                 bert_config=config,
                 tied=tied,
+                backbone=backbone,
                 feature=manifest["plm_backbone"]["feature"],
                 pooling=manifest["pooling"],
                 linear_head=manifest["linear_head"],
@@ -228,13 +259,40 @@ class DRModel:
             return cls(spec), params
 
         tied = not model_args.untie_encoder
-        if path and os.path.isdir(path) and os.path.exists(
-            os.path.join(path, "bert_config.json")
-        ) and not os.path.exists(os.path.join(path, "weights.npz")):
+        backbone = "bert"
+        rng = rng if rng is not None else jax.random.key(0)
+        arch_only = (
+            path and os.path.isdir(path)
+            and not os.path.exists(os.path.join(path, "weights.npz"))
+        )
+        if arch_only and os.path.exists(os.path.join(path, "t5_config.json")):
+            # architecture-only T5 dir: random init (offline path)
+            config = t5.load_config(path)
+            backbone = "t5" if model_args.encoder_only else "t5_full"
+            lm_params = t5.init_params(
+                jax.random.fold_in(rng, 0), config,
+                with_decoder=backbone == "t5_full",
+            )
+        elif arch_only and os.path.exists(os.path.join(path, "bert_config.json")):
             # architecture-only dir: random init from the config (offline path)
             config = bert.load_config(path)
-            rng = rng if rng is not None else jax.random.key(0)
             lm_params = bert.init_params(jax.random.fold_in(rng, 0), config)
+        elif path and "t5" in path.lower() and (os.path.isdir(path) or "/" in path):
+            # HF T5 checkpoint; encoder_only picks the encoder tower
+            # (reference biencoder.py:169: T5EncoderModel vs AutoModel)
+            backbone = "t5" if model_args.encoder_only else "t5_full"
+            if backbone == "t5":
+                from transformers import T5EncoderModel
+
+                hf = T5EncoderModel.from_pretrained(path)
+            else:
+                from transformers import T5ForConditionalGeneration
+
+                hf = T5ForConditionalGeneration.from_pretrained(path)
+            config = t5.T5Config.from_hf_config(hf.config)
+            lm_params = t5.params_from_torch_state_dict(
+                hf.state_dict(), config, with_decoder=backbone == "t5_full"
+            )
         elif path and (os.path.isdir(path) or "/" in path or path.startswith("bert")):
             # HF checkpoint (hub id or local save_pretrained dir)
             from .hf_import import params_from_pretrained
@@ -248,6 +306,7 @@ class DRModel:
         spec = DRModelSpec(
             bert_config=config,
             tied=tied,
+            backbone=backbone,
             feature=model_args.feature,
             pooling=model_args.pooling,
             linear_head=model_args.add_linear_head,
@@ -260,7 +319,6 @@ class DRModel:
         if not tied:
             params["lm_p"] = jax.tree.map(jnp.copy, lm_params)
         if spec.linear_head:
-            rng = rng if rng is not None else jax.random.key(0)
             k_hq, k_hp = jax.random.split(jax.random.fold_in(rng, 1))
             params["head_q"] = linear.init_head(
                 k_hq, model_args.projection_in_dim, model_args.projection_out_dim
@@ -270,3 +328,12 @@ class DRModel:
                     k_hp, model_args.projection_in_dim, model_args.projection_out_dim
                 )
         return model, params
+
+
+class DRModelForInference(DRModel):
+    """Encode-only variant (reference ``DRModelForInference``,
+    biencoder.py:264-285).  In the functional design there are no grad-mode
+    toggles — ``forward`` here simply never computes a loss."""
+
+    def forward(self, params, query=None, passage=None):
+        return self.encode_only_forward(params, query, passage)

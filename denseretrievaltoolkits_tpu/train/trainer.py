@@ -132,6 +132,14 @@ class Trainer:
             t0 = time.time()
             losses = []
             for step_idx, batch in enumerate(self.train_loader):
+                # one-shot profiler trace of an early steady-state step
+                # (tracing/profiling subsystem: the reference has none,
+                # SURVEY.md §5)
+                if args.profile_dir and ep == self.start_epoch and step_idx == 2:
+                    with jax.profiler.trace(args.profile_dir):
+                        loss = self.train_step(batch)
+                    losses.append(loss)
+                    continue
                 loss = self.train_step(batch)
                 losses.append(loss)
                 if args.log_every and (step_idx + 1) % args.log_every == 0:
