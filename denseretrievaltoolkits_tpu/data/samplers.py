@@ -61,10 +61,20 @@ class RandomSampleNegatives:
 class BM25Negatives:
     """Offline BM25 hard-negative miner + collate-time sampler."""
 
-    def __init__(self, data_args, vocab_size: int, seed: int = 0):
+    def __init__(self, data_args, vocab_size: int, seed: int = 0,
+                 use_native: bool = True):
         self.cache_dir = data_args.data_cache_dir
         self.num_negative = data_args.train_n_passages - 1
-        self.retriever = BM25Retriever(self.num_negative, vocab_size, seed=seed)
+        self.retriever = None
+        if use_native:
+            from ..evaluator.bm25_native import NativeBM25Retriever, native_available
+
+            if native_available():
+                self.retriever = NativeBM25Retriever(
+                    self.num_negative, vocab_size, seed=seed
+                )
+        if self.retriever is None:
+            self.retriever = BM25Retriever(self.num_negative, vocab_size, seed=seed)
         self._random = RandomSampleNegatives(data_args, seed=seed)
 
     def load_passages(self, corpus) -> List[dict]:
