@@ -237,6 +237,12 @@ class TrainingArguments:
     resume_from: Optional[str] = field(
         default=None, metadata={"help": "Orbax checkpoint dir to resume from"}
     )
+    mine_per_train: int = field(
+        default=0,
+        metadata={"help": "Every X epochs, refresh train negatives by mining the "
+                  "current model's hardest negatives from the HBM index "
+                  "(ANCE-style; 0 = off)"},
+    )
     log_every: int = field(default=10, metadata={"help": "Steps between metric log lines"})
     profile_dir: Optional[str] = field(
         default=None, metadata={"help": "If set, write a jax.profiler trace of a train step here"}

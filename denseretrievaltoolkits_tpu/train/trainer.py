@@ -53,6 +53,7 @@ class Trainer:
         test_loader=None,
         mesh=None,
         label_kind: str = "answers",
+        miner=None,
     ):
         self.training_args = training_args
         self.model = model
@@ -65,6 +66,7 @@ class Trainer:
         self.label_kind = label_kind  # "answers" (NQ-style) | "docids" (relevancy)
         self.topk = training_args.topk_list
         self.mesh = mesh
+        self.miner = miner  # mine/miner.py DenseMiner (on-device hard negatives)
 
         self.optimizer = get_optimizer(training_args)
         if mesh is not None:
@@ -88,13 +90,25 @@ class Trainer:
     def _build_steps(self):
         optimizer = self.optimizer
 
-        def train_step(state, batch):
-            loss, grads = jax.value_and_grad(self._loss_fn)(state["params"], batch)
-            updates, opt_state = optimizer.update(
-                grads, state["opt_state"], state["params"]
+        if getattr(self.training_args, "grad_cache", False):
+            # micro-chunked contrastive update (train/grad_cache.py) — the
+            # capability the reference only declared flags for (arguments.py:178-180)
+            from .grad_cache import build_grad_cache_step
+
+            train_step = build_grad_cache_step(
+                self.model,
+                optimizer,
+                self.training_args.gc_q_chunk_size,
+                self.training_args.gc_p_chunk_size,
             )
-            params = optax.apply_updates(state["params"], updates)
-            return {"params": params, "opt_state": opt_state}, loss
+        else:
+            def train_step(state, batch):
+                loss, grads = jax.value_and_grad(self._loss_fn)(state["params"], batch)
+                updates, opt_state = optimizer.update(
+                    grads, state["opt_state"], state["params"]
+                )
+                params = optax.apply_updates(state["params"], updates)
+                return {"params": params, "opt_state": opt_state}, loss
 
         def encode_query(params, batch):
             return self.model.encode_query(params, batch)
@@ -152,6 +166,20 @@ class Trainer:
                 self.save(ep + 1)
             if self.eval_loader is not None and (ep + 1) % args.eval_per_train == 0:
                 self.evaluate(self.eval_loader, ep + 1)
+            if (
+                self.miner is not None
+                and getattr(args, "mine_per_train", 0)
+                and (ep + 1) % args.mine_per_train == 0
+                and self.corpus_dataloader is not None
+            ):
+                # ANCE-style refresh: the index is in HBM (re-encode if stale),
+                # mine the current model's hardest negatives for the train set
+                if getattr(self, "_indexed_ep", None) != ep + 1:
+                    self._encoding_corpus(ep + 1)
+                    self._indexed_ep = ep + 1
+                self.train_loader.dataset = self.miner.mine(
+                    list(self.train_loader.dataset)
+                )
         if self.test_loader is not None:
             self.evaluate(self.test_loader, -1)
 

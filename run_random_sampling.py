@@ -92,6 +92,10 @@ def main(argv=None):
         eval_loader=eval_dl, test_loader=test_dl, mesh=mesh,
         label_kind="answers" if is_exactmatch else "docids",
     )
+    if training_args.mine_per_train:
+        from denseretrievaltoolkits_tpu.mine.miner import DenseMiner
+
+        trainer.miner = DenseMiner(trainer, tokenizer, data_args)
     if training_args.resume_from:
         trainer.load(training_args.resume_from)
     trainer.train()
