@@ -152,9 +152,17 @@ class FlatIPIndex:
             else self._chunks[0]
         )
         if self.dtype == "int8":
-            values, scales = quantize_int8(full)
-            self._device_corpus = jnp.asarray(values)
-            self._device_scales = jnp.asarray(scales)
+            if jax.default_backend() == "tpu":
+                # on-device quantization kernel (ops/quant.py): the encoded
+                # reps are already in HBM; no host round-trip
+                from ..ops.quant import quantize_int8_device
+
+                values_d, scales_d = quantize_int8_device(jnp.asarray(full))
+                self._device_corpus, self._device_scales = values_d, scales_d
+            else:
+                values, scales = quantize_int8(full)
+                self._device_corpus = jnp.asarray(values)
+                self._device_scales = jnp.asarray(scales)
         elif self.dtype == "bfloat16":
             self._device_corpus = jnp.asarray(full, jnp.bfloat16)
             self._device_scales = None
@@ -165,18 +173,19 @@ class FlatIPIndex:
     def search(self, q_reps: np.ndarray, k: int = 1000) -> Tuple[np.ndarray, np.ndarray]:
         """Exact top-k. Returns (scores [Q,k], indices [Q,k]) sorted descending.
 
-        On TPU the fused Pallas kernel (ops/topk.py) serves fp32/bf16 corpora
-        — ~30x faster than the lax.scan path, whose per-block lax.top_k sort
-        dominates; elsewhere (and for int8, whose dequant-scale fusion the
-        kernel doesn't carry yet) the XLA scan serves."""
+        On TPU the fused Pallas kernel (ops/topk.py) serves all corpus dtypes
+        (int8 via fused in-kernel dequant) — ~30x faster than the lax.scan
+        path, whose per-block lax.top_k sort dominates; elsewhere the XLA scan
+        serves."""
         self._materialize()
         k = min(k, self._n)
         block = min(self.block_size, max(256, 1 << (self._n - 1).bit_length()))
-        if jax.default_backend() == "tpu" and self._device_scales is None:
+        if jax.default_backend() == "tpu":
             from ..ops.topk import pallas_topk
 
             return pallas_topk(
-                jnp.asarray(q_reps, jnp.float32), self._device_corpus, k, block
+                jnp.asarray(q_reps, jnp.float32), self._device_corpus, k, block,
+                scales=self._device_scales,
             )
         scores, indices = blockwise_topk(
             jnp.asarray(q_reps, jnp.float32),

@@ -62,6 +62,32 @@ def _block_topj_kernel(q_ref, c_ref, out_v_ref, out_i_ref, *, J: int, block_size
         s = jnp.where(ids == amin, NEG_INF, s)
 
 
+def _block_topj_kernel_scaled(q_ref, c_ref, sc_ref, out_v_ref, out_i_ref, *,
+                              J: int, block_size: int, n_valid: int, precision):
+    """int8-corpus variant: MXU matmul on the dequant-cast block, fused
+    per-row scale multiply, then the same J iterative masked maxes."""
+    b = pl.program_id(1)
+    q = q_ref[:]
+    c = c_ref[:].astype(q.dtype)
+    s = jax.lax.dot_general(
+        q, c, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    )
+    s = s * sc_ref[:].reshape(1, -1)  # per-row dequant scales
+    Q = s.shape[0]
+    ids = jax.lax.broadcasted_iota(jnp.int32, (Q, block_size), 1) + b * block_size
+    s = jnp.where(ids < n_valid, s, NEG_INF)
+    for j in range(J):
+        m = jnp.max(s, axis=1, keepdims=True)
+        is_max = s == m
+        cand = jnp.where(is_max, ids, jnp.int32(2**30))
+        amin = jnp.min(cand, axis=1, keepdims=True)
+        out_v_ref[0, :, j] = m[:, 0]
+        out_i_ref[0, :, j] = amin[:, 0]
+        s = jnp.where(ids == amin, NEG_INF, s)
+
+
 QUERY_TILE = 256  # queries per grid step; bounds VMEM (s: [TQ, block] fp32)
 
 
@@ -108,6 +134,43 @@ def _pallas_block_topj(q: jax.Array, corpus: jax.Array, J: int, block_size: int,
     )(q, corpus)
 
 
+@functools.partial(jax.jit, static_argnames=("J", "block_size", "n_valid"))
+def _pallas_block_topj_scaled(q, corpus, scales, J, block_size, n_valid):
+    """Per-block top-J over an int8 corpus with fused per-row dequant."""
+    Q, H = q.shape
+    N = corpus.shape[0]
+    n_blocks = N // block_size
+    TQ = min(Q, QUERY_TILE)
+    n_qtiles = Q // TQ
+    precision = (
+        jax.lax.Precision.HIGHEST
+        if q.dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+    kernel = functools.partial(
+        _block_topj_kernel_scaled, J=J, block_size=block_size, n_valid=n_valid,
+        precision=precision,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(n_qtiles, n_blocks),
+        in_specs=[
+            pl.BlockSpec((TQ, H), lambda qi, b: (qi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_size, H), lambda qi, b: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_size), lambda qi, b: (0, b), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, TQ, J), lambda qi, b: (b, qi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TQ, J), lambda qi, b: (b, qi, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_blocks, Q, J), jnp.float32),
+            jax.ShapeDtypeStruct((n_blocks, Q, J), jnp.int32),
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(q, corpus, scales.reshape(1, -1))
+
+
 def pallas_topk(
     q_reps: jax.Array,
     corpus: jax.Array,
@@ -115,12 +178,15 @@ def pallas_topk(
     block_size: int = 2048,
     J: Optional[int] = None,
     valid: Optional[int] = None,
+    scales: Optional[jax.Array] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Exact top-k via the fused Pallas kernel + certificate fallback ladder.
 
-    Flagged queries (a block may hide more than J top-k members) re-run with
-    J escalated 4x, then fall back to the XLA scan. Returns numpy
-    (scores [Q,k], indices [Q,k]) sorted descending."""
+    ``scales`` [N] activates the int8 path: the kernel casts the int8 block to
+    the query dtype for the MXU matmul and multiplies the per-row dequant
+    scales in-kernel.  Flagged queries (a block may hide more than J top-k
+    members) re-run with J escalated 4x, then fall back to the XLA scan.
+    Returns numpy (scores [Q,k], indices [Q,k]) sorted descending."""
     from ..index.flat import blockwise_topk
 
     q_reps = jnp.asarray(q_reps)
@@ -133,17 +199,31 @@ def pallas_topk(
 
     pad_n = (-N) % block_size
     corpus_padded = jnp.pad(corpus, ((0, pad_n), (0, 0))) if pad_n else corpus
-    compute = corpus_padded.astype(
-        jnp.bfloat16 if corpus.dtype == jnp.bfloat16 else jnp.float32
-    )
-    qc = q_reps.astype(compute.dtype)
+    if corpus.dtype == jnp.int8:
+        assert scales is not None, "int8 corpus requires per-row scales"
+        compute = corpus_padded  # cast happens in-kernel, fused with dequant
+        qc = q_reps.astype(jnp.bfloat16)
+        scales_padded = jnp.pad(scales, (0, pad_n)) if pad_n else scales
+    else:
+        compute = corpus_padded.astype(
+            jnp.bfloat16 if corpus.dtype == jnp.bfloat16 else jnp.float32
+        )
+        qc = q_reps.astype(compute.dtype)
+        scales_padded = None
     TQ = min(QUERY_TILE, max(8, Q0))
     pad_q = (-Q0) % TQ
     if pad_q:
         qc = jnp.pad(qc, ((0, pad_q), (0, 0)))
 
+    def run_kernel(q_in, j):
+        if scales_padded is not None:
+            return _pallas_block_topj_scaled(
+                q_in, compute, scales_padded, j, block_size, n_valid
+            )
+        return _pallas_block_topj(q_in, compute, j, block_size, n_valid)
+
     def one_pass(q_in, j):
-        vals_b, ids_b = _pallas_block_topj(q_in, compute, j, block_size, n_valid)
+        vals_b, ids_b = run_kernel(q_in, j)
         vals = jnp.transpose(vals_b, (1, 0, 2))[:Q0]  # [Q, n_blocks, J]
         ids = jnp.transpose(ids_b, (1, 0, 2))[:Q0]
         nb = vals.shape[1]
@@ -167,7 +247,7 @@ def pallas_topk(
         pad_s = (-len(flagged_idx)) % min(QUERY_TILE, max(8, len(flagged_idx)))
         if pad_s:
             q_sub = jnp.pad(q_sub, ((0, pad_s), (0, 0)))
-        v2_b, i2_b = _pallas_block_topj(q_sub, compute, min(4 * J, k), block_size, n_valid)
+        v2_b, i2_b = run_kernel(q_sub, min(4 * J, k))
         v2 = jnp.transpose(v2_b, (1, 0, 2))[: len(flagged_idx)]
         i2 = jnp.transpose(i2_b, (1, 0, 2))[: len(flagged_idx)]
         nb = v2.shape[1]
@@ -186,7 +266,7 @@ def pallas_topk(
     if flagged.any():
         exact_s, exact_i = blockwise_topk(
             np.asarray(q_reps)[flagged], corpus, kk,
-            min(65536, corpus.shape[0]), valid=n_valid,
+            min(65536, corpus.shape[0]), scales=scales, valid=n_valid,
         )
         top_v[flagged] = np.asarray(exact_s)
         top_i[flagged] = np.asarray(exact_i)
