@@ -54,7 +54,15 @@ class EvalPreProcessor:
     def __call__(self, example):
         query = _encode(self.tokenizer, example["query"], self.query_max_length)
         positives = [p["docid"] for p in example["positive_passages"]]
-        return {"query": query, "positives_ids": positives}
+        # intended semantics: keep the query id + raw text so the eval
+        # collator/trainer can group and dump results (the reference's
+        # EvalPreProcessor drops them, preprocess.py:38-47)
+        return {
+            "query_id": example.get("query_id"),
+            "query": query,
+            "positives_ids": positives,
+            "original": example["query"],
+        }
 
 
 class DocPreProcessor:

@@ -274,17 +274,44 @@ def pallas_topk(
 
 
 def approx_topk(
-    q_reps: jax.Array, corpus: jax.Array, k: int, recall_target: float = 0.95
+    q_reps: jax.Array,
+    corpus: jax.Array,
+    k: int,
+    recall_target: float = 0.95,
+    block_size: int = 65536,
 ) -> Tuple[jax.Array, jax.Array]:
     """Hardware-accelerated approximate top-k (TPU PartialReduce) — the
-    serving mode. Scores the full matrix lazily; XLA fuses the matmul into
-    the approx reduction without materializing [Q, N] in HBM."""
+    serving mode. Blockwise: per corpus block the MXU matmul feeds
+    ``lax.approx_max_k`` (never materializing [Q, N]); running candidates
+    merge with an exact top-k, so overall recall ≈ recall_target."""
 
-    @functools.partial(jax.jit, static_argnames=("k", "rt"))
-    def run(q, c, k, rt):
-        s = jnp.dot(
-            q.astype(c.dtype), c.T, preferred_element_type=jnp.float32
-        )
-        return jax.lax.approx_max_k(s, k, recall_target=rt)
+    @functools.partial(jax.jit, static_argnames=("k", "rt", "block"))
+    def run(q, c, k, rt, block):
+        Q = q.shape[0]
+        N, H = c.shape
+        n_blocks = -(-N // block)
+        pad = n_blocks * block - N
+        if pad:
+            c = jnp.pad(c, ((0, pad), (0, 0)))
+        qc = q.astype(c.dtype if c.dtype == jnp.bfloat16 else jnp.float32)
+        blocks = c.reshape(n_blocks, block, H)
+        offsets = jnp.arange(n_blocks, dtype=jnp.int32) * block
+        init = (jnp.full((Q, k), -jnp.inf, jnp.float32), jnp.zeros((Q, k), jnp.int32))
 
-    return run(q_reps, corpus, k, recall_target)
+        def body(carry, xs):
+            run_s, run_i = carry
+            blk, off = xs
+            s = jnp.dot(qc, blk.T.astype(qc.dtype), preferred_element_type=jnp.float32)
+            ids = off + jax.lax.broadcasted_iota(jnp.int32, (1, block), 1)
+            s = jnp.where(ids < N, s, -jnp.inf)
+            v, pos = jax.lax.approx_max_k(s, k, recall_target=rt)
+            i = pos.astype(jnp.int32) + off
+            cat_s = jnp.concatenate([run_s, v], axis=1)
+            cat_i = jnp.concatenate([run_i, i], axis=1)
+            top_s, top_pos = jax.lax.top_k(cat_s, k)
+            return (top_s, jnp.take_along_axis(cat_i, top_pos, axis=1)), None
+
+        (scores, indices), _ = jax.lax.scan(body, init, (blocks, offsets))
+        return scores, indices
+
+    return run(q_reps, corpus, k, recall_target, min(block_size, corpus.shape[0]))

@@ -147,3 +147,34 @@ class ShardedFlatIndex:
             out_s.append(s)
             out_i.append(i)
         return np.concatenate(out_s), np.concatenate(out_i)
+
+    # -- persistence (same on-disk format as FlatIPIndex.save/load) ----------
+
+    def save(self, path: str) -> None:
+        import json
+        import os
+
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        full = (
+            np.concatenate(self._chunks, axis=0)
+            if self._chunks
+            else np.zeros((0, self.dim), np.float32)
+        )
+        np.savez(path + ".npz", reps=full)
+        with open(path + ".meta.json", "w") as fh:
+            json.dump({"dim": self.dim, "dtype": self.dtype, "n": self._n,
+                       "docid": self.docid}, fh)
+
+    @classmethod
+    def load(cls, path: str, mesh: Mesh) -> "ShardedFlatIndex":
+        import json
+
+        with open(path + ".meta.json") as fh:
+            meta = json.load(fh)
+        idx = cls(mesh, meta["dim"], dtype=meta["dtype"])
+        with np.load(path + ".npz") as z:
+            reps = z["reps"]
+        if reps.shape[0]:
+            idx.add(reps)
+        idx.docid = meta.get("docid", [])
+        return idx

@@ -196,6 +196,21 @@ class Trainer:
             ids.extend(batch_ids)
         return ids, np.concatenate(reps, axis=0)
 
+    def _make_index(self, dim: int):
+        """Single-device FlatIPIndex, or the ICI-sharded index on a mesh
+        (each chip owns a corpus shard; candidates merge over the interconnect
+        — replaces the reference's disk-mediated index broadcast)."""
+        args = self.training_args
+        if self.mesh is not None and self.mesh.devices.size > 1:
+            from ..parallel.sharded_index import ShardedFlatIndex
+            from ..parallel.mesh import DATA_AXIS, make_mesh
+
+            # index shards over ALL devices (flatten the dp×tp mesh)
+            flat_mesh = make_mesh(self.mesh.devices.size, 1,
+                                  devices=list(self.mesh.devices.flatten()))
+            return ShardedFlatIndex(flat_mesh, dim, dtype=args.index_dtype)
+        return FlatIPIndex(dim, dtype=args.index_dtype)
+
     def _encoding_corpus(self, ep: int):
         """Encode the corpus into the device-resident index; dump npy+docids
         for interop (reference trainer.py:191-218 layout: {ep}.{rank}.npy)."""
@@ -203,7 +218,7 @@ class Trainer:
         loader = self.corpus_dataloader
         ids, reps = self._encode_batches(loader, self._encode_passage, "corpus")
         self.idx = ids
-        self.index = FlatIPIndex(reps.shape[1], dtype=args.index_dtype)
+        self.index = self._make_index(reps.shape[1])
         self.index.add(reps)
         self.index.docid = ids
         np.save(os.path.join(args.encode_corpus_dir, f"{ep}.0.npy"), reps)
@@ -222,7 +237,15 @@ class Trainer:
     def _load_index(self, ep: int):
         """Restore a saved index (reference trainer.py:252-262)."""
         args = self.training_args
-        self.index = FlatIPIndex.load(args.index_file + str(ep))
+        if self.mesh is not None and self.mesh.devices.size > 1:
+            from ..parallel.sharded_index import ShardedFlatIndex
+            from ..parallel.mesh import make_mesh
+
+            flat_mesh = make_mesh(self.mesh.devices.size, 1,
+                                  devices=list(self.mesh.devices.flatten()))
+            self.index = ShardedFlatIndex.load(args.index_file + str(ep), flat_mesh)
+        else:
+            self.index = FlatIPIndex.load(args.index_file + str(ep))
         with open(os.path.join(args.index_order_dir, f"{ep}.docid.txt"),
                   encoding="utf-8") as fh:
             self.idx = json.load(fh)["id"]
