@@ -127,13 +127,17 @@ class Trainer:
             self._encode_query = jax.jit(encode_query)
             self._encode_passage = jax.jit(encode_passage)
 
-    def train_step(self, batch) -> float:
+    def train_step(self, batch):
         """One optimizer update on a {query, passage} batch
-        (reference trainer.py:118-132)."""
+        (reference trainer.py:118-132).
+
+        Returns the loss as a DEVICE scalar: pulling it to the host every step
+        would insert a device->host sync into the dispatch stream (50+ ms on a
+        relayed TPU). Callers convert with float() only at log boundaries."""
         inputs = {"query": batch[0], "passage": batch[1]}
         self.state, loss = self._train_step(self.state, inputs)
         self.step += 1
-        return float(loss)
+        return loss
 
     # -- epoch loop ----------------------------------------------------------
 
@@ -157,11 +161,20 @@ class Trainer:
                 loss = self.train_step(batch)
                 losses.append(loss)
                 if args.log_every and (step_idx + 1) % args.log_every == 0:
+                    loss_f = float(loss)  # sync point, only at the log cadence
                     logger.info(
                         "epoch %d step %d loss %.4f (%.2f s/step)",
-                        ep + 1, step_idx + 1, loss, (time.time() - t0) / (step_idx + 1),
+                        ep + 1, step_idx + 1, loss_f, (time.time() - t0) / (step_idx + 1),
                     )
-            logger.info("epoch %d done, mean loss %.4f", ep + 1, float(np.mean(losses)))
+                    self._log_metrics(
+                        {"epoch": ep + 1, "step": self.step, "loss": loss_f,
+                         "s_per_step": (time.time() - t0) / (step_idx + 1)}
+                    )
+            mean_loss = float(jnp.mean(jnp.stack([jnp.asarray(l) for l in losses])))
+            logger.info("epoch %d done, mean loss %.4f", ep + 1, mean_loss)
+            self._log_metrics({"epoch": ep + 1, "step": self.step,
+                               "mean_loss": mean_loss,
+                               "epoch_seconds": time.time() - t0})
             if (ep + 1) % args.save_per_train == 0:
                 self.save(ep + 1)
             if self.eval_loader is not None and (ep + 1) % args.eval_per_train == 0:
@@ -182,6 +195,19 @@ class Trainer:
                 )
         if self.test_loader is not None:
             self.evaluate(self.test_loader, -1)
+
+    def _log_metrics(self, record: Dict[str, Any]) -> None:
+        """Append a structured record to {output_dir}/train_log.jsonl
+        (observability the reference lacked, SURVEY.md §5)."""
+        try:
+            os.makedirs(self.training_args.output_dir, exist_ok=True)
+            path = os.path.join(self.training_args.output_dir, "train_log.jsonl")
+            record = {"time": time.time(), **record}
+            with open(path, "a", encoding="utf-8") as fh:
+                json.dump(record, fh)
+                fh.write("\n")
+        except OSError:  # logging must never kill training
+            logger.debug("could not write train_log.jsonl", exc_info=True)
 
     # -- retrieval evaluation -------------------------------------------------
 
@@ -378,11 +404,11 @@ class RRTrainer(Trainer):
         self._train_step = jax.jit(train_step, donate_argnums=(0,))
         self._score = jax.jit(score)
 
-    def train_step(self, batch) -> float:
+    def train_step(self, batch):
         inputs = {"pos_pairs": batch[0], "neg_pairs": batch[1]}
         self.state, loss = self._train_step(self.state, inputs)
         self.step += 1
-        return float(loss)
+        return loss
 
     def evaluate(self, pair_loader, ep: int) -> Dict[str, float]:
         """Score each (q, d) pair, group by qid, sort by score, compute metrics
