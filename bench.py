@@ -64,16 +64,17 @@ def bench_tpu(queries: np.ndarray) -> float:
     compile_s = time.time() - t0
     assert i.max() < N_DOCS and i.shape == (N_QUERIES, TOPK)
 
-    from denseretrievaltoolkits_tpu.ops.topk import _pallas_block_topj
+    from denseretrievaltoolkits_tpu.ops.topk import pallas_topk_jit
 
-    # steady-state: dispatch ITERS kernel calls, drain with one readback
+    # steady-state: dispatch ITERS full searches (kernel + candidate merge),
+    # drain with one readback
     qb = queries_dev.astype(jnp.bfloat16)
     pad = (-N_DOCS) % 2048
     corpus_pad = jnp.pad(corpus, ((0, pad), (0, 0))) if pad else corpus
-    out = _pallas_block_topj(qb, corpus_pad, 8, 2048, N_DOCS)  # warm
+    out = pallas_topk_jit(qb, corpus_pad, TOPK, 8, 2048, N_DOCS)  # warm
     t0 = time.time()
     for _ in range(ITERS):
-        out = _pallas_block_topj(qb, corpus_pad, 8, 2048, N_DOCS)
+        out = pallas_topk_jit(qb, corpus_pad, TOPK, 8, 2048, N_DOCS)
     float(jnp.sum(out[0][0, 0]))  # drain queue
     elapsed = (time.time() - t0 - rt) / ITERS
     qps = N_QUERIES / elapsed

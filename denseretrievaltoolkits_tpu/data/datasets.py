@@ -116,6 +116,11 @@ class AbstractDataset:
             "Tokenizing corpus",
         )
 
+    def load_id_text(self):
+        """docid → token-id map over the corpus (abstract_dataset.py:125-136)."""
+        corpus_data = self.load_corpus_data()
+        return {c["id"]: c["text"] for c in corpus_data}
+
 
 class ExactMatchDataset(AbstractDataset):
     """NQ/WQ/TriviaQA/SQuAD-style answer-labeled datasets

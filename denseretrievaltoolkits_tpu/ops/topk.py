@@ -273,6 +273,21 @@ def pallas_topk(
     return top_v, top_i
 
 
+@functools.partial(jax.jit, static_argnames=("k", "J", "block_size", "n_valid"))
+def pallas_topk_jit(q, corpus, k, J, block_size, n_valid):
+    """Fully-jitted kernel + candidate merge (no certificate/fallback) — the
+    serving fast path and the benchmark target. Use ``pallas_topk`` when the
+    exactness certificate is required."""
+    vals_b, ids_b = _pallas_block_topj(q, corpus, J, block_size, n_valid)
+    nb = vals_b.shape[0]
+    Q = vals_b.shape[1]
+    flat_v = jnp.transpose(vals_b, (1, 0, 2)).reshape(Q, nb * J)
+    flat_i = jnp.transpose(ids_b, (1, 0, 2)).reshape(Q, nb * J)
+    kk = min(k, nb * J)
+    top_v, pos = jax.lax.top_k(flat_v, kk)
+    return top_v, jnp.take_along_axis(flat_i, pos, axis=1)
+
+
 def approx_topk(
     q_reps: jax.Array,
     corpus: jax.Array,

@@ -1,0 +1,55 @@
+"""Multi-host initialization (the NCCL init_process_group replacement).
+
+The reference initializes a torch NCCL process group in every entry point
+(``run_random_sampling.py:59-61``).  On TPU pods the equivalent is
+``jax.distributed.initialize`` — after it, ``jax.devices()`` spans the slice,
+the mesh covers every chip, and the SAME single-program scripts run per host
+(each host feeds its slice of the global batch via the loaders'
+``shard_num=jax.process_count(), shard_idx=jax.process_index()``).
+
+Intra-slice collectives ride ICI; cross-slice (multi-pod) traffic rides DCN —
+both are XLA's concern once the mesh is laid out, never this code's.
+"""
+
+from __future__ import annotations
+
+import logging
+
+logger = logging.getLogger(__name__)
+
+
+def maybe_initialize_distributed() -> bool:
+    """Initialize JAX distributed when launched in a multi-host environment.
+
+    Safe to call unconditionally: single-host runs are detected and skipped.
+    Returns True when a multi-host runtime was initialized.
+    """
+    import os
+
+    import jax
+
+    multi_host_markers = (
+        "COORDINATOR_ADDRESS",
+        "MEGASCALE_COORDINATOR_ADDRESS",
+        "TPU_WORKER_HOSTNAMES",
+    )
+    if not any(os.environ.get(m) for m in multi_host_markers):
+        return False
+    try:
+        jax.distributed.initialize()
+        logger.info(
+            "jax.distributed initialized: process %d/%d, %d local / %d global devices",
+            jax.process_index(), jax.process_count(),
+            jax.local_device_count(), jax.device_count(),
+        )
+        return jax.process_count() > 1
+    except Exception as exc:  # single-host with stray env markers
+        logger.warning("jax.distributed.initialize skipped: %s", exc)
+        return False
+
+
+def process_shard() -> tuple:
+    """(shard_num, shard_idx) for host-side data loading on this process."""
+    import jax
+
+    return jax.process_count(), jax.process_index()

@@ -1,0 +1,89 @@
+"""Offline encode → retrieval CLI pipeline end-to-end (pickle shard interop)."""
+
+import json
+import pickle
+import random
+
+import numpy as np
+import pytest
+
+from denseretrievaltoolkits_tpu.evaluator.retrieval import run as retrieval_run
+from denseretrievaltoolkits_tpu.evaluator.trec import load_from_trec
+
+from helpers import make_exactmatch_dataset, make_tokenizer
+
+
+@pytest.fixture(scope="module")
+def workspace(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("offline")
+    tokenizer = make_tokenizer(tmp)
+    tokenizer.save_pretrained(str(tmp / "tok"))
+    rng = random.Random(0)
+    data_dir, corpus_path, splits, corpus_rows = make_exactmatch_dataset(
+        tmp, rng, n_train=8, n_eval=4, n_corpus=24, n_neg=3
+    )
+    arch = tmp / "arch"
+    arch.mkdir()
+    (arch / "bert_config.json").write_text(
+        json.dumps(
+            {
+                "vocab_size": tokenizer.vocab_size, "hidden_size": 16,
+                "num_hidden_layers": 2, "num_attention_heads": 2,
+                "intermediate_size": 32, "max_position_embeddings": 48,
+                "type_vocab_size": 2, "layer_norm_eps": 1e-12,
+                "pad_token_id": 0, "initializer_range": 0.02,
+            }
+        )
+    )
+    return tmp, data_dir, corpus_path, splits
+
+
+def test_encode_then_retrieve(workspace):
+    tmp, data_dir, corpus_path, splits = workspace
+    import run_encode
+
+    # queries jsonl for the encoder (test split schema)
+    queries_path = tmp / "queries.jsonl"
+    with open(queries_path, "w") as fh:
+        for row in splits["test"]:
+            fh.write(json.dumps({"query_id": row["query_id"], "query": row["query"]}) + "\n")
+
+    common = [
+        "--model_name_or_path", str(tmp / "arch"),
+        "--tokenizer_name", str(tmp / "tok"),
+        "--cache_train_dir", str(tmp / "cache"),
+        "--output_dir", str(tmp / "out"),
+        "--q_max_len", "16", "--p_max_len", "24",
+        "--corpus_batch_size", "8",
+    ]
+    run_encode.main(common + [
+        "--encode_in_path", str(corpus_path),
+        "--encodedp_save_path", str(tmp / "corpus_emb.pkl"),
+    ])
+    run_encode.main(common + [
+        "--encode_in_path", str(queries_path),
+        "--encode_is_qry",
+        "--encodedq_save_path", str(tmp / "query_emb.pkl"),
+    ])
+
+    with open(tmp / "corpus_emb.pkl", "rb") as fh:
+        reps, lookup = pickle.load(fh)
+    assert reps.shape == (24, 16) and len(lookup) == 24 and lookup[0] == "d0"
+
+    # retrieval CLI over the pickled shards, text ranking output
+    scores, psg_indices = retrieval_run(
+        str(tmp / "query_emb.pkl"), str(tmp / "corpus_emb.pkl"),
+        str(tmp / "run.txt"), depth=5, batch_size=2, save_text=True,
+    )
+    assert psg_indices.shape == (4, 5)
+    ranking = load_from_trec(str(tmp / "run.txt"))
+    assert len(ranking) == 4
+    for qid, docs in ranking.items():
+        assert len(docs) == 5
+        # exact-search parity: the CLI's top-1 equals brute force over pickles
+    with open(tmp / "query_emb.pkl", "rb") as fh:
+        q_reps, q_lookup = pickle.load(fh)
+    full = np.asarray(q_reps) @ np.asarray(reps).T
+    for r, qid in enumerate(q_lookup):
+        best = lookup[int(np.argmax(full[r]))]
+        assert psg_indices[r][0] == str(best)
