@@ -92,6 +92,57 @@ class ShardedFlatIndex:
         n_valid_total = self._n
         block = min(self.block_size, per)
         has_scales = self._scales is not None
+        use_pallas = (
+            jax.default_backend() == "tpu" and per % block == 0
+        )
+
+        def local_exact(q, corpus_rows, scales_rows, local_valid):
+            """Per-shard exact top-k: Pallas fast path with an in-graph
+            certificate; lax.cond falls back to the scan when any query's
+            candidates may be incomplete (rare), so results stay exact."""
+            if not use_pallas:
+                return blockwise_topk(
+                    q, corpus_rows, k, block,
+                    scales=scales_rows if has_scales else None,
+                    valid=local_valid,
+                )
+
+            from ..ops.topk import _pallas_block_topj, _pallas_block_topj_scaled
+
+            J = max(4, min(k, 8))
+            qb = q.astype(jnp.bfloat16 if corpus_rows.dtype != jnp.float32 else jnp.float32)
+            # n_valid masking inside the kernel needs a static bound, but the
+            # per-shard valid count is traced under shard_map — pass the full
+            # static row count (no in-kernel masking) and mask here instead
+            if has_scales:
+                vals_b, ids_b = _pallas_block_topj_scaled(
+                    qb, corpus_rows, scales_rows, J, block, per
+                )
+            else:
+                vals_b, ids_b = _pallas_block_topj(qb, corpus_rows, J, block, per)
+            nb = vals_b.shape[0]
+            Q = q.shape[0]
+            row_ids = jnp.transpose(ids_b, (1, 0, 2)).reshape(Q, nb * J)
+            flat_v = jnp.transpose(vals_b, (1, 0, 2)).reshape(Q, nb * J)
+            flat_v = jnp.where(row_ids < local_valid, flat_v, -jnp.inf)
+            kk = min(k, nb * J)
+            top_v, pos = jax.lax.top_k(flat_v, kk)
+            top_i = jnp.take_along_axis(row_ids, pos, axis=1)
+            if kk < k:
+                top_v = jnp.pad(top_v, ((0, 0), (0, k - kk)), constant_values=-jnp.inf)
+                top_i = jnp.pad(top_i, ((0, 0), (0, k - kk)))
+            theta = top_v[:, -1:]
+            vals_last = jnp.transpose(vals_b[:, :, -1])  # [Q, nb]
+            flagged = jnp.any(vals_last >= theta - (1e-6 * jnp.abs(theta) + 1e-30))
+
+            def exact_path(_):
+                return blockwise_topk(
+                    q, corpus_rows, k, block,
+                    scales=scales_rows if has_scales else None,
+                    valid=local_valid,
+                )
+
+            return jax.lax.cond(flagged, exact_path, lambda _: (top_v, top_i), None)
 
         def local_search(q, corpus_shard, scales_shard):
             # corpus_shard: [1, per, dim] (this device's rows)
@@ -99,13 +150,10 @@ class ShardedFlatIndex:
             offset = shard_idx * per
             # rows beyond the global corpus length are padding
             local_valid = jnp.clip(n_valid_total - offset, 0, per)
-            scores, ids = blockwise_topk(
-                q,
-                corpus_shard[0],
-                k,
-                block,
-                scales=scales_shard[0] if has_scales else None,
-                valid=local_valid,
+            scores, ids = local_exact(
+                q, corpus_shard[0],
+                scales_shard[0] if has_scales else None,
+                local_valid,
             )
             ids = ids + offset
             # merge candidates from every shard over ICI
