@@ -70,6 +70,21 @@ def regex_match(text: str, pattern: str) -> bool:
     return compiled.search(text) is not None
 
 
+def _words_of(text: str, tokenizer: SimpleTokenizer) -> List[str]:
+    return tokenizer.tokenize(_normalize(text)).words(uncased=True)
+
+
+def _contains_seq(words: List[str], ans_words: List[str]) -> bool:
+    if not ans_words:
+        return False
+    first = ans_words[0]
+    n = len(ans_words)
+    for i in range(0, len(words) - n + 1):
+        if words[i] == first and ans_words == words[i : i + n]:
+            return True
+    return False
+
+
 def has_answers(
     text: str,
     answers: Sequence[str],
@@ -79,18 +94,42 @@ def has_answers(
     """True iff any answer occurs in the passage (token-sequence or regex match,
     reference nq_eval.py:203-218)."""
     tokenizer = tokenizer or _DEFAULT_TOKENIZER
-    text = _normalize(text)
     if regex:
+        text = _normalize(text)
         return any(regex_match(text, _normalize(ans)) for ans in answers)
-    words = tokenizer.tokenize(text).words(uncased=True)
-    for ans in answers:
-        ans_words = tokenizer.tokenize(_normalize(ans)).words(uncased=True)
-        if not ans_words:
-            continue
-        for i in range(0, len(words) - len(ans_words) + 1):
-            if ans_words == words[i : i + len(ans_words)]:
-                return True
-    return False
+    words = _words_of(text, tokenizer)
+    return any(_contains_seq(words, _words_of(ans, tokenizer)) for ans in answers)
+
+
+class AnswerMatcher:
+    """Memoizing batch matcher for the evaluation hot loop.
+
+    ``trainer.evaluate`` calls has_answers O(n_queries × retrieve_num) times;
+    retrieved docs repeat heavily across queries and answer lists repeat
+    across hits, so tokenize each unique doc and answer exactly once."""
+
+    def __init__(self, tokenizer: SimpleTokenizer = None):
+        self._tokenizer = tokenizer or _DEFAULT_TOKENIZER
+        self._doc_words: dict = {}
+        self._ans_words: dict = {}
+
+    def doc_words(self, key, text: str) -> List[str]:
+        words = self._doc_words.get(key)
+        if words is None:
+            words = _words_of(text, self._tokenizer)
+            self._doc_words[key] = words
+        return words
+
+    def answer_words(self, ans: str) -> List[str]:
+        words = self._ans_words.get(ans)
+        if words is None:
+            words = _words_of(ans, self._tokenizer)
+            self._ans_words[ans] = words
+        return words
+
+    def match(self, doc_key, doc_text: str, answers: Sequence[str]) -> bool:
+        words = self.doc_words(doc_key, doc_text)
+        return any(_contains_seq(words, self.answer_words(a)) for a in answers)
 
 
 def evaluate_retrieval(retrieval_file: str, topk: Sequence[int], regex: bool = False) -> dict:

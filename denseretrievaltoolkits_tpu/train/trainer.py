@@ -32,7 +32,7 @@ import optax
 
 from ..data.loaders import pad_to_batch
 from ..evaluator.metrics import get_metrics
-from ..evaluator.nq_eval import has_answers
+from ..evaluator.nq_eval import AnswerMatcher, has_answers
 from ..index.flat import FlatIPIndex
 from .optimizers import get_optimizer
 
@@ -279,7 +279,11 @@ class Trainer:
     def _label_hit(self, doc_text: str, doc_id, answers) -> bool:
         if self.label_kind == "docids":
             return doc_id in answers
-        return has_answers(doc_text, answers)
+        # memoized per-unique-doc tokenization: retrieved docs repeat heavily
+        # across queries, so this is O(unique docs) tokenizations per eval
+        if not hasattr(self, "_matcher") or self._matcher is None:
+            self._matcher = AnswerMatcher()
+        return self._matcher.match(doc_id, doc_text, answers)
 
     def evaluate(self, query_loader, ep: int) -> Dict[str, float]:
         """Full retrieval evaluation (reference trainer.py:269-346):
@@ -293,6 +297,7 @@ class Trainer:
             self._indexed_ep = ep
 
         corpus_ds = getattr(self.corpus_dataloader, "dataset", None)
+        self._matcher = AnswerMatcher()
         m_all = {f"{m}@{k}": 0.0 for m in ("MRR", "NDCG", "Recall") for k in self.topk}
         eval_num = 0
         retrieve_k = args.retrieve_num

@@ -30,6 +30,10 @@ def main(argv=None):
         (ModelArguments, DataArguments, TrainingArguments), args=argv
     )
 
+    from denseretrievaltoolkits_tpu.utils.runtime import setup_runtime
+
+    setup_runtime(training_args)
+
     from denseretrievaltoolkits_tpu.data.datasets import (
         EXACTMATCH_DATASET,
         CorpusDataset,

@@ -37,6 +37,10 @@ def main(argv=None):
         (ModelArguments, DataArguments, TrainingArguments), args=argv
     )
 
+    from denseretrievaltoolkits_tpu.utils.runtime import setup_runtime
+
+    setup_runtime(training_args)
+
     from datasets import load_dataset
 
     from denseretrievaltoolkits_tpu.data.collators import EncodeCollator

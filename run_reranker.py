@@ -33,6 +33,10 @@ def main(argv=None, eval_only: bool = False):
         (ModelArguments, DataArguments, RRTrainingArguments), args=argv
     )
 
+    from denseretrievaltoolkits_tpu.utils.runtime import setup_runtime
+
+    setup_runtime(training_args)
+
     from denseretrievaltoolkits_tpu.data.datasets import ExactMatchDataset, RRDataset
     from denseretrievaltoolkits_tpu.data.loaders import (
         ExactMatchDataloader,
