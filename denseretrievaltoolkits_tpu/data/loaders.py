@@ -91,6 +91,52 @@ def pad_to_batch(batch_arrays: dict, batch_size: int):
     return out, valid
 
 
+class PrefetchIterator:
+    """Background-thread prefetch over a batch iterator.
+
+    Host-side collation (tokenizer.prepare_for_model + numpy padding) runs in
+    a worker thread while the device executes the previous step, so the input
+    pipeline overlaps compute — the torch-DataLoader ``num_workers`` role,
+    one thread being enough since batches are cheap relative to device steps.
+    """
+
+    _SENTINEL = object()
+
+    def __init__(self, iterable, depth: int = 2):
+        import queue
+        import threading
+
+        self._q: "queue.Queue" = queue.Queue(maxsize=depth)
+        self._err = None
+
+        def worker():
+            try:
+                for item in iterable:
+                    self._q.put(item)
+            except BaseException as exc:  # surface in the consumer thread
+                self._err = exc
+            finally:
+                self._q.put(self._SENTINEL)
+
+        self._thread = threading.Thread(target=worker, daemon=True)
+        self._thread.start()
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._q.get()
+        if item is self._SENTINEL:
+            if self._err is not None:
+                raise self._err
+            raise StopIteration
+        return item
+
+
+def prefetch(iterable, depth: int = 2) -> PrefetchIterator:
+    return PrefetchIterator(iterable, depth)
+
+
 # ---------------------------------------------------------------------------
 # Factory classes mirroring DRT/dataloader/*.py public surfaces
 # ---------------------------------------------------------------------------

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from ..data.loaders import pad_to_batch
+from ..data.loaders import pad_to_batch, prefetch
 from ..evaluator.metrics import get_metrics
 from ..evaluator.nq_eval import AnswerMatcher, has_answers
 from ..index.flat import FlatIPIndex
@@ -149,7 +149,8 @@ class Trainer:
             self.train_loader.set_epoch(ep)
             t0 = time.time()
             losses = []
-            for step_idx, batch in enumerate(self.train_loader):
+            # host collation overlaps device compute via a prefetch thread
+            for step_idx, batch in enumerate(prefetch(self.train_loader)):
                 # one-shot profiler trace of an early steady-state step
                 # (tracing/profiling subsystem: the reference has none,
                 # SURVEY.md §5)
@@ -215,7 +216,7 @@ class Trainer:
         """Stream batches through a jitted encoder at ONE compiled shape."""
         ids, reps = [], []
         bs = loader.batch_size
-        for batch_ids, batch in loader:
+        for batch_ids, batch in prefetch(loader):
             padded, valid = pad_to_batch(batch, bs)
             out = np.asarray(encode_fn(self.state["params"], padded))
             reps.append(out[:valid])

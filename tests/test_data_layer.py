@@ -227,3 +227,18 @@ def test_bm25_negatives_mining(tokenizer, tiny_data, tmp_path):
     collator = QPCollator(args, miner, tokenizer)
     q, p = collator(mined[:2])
     assert p["input_ids"].shape == (6, 24)
+
+
+def test_prefetch_iterator_order_and_errors():
+    from denseretrievaltoolkits_tpu.data.loaders import prefetch
+
+    assert list(prefetch(iter(range(10)))) == list(range(10))
+
+    def boom():
+        yield 1
+        raise ValueError("boom")
+
+    it = prefetch(boom())
+    assert next(it) == 1
+    with pytest.raises(ValueError):
+        next(it)
