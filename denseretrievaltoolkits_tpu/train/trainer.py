@@ -84,6 +84,36 @@ class Trainer:
     # -- jitted steps --------------------------------------------------------
 
     def _loss_fn(self, params, batch):
+        if self.mesh is not None and not getattr(
+            self.training_args, "negatives_x_device", True
+        ):
+            # legacy per-replica semantics (the reference's default with
+            # negatives_x_device off): each data shard computes the
+            # contrastive loss over ITS OWN block only — no cross-device
+            # negative pool (reference biencoder.py:103-116 without the
+            # gather). Mean over shards matches DDP's gradient averaging.
+            from jax.experimental.shard_map import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            from ..parallel.mesh import DATA_AXIS
+            from .losses import contrastive_loss
+
+            model = self.model
+
+            def local(qb, pb):
+                q = model.encode_query(params, qb)
+                p = model.encode_passage(params, pb)
+                loss, _ = contrastive_loss(q, p)
+                return jax.lax.pmean(loss, DATA_AXIS)
+
+            fn = shard_map(
+                local,
+                mesh=self.mesh,
+                in_specs=(P(DATA_AXIS), P(DATA_AXIS)),
+                out_specs=P(),
+                check_rep=False,
+            )
+            return fn(batch["query"], batch["passage"])
         out = self.model.forward(params, batch["query"], batch["passage"])
         return out["loss"]
 

@@ -134,3 +134,35 @@ def test_sharded_index_nondivisible_rows():
     scores, indices = idx.search(q, 10)
     full = q @ corpus.T
     np.testing.assert_array_equal(indices, np.argsort(-full, axis=1)[:, :10])
+
+
+def test_local_negatives_semantics(tmp_path):
+    """negatives_x_device=False on a mesh: each data shard's contrastive loss
+    sees only its local block (reference default-off semantics)."""
+    rng = np.random.default_rng(7)
+    model = DRModel(DRModelSpec(bert_config=TINY))
+    params = model.init_params(jax.random.key(0))
+    mesh = make_mesh(4, 1)
+    q = _batch(rng, 8, 10)
+    p = _batch(rng, 16, 12)
+
+    t_local = Trainer(
+        _train_args(tmp_path / "l", negatives_x_device=False),
+        model, jax.tree.map(lambda x: x.copy(), params), mesh=mesh,
+    )
+    loss_local = float(t_local.train_step((q, p)))
+
+    # manual per-shard reference: mean over 4 shards of local-block losses
+    from denseretrievaltoolkits_tpu.train.losses import contrastive_loss
+    losses = []
+    for s in range(4):
+        qs = {k: v[s * 2 : (s + 1) * 2] for k, v in q.items()}
+        ps = {k: v[s * 4 : (s + 1) * 4] for k, v in p.items()}
+        qr = model.encode_query(params, qs)
+        pr = model.encode_passage(params, ps)
+        losses.append(float(contrastive_loss(qr, pr)[0]))
+    assert abs(loss_local - np.mean(losses)) < 1e-4
+
+    # and it differs from the global-negative loss
+    loss_global = float(model.forward(params, q, p)["loss"])
+    assert abs(loss_local - loss_global) > 1e-3
