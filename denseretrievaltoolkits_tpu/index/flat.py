@@ -125,6 +125,9 @@ class FlatIPIndex:
         self.dtype = dtype
         self.block_size = block_size
         self._chunks: List[np.ndarray] = []
+        # device-native slabs: [(values, scales_or_None, n_rows)] — corpora
+        # encoded on device stay on device (no host round-trip at 8.8M+ scale)
+        self._device_slabs: List = []
         self._device_corpus = None
         self._device_scales = None
         self._n = 0
@@ -137,11 +140,36 @@ class FlatIPIndex:
 
     def add(self, p_reps: np.ndarray) -> None:
         """Append corpus embeddings (host-side staging; device upload is lazy)."""
+        assert not self._device_slabs, "mixing add() and add_device() is not supported"
         p_reps = np.asarray(p_reps, np.float32)
         assert p_reps.shape[1] == self.dim
         self._chunks.append(p_reps)
         self._n += p_reps.shape[0]
         self._device_corpus = None  # invalidate
+
+    def add_device(self, p_reps) -> None:
+        """Append device-resident embeddings WITHOUT a host round-trip.
+
+        Each call becomes one immutable slab (int8 corpora quantize on device
+        immediately, so the fp32/bf16 reps can be freed); search runs per slab
+        and merges candidates. This is the path for production-scale corpora
+        where the encoder output is already in HBM."""
+        assert not self._chunks, "mixing add() and add_device() is not supported"
+        n = int(p_reps.shape[0])
+        pad = (-n) % self.block_size
+        if pad:
+            p_reps = jnp.pad(p_reps, ((0, pad), (0, 0)))
+        if self.dtype == "int8":
+            from ..ops.quant import quantize_int8_device
+
+            values, scales = quantize_int8_device(jnp.asarray(p_reps),
+                                                  block_rows=min(1024, p_reps.shape[0]))
+            self._device_slabs.append((values, scales, n))
+        elif self.dtype == "bfloat16":
+            self._device_slabs.append((jnp.asarray(p_reps, jnp.bfloat16), None, n))
+        else:
+            self._device_slabs.append((jnp.asarray(p_reps, jnp.float32), None, n))
+        self._n += n
 
     def _materialize(self):
         if self._device_corpus is not None:
@@ -177,6 +205,8 @@ class FlatIPIndex:
         (int8 via fused in-kernel dequant) — ~30x faster than the lax.scan
         path, whose per-block lax.top_k sort dominates; elsewhere the XLA scan
         serves."""
+        if self._device_slabs:
+            return self._search_slabs(q_reps, k)
         self._materialize()
         k = min(k, self._n)
         block = min(self.block_size, max(256, 1 << (self._n - 1).bit_length()))
@@ -195,6 +225,38 @@ class FlatIPIndex:
             scales=self._device_scales,
         )
         return np.asarray(scores), np.asarray(indices)
+
+    def _search_slabs(self, q_reps, k: int) -> Tuple[np.ndarray, np.ndarray]:
+        """Per-slab search + candidate merge for the device-native add path."""
+        k = min(k, self._n)
+        q = jnp.asarray(q_reps, jnp.float32)
+        use_pallas = jax.default_backend() == "tpu"
+        parts_v, parts_i = [], []
+        offset = 0
+        for values, scales, n in self._device_slabs:
+            if use_pallas:
+                from ..ops.topk import pallas_topk
+
+                s, i = pallas_topk(
+                    q, values, min(k, n),
+                    min(self.block_size, values.shape[0]),
+                    valid=n, scales=scales,
+                )
+                s, i = jnp.asarray(s), jnp.asarray(i)
+            else:
+                s, i = blockwise_topk(
+                    q, values, min(k, n),
+                    min(self.block_size, values.shape[0]),
+                    scales=scales, valid=n,
+                )
+            parts_v.append(s)
+            parts_i.append(i + offset)
+            offset += n
+        cat_v = jnp.concatenate(parts_v, axis=1)
+        cat_i = jnp.concatenate(parts_i, axis=1)
+        top_v, pos = jax.lax.top_k(cat_v, min(k, cat_v.shape[1]))
+        top_i = jnp.take_along_axis(cat_i, pos, axis=1)
+        return np.asarray(top_v), np.asarray(top_i)
 
     def batch_search(
         self, q_reps: np.ndarray, k: int, batch_size: int, quiet: bool = False

@@ -211,3 +211,29 @@ def test_bm25_retrieve_subset():
     bm25.load_passages(corpus)
     order = bm25.retrieve([1], [[4, 5], [1, 1, 1, 1], [2, 3]])
     assert order[0] == 1  # doc with most query-term occurrences
+
+
+def test_add_device_slab_path():
+    """Device-native add: per-slab search + merge matches brute force."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(7)
+    corpus = rng.normal(size=(700, 32)).astype(np.float32)
+    q = rng.normal(size=(5, 32)).astype(np.float32)
+    for dtype in ("float32", "int8"):
+        index = FlatIPIndex(32, dtype=dtype, block_size=128)
+        index.add_device(jnp.asarray(corpus[:300]))
+        index.add_device(jnp.asarray(corpus[300:]))
+        assert len(index) == 700
+        scores, indices = index.search(q, 10)
+        full = q @ corpus.T
+        ref = np.argsort(-full, axis=1)[:, :10]
+        if dtype == "float32":
+            np.testing.assert_array_equal(indices, ref)
+        else:
+            overlap = np.mean([len(set(a) & set(b)) for a, b in zip(indices, ref)])
+            assert overlap >= 8
+        assert indices.max() < 700
+
+    with pytest.raises(AssertionError):
+        index.add(corpus)  # mixing host/device adds is rejected
