@@ -23,7 +23,6 @@ large query sets the hit matrix itself is produced on-device.
 
 from __future__ import annotations
 
-import math
 from typing import Dict, List, Sequence
 
 import numpy as np

@@ -18,7 +18,7 @@ cadence flag style as save/eval (``mine_per_train``).
 from __future__ import annotations
 
 import logging
-from typing import Dict, List, Optional, Sequence
+from typing import List, Optional, Sequence
 
 import numpy as np
 

@@ -235,8 +235,6 @@ class RRModel:
         elif path and (os.path.isdir(path) or "/" in path or path.startswith("bert")
                        or "t5" in path):
             if "t5" in path.lower():
-                from transformers import AutoConfig
-
                 backbone = "t5" if model_args.encoder_only else "t5_full"
                 if backbone == "t5":
                     from transformers import T5EncoderModel

@@ -21,7 +21,6 @@ import json
 import math
 import os
 from dataclasses import dataclass
-from functools import partial
 from typing import Any, Dict, Optional
 
 import jax

@@ -13,7 +13,6 @@ and per-query work is N/n_dev per chip.
 
 from __future__ import annotations
 
-import functools
 from typing import List, Optional, Tuple
 
 import jax

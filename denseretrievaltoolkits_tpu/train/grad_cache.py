@@ -19,7 +19,6 @@ plain step.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, Dict, Tuple
 
 import jax

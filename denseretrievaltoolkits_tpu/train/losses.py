@@ -13,7 +13,7 @@ Implements the intended semantics of the reference's ``DRT/trainer/losses.py``:
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -457,7 +457,11 @@ class RRTrainer(Trainer):
             scores = np.asarray(self._score(self.state["params"], padded))[:valid]
             for q, a, d, s, did in zip(qids, answers, docs, scores, dids):
                 bucket = result.setdefault(q, ([], [], [], []))
-                bucket[0].append(float(s[0]))
+                # BERT-style scores are [1]; full-T5 scores are [neg, pos]
+                # logits — the relevance score is the LAST element either way
+                # (the reference's s[0] reads the neg logit for T5,
+                # trainer.py:428)
+                bucket[0].append(float(s[-1]))
                 bucket[1].append(int(has_answers(d, a)))
                 bucket[2].append(d)
                 bucket[3].append(did)
