@@ -437,8 +437,21 @@ class RRTrainer(Trainer):
         def score(params, batch):
             return self.model.encode(params, batch)
 
-        self._train_step = jax.jit(train_step, donate_argnums=(0,))
-        self._score = jax.jit(score)
+        if self.mesh is not None:
+            from ..parallel.mesh import batch_sharding
+
+            bsh = batch_sharding(self.mesh)
+            train_jit = jax.jit(train_step, donate_argnums=(0,))
+            score_jit = jax.jit(score)
+
+            def put(batch):
+                return jax.tree.map(lambda x: jax.device_put(np.asarray(x), bsh), batch)
+
+            self._train_step = lambda state, batch: train_jit(state, put(batch))
+            self._score = lambda params, batch: score_jit(params, put(batch))
+        else:
+            self._train_step = jax.jit(train_step, donate_argnums=(0,))
+            self._score = jax.jit(score)
 
     def train_step(self, batch):
         inputs = {"pos_pairs": batch[0], "neg_pairs": batch[1]}

@@ -166,3 +166,22 @@ def test_local_negatives_semantics(tmp_path):
     # and it differs from the global-negative loss
     loss_global = float(model.forward(params, q, p)["loss"])
     assert abs(loss_local - loss_global) > 1e-3
+
+
+def test_rr_trainer_on_mesh(tmp_path):
+    from denseretrievaltoolkits_tpu.models.reranker import RRModel, RRModelSpec
+    from denseretrievaltoolkits_tpu.train.trainer import RRTrainer
+
+    rng = np.random.default_rng(9)
+    model = RRModel(RRModelSpec(bert_config=TINY, loss_fn="mr"))
+    params = model.init_params(jax.random.key(0))
+    mesh = make_mesh(4, 2)
+    trainer = RRTrainer(_train_args(tmp_path), model, params, mesh=mesh)
+    pos, neg = _batch(rng, 8, 20), _batch(rng, 8, 20)
+    loss = float(trainer.train_step((pos, neg)))
+    assert np.isfinite(loss)
+    # matches single-device step
+    t2 = RRTrainer(_train_args(tmp_path / "b"), model,
+                   model.init_params(jax.random.key(0)))
+    loss2 = float(t2.train_step((pos, neg)))
+    assert abs(loss - loss2) < 1e-4
