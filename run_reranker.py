@@ -72,7 +72,16 @@ def main(argv=None, eval_only: bool = False):
         data_args, eval_dataset, tokenizer, batch_size=training_args.eval_batch_size
     ).get_eval_dataloader()
 
-    trainer = RRTrainer(training_args, model, params, train_loader=train_dl)
+    from denseretrievaltoolkits_tpu.parallel.mesh import make_mesh
+
+    n_dev = len(jax.devices())
+    mesh = None
+    if n_dev > 1 or training_args.tp_size > 1:
+        mesh = make_mesh(training_args.dp_size, training_args.tp_size)
+        logger.info("mesh: %s over %d devices", dict(mesh.shape), n_dev)
+
+    trainer = RRTrainer(training_args, model, params, train_loader=train_dl,
+                        mesh=mesh)
     if training_args.resume_from:
         trainer.load(training_args.resume_from)
     if not eval_only and training_args.max_epochs > 0:
