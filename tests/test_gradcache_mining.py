@@ -111,3 +111,27 @@ def test_dense_miner_refreshes_negatives(tmp_path):
     sampler = RandomSampleNegatives(data_args, seed=0)
     queries, documents = sampler(mined[:4])
     assert len(documents[0]) == 3
+
+
+def test_grad_cache_on_mesh(tmp_path):
+    """grad_cache composes with the mesh: same loss as single-device."""
+    from denseretrievaltoolkits_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(2)
+    model = DRModel(DRModelSpec(bert_config=TINY))
+    params = model.init_params(jax.random.key(0))
+    batch = (_batch(rng, 8, 10), _batch(rng, 16, 12))
+
+    single = Trainer(
+        _args(tmp_path / "s", grad_cache=True, gc_q_chunk_size=2, gc_p_chunk_size=4),
+        model, jax.tree.map(lambda x: x.copy(), params),
+    )
+    loss_s = float(single.train_step(batch))
+
+    mesh = make_mesh(4, 2)
+    meshed = Trainer(
+        _args(tmp_path / "m", grad_cache=True, gc_q_chunk_size=2, gc_p_chunk_size=4),
+        model, params, mesh=mesh,
+    )
+    loss_m = float(meshed.train_step(batch))
+    assert abs(loss_s - loss_m) < 1e-4
