@@ -88,6 +88,12 @@ class ModelArguments:
         default=False,
         metadata={"help": "jax.checkpoint the encoder blocks (trade FLOPs for HBM)"},
     )
+    fused_loss: bool = field(
+        default=False,
+        metadata={"help": "Compute the in-batch contrastive loss with the Pallas "
+                  "fused similarity+CE kernel (never materializes the score "
+                  "matrix in HBM)"},
+    )
 
 
 @dataclass

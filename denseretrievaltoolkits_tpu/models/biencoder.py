@@ -52,6 +52,7 @@ class DRModelSpec:
     dtype: str = "float32"
     remat: bool = False
     backbone: str = "bert"  # "bert" | "t5" (encoder tower) | "t5_full" (enc+dec step-0 reps)
+    fused_loss: bool = False  # Pallas fused similarity+CE kernel (ops/contrastive.py)
 
 
 class DRModel:
@@ -145,9 +146,15 @@ class DRModel:
             out["p_reps"] = self.encode_passage(params, passage)
         if query is None or passage is None:
             return out
-        loss, scores = contrastive_loss(out["q_reps"], out["p_reps"])
+        if self.spec.fused_loss:
+            from ..ops.contrastive import contrastive_loss_auto
+
+            loss, scores = contrastive_loss_auto(out["q_reps"], out["p_reps"])
+        else:
+            loss, scores = contrastive_loss(out["q_reps"], out["p_reps"])
         out["loss"] = loss
-        out["scores"] = scores
+        if scores is not None:  # the fused kernel never materializes them
+            out["scores"] = scores
         return out
 
     # -- persistence ---------------------------------------------------------
@@ -255,6 +262,7 @@ class DRModel:
                 normalize=manifest["normalize"],
                 dtype=getattr(model_args, "dtype", manifest.get("dtype", "float32")),
                 remat=getattr(model_args, "remat", False),
+                fused_loss=getattr(model_args, "fused_loss", False),
             )
             return cls(spec), params
 
@@ -313,6 +321,7 @@ class DRModel:
             normalize=model_args.normalize,
             dtype=model_args.dtype,
             remat=getattr(model_args, "remat", False),
+            fused_loss=getattr(model_args, "fused_loss", False),
         )
         model = cls(spec)
         params: Dict[str, Any] = {"lm_q": lm_params}

@@ -1,0 +1,89 @@
+"""Fused Pallas contrastive loss: value + gradient parity with the XLA form."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from denseretrievaltoolkits_tpu.ops.contrastive import (
+    contrastive_loss_auto,
+    fused_contrastive_loss,
+)
+from denseretrievaltoolkits_tpu.train.losses import contrastive_loss
+
+
+def _data(rng, Q, P, H):
+    q = rng.normal(size=(Q, H)).astype(np.float32)
+    p = rng.normal(size=(P, H)).astype(np.float32)
+    return jnp.asarray(q), jnp.asarray(p)
+
+
+@pytest.mark.parametrize("Q,P,H", [(8, 16, 64), (16, 16, 128), (8, 64, 64)])
+def test_fused_loss_value_matches_xla(Q, P, H):
+    rng = np.random.default_rng(0)
+    q, p = _data(rng, Q, P, H)
+    stride = P // Q
+    fused = float(fused_contrastive_loss(q, p, stride))
+    ref = float(contrastive_loss(q, p)[0])
+    np.testing.assert_allclose(fused, ref, rtol=1e-5)
+
+
+def test_fused_loss_grads_match_xla():
+    rng = np.random.default_rng(1)
+    q, p = _data(rng, 8, 16, 64)
+
+    def fused_fn(q, p):
+        return fused_contrastive_loss(q, p, 2)
+
+    def ref_fn(q, p):
+        return contrastive_loss(q, p)[0]
+
+    gq_f, gp_f = jax.grad(fused_fn, argnums=(0, 1))(q, p)
+    gq_r, gp_r = jax.grad(ref_fn, argnums=(0, 1))(q, p)
+    np.testing.assert_allclose(np.asarray(gq_f), np.asarray(gq_r), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gp_f), np.asarray(gp_r), atol=1e-5)
+
+
+def test_fused_loss_nontile_query_count():
+    """Q not a multiple of the tile: padded rows must contribute nothing."""
+    rng = np.random.default_rng(2)
+    q, p = _data(rng, 6, 12, 32)  # qt will pad 6 -> 8
+    fused = float(fused_contrastive_loss(q, p, 2))
+    ref = float(contrastive_loss(q, p)[0])
+    np.testing.assert_allclose(fused, ref, rtol=1e-5)
+    gq_f = jax.grad(lambda a, b: fused_contrastive_loss(a, b, 2), argnums=0)(q, p)
+    gq_r = jax.grad(lambda a, b: contrastive_loss(a, b)[0], argnums=0)(q, p)
+    np.testing.assert_allclose(np.asarray(gq_f), np.asarray(gq_r), atol=1e-5)
+
+
+def test_auto_dispatch_fallback():
+    rng = np.random.default_rng(3)
+    # P*H beyond the VMEM cap -> XLA path with scores
+    q, p = _data(rng, 4, 8192, 512)
+    loss, scores = contrastive_loss_auto(q, p)
+    assert scores is not None
+    # small case -> fused path, no scores materialized
+    q, p = _data(rng, 8, 16, 64)
+    loss, scores = contrastive_loss_auto(q, p)
+    assert scores is None and np.isfinite(float(loss))
+
+
+def test_drmodel_fused_loss_flag():
+    from denseretrievaltoolkits_tpu.models.bert import BertConfig
+    from denseretrievaltoolkits_tpu.models.biencoder import DRModel, DRModelSpec
+
+    config = BertConfig(vocab_size=97, hidden_size=16, num_hidden_layers=2,
+                        num_attention_heads=2, intermediate_size=32,
+                        max_position_embeddings=48)
+    rng = np.random.default_rng(4)
+    batch_q = {"input_ids": rng.integers(1, 97, (4, 8)).astype(np.int32),
+               "attention_mask": np.ones((4, 8), np.int32)}
+    batch_p = {"input_ids": rng.integers(1, 97, (8, 10)).astype(np.int32),
+               "attention_mask": np.ones((8, 10), np.int32)}
+    plain = DRModel(DRModelSpec(bert_config=config))
+    fused = DRModel(DRModelSpec(bert_config=config, fused_loss=True))
+    params = plain.init_params(jax.random.key(0))
+    l_plain = float(plain.forward(params, batch_q, batch_p)["loss"])
+    out_f = fused.forward(params, batch_q, batch_p)
+    assert "scores" not in out_f
+    np.testing.assert_allclose(float(out_f["loss"]), l_plain, rtol=1e-5)
