@@ -291,3 +291,26 @@ class FlatIPIndex:
             idx.add(reps)
         idx.docid = meta.get("docid", [])
         return idx
+
+
+def index_factory(dim: int, factory_str: str, block_size: int = DEFAULT_BLOCK) -> FlatIPIndex:
+    """FAISS ``index_factory``-style constructor (reference index.py:47-54).
+
+    Maps the factory strings this framework serves natively:
+      "Flat" / "IP"      → fp32 exact
+      "BF16" / "Flat16"  → bf16 exact
+      "SQ8" / "SQint8"   → int8 per-row-scale (scalar-quantized)
+    IVF/PQ strings are not supported — the TPU answer to ANN is the hardware
+    ``approx_max_k`` mode (ops/topk.py:approx_topk)."""
+    key = factory_str.strip().lower()
+    dtype = {
+        "flat": "float32", "ip": "float32",
+        "bf16": "bfloat16", "flat16": "bfloat16",
+        "sq8": "int8", "sqint8": "int8",
+    }.get(key)
+    if dtype is None:
+        raise ValueError(
+            f"unsupported factory string {factory_str!r}; supported: Flat, BF16, SQ8 "
+            "(for ANN use ops.topk.approx_topk)"
+        )
+    return FlatIPIndex(dim, dtype=dtype, block_size=block_size)

@@ -237,3 +237,13 @@ def test_add_device_slab_path():
 
     with pytest.raises(AssertionError):
         index.add(corpus)  # mixing host/device adds is rejected
+
+
+def test_index_factory_strings():
+    from denseretrievaltoolkits_tpu.index.flat import index_factory
+
+    assert index_factory(8, "Flat").dtype == "float32"
+    assert index_factory(8, "SQ8").dtype == "int8"
+    assert index_factory(8, "BF16").dtype == "bfloat16"
+    with pytest.raises(ValueError):
+        index_factory(8, "IVF4096,PQ64")
