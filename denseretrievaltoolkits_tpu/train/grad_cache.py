@@ -87,8 +87,19 @@ def build_grad_cache_step(
         q_reps = _scan_encode(model.encode_query, params, q_chunked)
         p_reps = _scan_encode(model.encode_passage, params, p_chunked)
 
-        # 2) loss + gradients in representation space
+        # 2) loss + gradients in representation space. With fused_loss the
+        # Pallas kernel keeps the [Q, P] score matrix out of HBM — at
+        # grad-cache scale (batches of tens of thousands) that matrix is
+        # gigabytes and this is the difference between fitting and not.
+        use_fused = getattr(getattr(model, "spec", None), "fused_loss", False)
+
         def rep_loss(qr, pr):
+            if use_fused and pr.shape[0] % qr.shape[0] == 0:
+                from ..ops.contrastive import fused_contrastive_loss
+
+                return fused_contrastive_loss(
+                    qr, pr, pr.shape[0] // qr.shape[0]
+                )
             loss, _ = contrastive_loss(qr, pr)
             return loss
 

@@ -58,14 +58,27 @@ def test_fused_loss_nontile_query_count():
 
 def test_auto_dispatch_fallback():
     rng = np.random.default_rng(3)
-    # P*H beyond the VMEM cap -> XLA path with scores
-    q, p = _data(rng, 4, 8192, 512)
+    # non-stride shape (P % Q != 0) -> XLA path with scores
+    q, p = _data(rng, 5, 12, 64)
     loss, scores = contrastive_loss_auto(q, p)
     assert scores is not None
-    # small case -> fused path, no scores materialized
+    # stride shape -> fused path, no scores materialized
     q, p = _data(rng, 8, 16, 64)
     loss, scores = contrastive_loss_auto(q, p)
     assert scores is None and np.isfinite(float(loss))
+
+
+def test_fused_loss_nontile_passage_count():
+    """P not a multiple of the passage tile: padded cols leave the softmax."""
+    rng = np.random.default_rng(5)
+    q, p = _data(rng, 8, 600, 32)  # PT pads 600 -> 608; stride 75
+    fused = float(fused_contrastive_loss(q, p, 75))
+    ref = float(contrastive_loss(q, p)[0])
+    np.testing.assert_allclose(fused, ref, rtol=1e-5)
+    gp_f = jax.grad(lambda a, b: fused_contrastive_loss(a, b, 75), argnums=1)(q, p)
+    gp_r = jax.grad(lambda a, b: contrastive_loss(a, b)[0], argnums=1)(q, p)
+    np.testing.assert_allclose(np.asarray(gp_f), np.asarray(gp_r), atol=1e-5)
+
 
 
 def test_drmodel_fused_loss_flag():
