@@ -250,6 +250,17 @@ class TrainingArguments:
                   "(ANCE-style; 0 = off)"},
     )
     log_every: int = field(default=10, metadata={"help": "Steps between metric log lines"})
+    save_corpus_artifacts: bool = field(
+        default=True,
+        metadata={"help": "Write encoded-corpus npy/docid dumps and index files "
+                  "during evaluation (disable for multi-GB corpora; the index "
+                  "stays device-resident either way)"},
+    )
+    search_mode: str = field(
+        default="exact",
+        metadata={"help": "Retrieval search mode: exact | approx (TPU hardware "
+                  "approx_max_k, recall~0.95; serving-oriented)"},
+    )
     profile_dir: Optional[str] = field(
         default=None, metadata={"help": "If set, write a jax.profiler trace of a train step here"}
     )

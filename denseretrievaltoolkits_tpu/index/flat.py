@@ -198,13 +198,24 @@ class FlatIPIndex:
             self._device_corpus = jnp.asarray(full)
             self._device_scales = None
 
-    def search(self, q_reps: np.ndarray, k: int = 1000) -> Tuple[np.ndarray, np.ndarray]:
-        """Exact top-k. Returns (scores [Q,k], indices [Q,k]) sorted descending.
+    def search(self, q_reps: np.ndarray, k: int = 1000,
+               mode: str = "exact") -> Tuple[np.ndarray, np.ndarray]:
+        """Top-k search. Returns (scores [Q,k], indices [Q,k]) sorted descending.
 
-        On TPU the fused Pallas kernel (ops/topk.py) serves all corpus dtypes
-        (int8 via fused in-kernel dequant) — ~30x faster than the lax.scan
-        path, whose per-block lax.top_k sort dominates; elsewhere the XLA scan
-        serves."""
+        mode="exact": on TPU the fused Pallas kernel (ops/topk.py) serves all
+        corpus dtypes (int8 via fused in-kernel dequant) — ~30x faster than
+        the lax.scan path, whose per-block lax.top_k sort dominates; elsewhere
+        the XLA scan serves.  mode="approx": the TPU's hardware PartialReduce
+        (recall-targeted ~0.95), the serving mode."""
+        if mode == "approx":
+            self._materialize()
+            if self._device_scales is not None:
+                raise NotImplementedError("approx mode serves fp32/bf16 corpora")
+            from ..ops.topk import approx_topk
+
+            s, i = approx_topk(jnp.asarray(q_reps, jnp.float32),
+                               self._device_corpus, min(k, self._n))
+            return np.asarray(s), np.asarray(i)
         if self._device_slabs:
             return self._search_slabs(q_reps, k)
         self._materialize()

@@ -278,14 +278,17 @@ class Trainer:
         self.index = self._make_index(reps.shape[1])
         self.index.add(reps)
         self.index.docid = ids
-        np.save(os.path.join(args.encode_corpus_dir, f"{ep}.0.npy"), reps)
-        with open(os.path.join(args.encode_corpus_dir, f"{ep}.0.json"), "w",
-                  encoding="utf-8") as fh:
-            json.dump({"id": ids}, fh, ensure_ascii=False)
+        if getattr(args, "save_corpus_artifacts", True):
+            np.save(os.path.join(args.encode_corpus_dir, f"{ep}.0.npy"), reps)
+            with open(os.path.join(args.encode_corpus_dir, f"{ep}.0.json"), "w",
+                      encoding="utf-8") as fh:
+                json.dump({"id": ids}, fh, ensure_ascii=False)
 
     def _index_corpus(self, ep: int):
         """Persist the index + docid order (reference trainer.py:220-250)."""
         args = self.training_args
+        if not getattr(args, "save_corpus_artifacts", True):
+            return
         self.index.save(args.index_file + str(ep))
         with open(os.path.join(args.index_order_dir, f"{ep}.docid.txt"), "w",
                   encoding="utf-8") as fh:

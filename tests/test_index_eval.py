@@ -247,3 +247,16 @@ def test_index_factory_strings():
     assert index_factory(8, "BF16").dtype == "bfloat16"
     with pytest.raises(ValueError):
         index_factory(8, "IVF4096,PQ64")
+
+
+def test_search_approx_mode():
+    rng = np.random.default_rng(8)
+    corpus = _corpus(rng, 600, 32)
+    q = _corpus(rng, 4, 32)
+    index = FlatIPIndex(32)
+    index.add(corpus)
+    s, i = index.search(q, 10, mode="approx")
+    full = q @ corpus.T
+    ref = np.argsort(-full, axis=1)[:, :10]
+    overlap = np.mean([len(set(a) & set(b)) for a, b in zip(i, ref)])
+    assert overlap >= 8  # CPU lowering is near-exact; TPU ~recall_target
