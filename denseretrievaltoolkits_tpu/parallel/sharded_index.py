@@ -36,6 +36,7 @@ class ShardedFlatIndex:
         self.block_size = block_size
         self.n_shards = mesh.shape[DATA_AXIS]
         self._chunks: List[np.ndarray] = []
+        self._device_chunks: List = []  # device-native (values, scales|None)
         self._n = 0
         self._corpus = None  # [n_shards, rows_per_shard, dim], sharded on axis 0
         self._scales = None
@@ -47,22 +48,66 @@ class ShardedFlatIndex:
         return self._n
 
     def add(self, p_reps: np.ndarray) -> None:
+        assert not self._device_chunks, "mixing add() and add_device() unsupported"
         p_reps = np.asarray(p_reps, np.float32)
         assert p_reps.shape[1] == self.dim
         self._chunks.append(p_reps)
         self._n += p_reps.shape[0]
         self._corpus = None
 
+    def add_device(self, p_reps) -> None:
+        """Append device-resident embeddings without a host round-trip: int8
+        corpora quantize on device at add time; materialization reshards the
+        concatenated array straight onto the mesh (ICI scatter, no host)."""
+        assert not self._chunks, "mixing add() and add_device() unsupported"
+        n = int(p_reps.shape[0])
+        if self.dtype == "int8":
+            from ..ops.quant import quantize_int8_device
+
+            v, s = quantize_int8_device(
+                jnp.asarray(p_reps), block_rows=min(1024, n)
+            )
+            self._device_chunks.append((v[:n], s[:n]))
+        elif self.dtype == "bfloat16":
+            self._device_chunks.append((jnp.asarray(p_reps, jnp.bfloat16), None))
+        else:
+            self._device_chunks.append((jnp.asarray(p_reps, jnp.float32), None))
+        self._n += n
+        self._corpus = None
+
     def _materialize(self):
         if self._corpus is not None:
             return
-        full = np.concatenate(self._chunks, axis=0)
         # pad rows so every shard holds the same static count
         per = -(-self._n // self.n_shards)
         pad = per * self.n_shards - self._n
+        self._rows_per_shard = per
+        sharding = NamedSharding(self.mesh, P(DATA_AXIS, None, None))
+        scale_sharding = NamedSharding(self.mesh, P(DATA_AXIS, None))
+
+        if self._device_chunks:
+            # device-native path: concat + reshard over ICI, never via host
+            values = jnp.concatenate([v for v, _ in self._device_chunks], axis=0)
+            if pad:
+                values = jnp.pad(values, ((0, pad), (0, 0)))
+            self._corpus = jax.device_put(
+                values.reshape(self.n_shards, per, self.dim), sharding
+            )
+            if self.dtype == "int8":
+                scales = jnp.concatenate([s for _, s in self._device_chunks])
+                if pad:
+                    scales = jnp.pad(scales, (0, pad))
+                self._scales = jax.device_put(
+                    scales.reshape(self.n_shards, per), scale_sharding
+                )
+            else:
+                self._scales = None
+            self._search_fn = None
+            return
+
+        full = np.concatenate(self._chunks, axis=0)
         if pad:
             full = np.concatenate([full, np.zeros((pad, self.dim), np.float32)])
-        self._rows_per_shard = per
 
         if self.dtype == "int8":
             values, scales = quantize_int8(full)
@@ -73,13 +118,11 @@ class ShardedFlatIndex:
             corpus_np, scales_np = full, None
 
         stacked = corpus_np.reshape(self.n_shards, per, self.dim)
-        sharding = NamedSharding(self.mesh, P(DATA_AXIS, None, None))
         arr = jnp.asarray(stacked, jnp.bfloat16 if self.dtype == "bfloat16" else None)
         self._corpus = jax.device_put(arr, sharding)
         if scales_np is not None:
             self._scales = jax.device_put(
-                jnp.asarray(scales_np.reshape(self.n_shards, per)),
-                NamedSharding(self.mesh, P(DATA_AXIS, None)),
+                jnp.asarray(scales_np.reshape(self.n_shards, per)), scale_sharding
             )
         else:
             self._scales = None
@@ -202,11 +245,18 @@ class ShardedFlatIndex:
         import os
 
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-        full = (
-            np.concatenate(self._chunks, axis=0)
-            if self._chunks
-            else np.zeros((0, self.dim), np.float32)
-        )
+        if self._device_chunks:
+            parts = []
+            for v, s in self._device_chunks:
+                x = np.asarray(v, dtype=np.float32)
+                if s is not None:
+                    x = x * np.asarray(s)[:, None]
+                parts.append(x)
+            full = np.concatenate(parts, axis=0)
+        elif self._chunks:
+            full = np.concatenate(self._chunks, axis=0)
+        else:
+            full = np.zeros((0, self.dim), np.float32)
         np.savez(path + ".npz", reps=full)
         with open(path + ".meta.json", "w") as fh:
             json.dump({"dim": self.dim, "dtype": self.dtype, "n": self._n,

@@ -185,3 +185,27 @@ def test_rr_trainer_on_mesh(tmp_path):
                    model.init_params(jax.random.key(0)))
     loss2 = float(t2.train_step((pos, neg)))
     assert abs(loss - loss2) < 1e-4
+
+
+def test_sharded_add_device():
+    """Device-native adds reshard onto the mesh without host staging."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(11)
+    corpus = rng.normal(size=(600, 32)).astype(np.float32)
+    q = rng.normal(size=(4, 32)).astype(np.float32)
+    mesh = make_mesh(8, 1)
+    for dtype in ("float32", "int8"):
+        idx = ShardedFlatIndex(mesh, 32, dtype=dtype, block_size=64)
+        idx.add_device(jnp.asarray(corpus[:300]))
+        idx.add_device(jnp.asarray(corpus[300:]))
+        scores, ids = idx.search(q, 15)
+        full = q @ corpus.T
+        ref = np.argsort(-full, axis=1)[:, :15]
+        if dtype == "float32":
+            np.testing.assert_array_equal(ids, ref)
+        else:
+            overlap = np.mean([len(set(a) & set(b)) for a, b in zip(ids, ref)])
+            assert overlap >= 12
+    with pytest.raises(AssertionError):
+        idx.add(corpus)
