@@ -93,21 +93,48 @@ class BM25Negatives:
         corpus = list(corpus)
         bp, ep = self.retriever.load_passages(corpus)
         data = []
-        for sample, b, e in zip(corpus, bp, ep):
-            mined = []
-            # over-fetch so own-positive hits can be skipped
-            neg_docs = self.retriever.search(
-                sample["query"], self.num_negative + len(sample["positives"])
+        if hasattr(self.retriever, "search_batch"):
+            # native engine: one C++ call mines every query with the
+            # own-positive span excluded in-engine
+            k = self.num_negative + max(len(s["positives"]) for s in corpus)
+            batch_ids = self.retriever.search_batch(
+                [s["query"] for s in corpus], k, excl_begin=bp, excl_end=ep
             )
-            for doc in neg_docs:
-                if b <= doc < e:  # the query's own positive span — exclude
-                    continue
-                mined.append(self.retriever.passage[doc])
-                if len(mined) == self.num_negative:
-                    break
-            row = dict(sample)
-            row["negatives"] = mined
-            data.append(row)
+            import random as _random
+
+            pad_rng = _random.Random(0)
+            n_docs = len(self.retriever.passage)
+            for sample, ids, b, e in zip(corpus, batch_ids, bp, ep):
+                chosen = [int(d) for d in ids if d >= 0][: self.num_negative]
+                # sparse-vocab queries can match fewer than k docs: pad with
+                # random docs outside the own-positive span (reference
+                # index.py:133-137 semantics)
+                taken = set(chosen)
+                while len(chosen) < self.num_negative and n_docs > e - b + len(taken):
+                    cand = pad_rng.randrange(n_docs)
+                    if cand in taken or b <= cand < e:
+                        continue
+                    chosen.append(cand)
+                    taken.add(cand)
+                row = dict(sample)
+                row["negatives"] = [self.retriever.passage[d] for d in chosen]
+                data.append(row)
+        else:
+            for sample, b, e in zip(corpus, bp, ep):
+                mined = []
+                # over-fetch so own-positive hits can be skipped
+                neg_docs = self.retriever.search(
+                    sample["query"], self.num_negative + len(sample["positives"])
+                )
+                for doc in neg_docs:
+                    if b <= doc < e:  # the query's own positive span — exclude
+                        continue
+                    mined.append(self.retriever.passage[doc])
+                    if len(mined) == self.num_negative:
+                        break
+                row = dict(sample)
+                row["negatives"] = mined
+                data.append(row)
 
         self.save(data, out_dir, "bm25negatives")
         return data
