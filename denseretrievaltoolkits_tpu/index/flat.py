@@ -285,7 +285,19 @@ class FlatIPIndex:
 
     def save(self, path: str) -> None:
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-        full = np.concatenate(self._chunks, axis=0) if self._chunks else np.zeros((0, self.dim), np.float32)
+        if self._device_slabs:
+            # device-native slabs: dequantize to the host checkpoint format
+            parts = []
+            for values, scales, n in self._device_slabs:
+                x = np.asarray(values[:n], dtype=np.float32)
+                if scales is not None:
+                    x = x * np.asarray(scales[:n])[:, None]
+                parts.append(x)
+            full = np.concatenate(parts, axis=0)
+        elif self._chunks:
+            full = np.concatenate(self._chunks, axis=0)
+        else:
+            full = np.zeros((0, self.dim), np.float32)
         np.savez(path + ".npz", reps=full)
         with open(path + ".meta.json", "w") as fh:
             json.dump({"dim": self.dim, "dtype": self.dtype, "n": self._n,

@@ -62,3 +62,38 @@ def test_pallas_topk_k_larger_than_candidates():
     full = q @ corpus.T
     ref_s = -np.sort(-full, axis=1)[:, : s.shape[1]]
     np.testing.assert_allclose(s, ref_s, atol=1e-4)
+
+
+def test_pallas_topk_escalation_path():
+    """A block holding more top-k members than J triggers J-escalation (not
+    the full exact fallback) and still returns exact results."""
+    rng = np.random.default_rng(9)
+    n, d, k = 4096, 32, 64  # default J=8, 4*J=32 < k → escalation eligible
+    corpus = rng.normal(size=(n, d)).astype(np.float32)
+    # plant 20 near-identical strong docs inside ONE block (rows 100..119)
+    strong = rng.normal(size=(1, d)).astype(np.float32) * 3
+    corpus[100:120] = strong + 0.01 * rng.normal(size=(20, d)).astype(np.float32)
+    q = (strong + 0.05 * rng.normal(size=(3, d))).astype(np.float32)
+    s, i = pallas_topk(q, jnp.asarray(corpus), k=k, block_size=512)
+    full = q @ corpus.T
+    ref_s = -np.sort(-full, axis=1)[:, :k]
+    np.testing.assert_allclose(s, ref_s, atol=1e-3)
+
+
+def test_flat_index_save_after_add_device(tmp_path):
+    from denseretrievaltoolkits_tpu.index.flat import FlatIPIndex
+
+    rng = np.random.default_rng(10)
+    corpus = rng.normal(size=(200, 16)).astype(np.float32)
+    idx = FlatIPIndex(16, dtype="int8", block_size=64)
+    idx.add_device(jnp.asarray(corpus))
+    idx.docid = [f"d{i}" for i in range(200)]
+    path = str(tmp_path / "dev" / "flat")
+    idx.save(path)
+    loaded = FlatIPIndex.load(path)
+    assert len(loaded) == 200 and loaded.docid == idx.docid
+    q = rng.normal(size=(2, 16)).astype(np.float32)
+    s1, i1 = idx.search(q, 10)
+    s2, i2 = loaded.search(q, 10)
+    overlap = np.mean([len(set(a) & set(b)) for a, b in zip(i1, i2)])
+    assert overlap >= 8  # int8 roundtrip keeps ranking
