@@ -100,3 +100,38 @@ def test_drmodel_fused_loss_flag():
     out_f = fused.forward(params, batch_q, batch_p)
     assert "scores" not in out_f
     np.testing.assert_allclose(float(out_f["loss"]), l_plain, rtol=1e-5)
+
+
+def test_fused_loss_under_mesh_and_gradcache(tmp_path):
+    """GSPMD composes with the fused-loss pallas_call (plain and grad-cache)."""
+    import tempfile
+
+    from denseretrievaltoolkits_tpu.config import TrainingArguments
+    from denseretrievaltoolkits_tpu.models.bert import BertConfig
+    from denseretrievaltoolkits_tpu.models.biencoder import DRModel, DRModelSpec
+    from denseretrievaltoolkits_tpu.parallel.mesh import make_mesh
+    from denseretrievaltoolkits_tpu.train.trainer import Trainer
+
+    tiny = BertConfig(vocab_size=97, hidden_size=16, num_hidden_layers=2,
+                      num_attention_heads=2, intermediate_size=32,
+                      max_position_embeddings=48)
+    model = DRModel(DRModelSpec(bert_config=tiny, fused_loss=True))
+    params = model.init_params(jax.random.key(0))
+    rng = np.random.default_rng(0)
+    batch = (
+        {"input_ids": rng.integers(1, 97, (8, 10)).astype(np.int32),
+         "attention_mask": np.ones((8, 10), np.int32)},
+        {"input_ids": rng.integers(1, 97, (16, 12)).astype(np.int32),
+         "attention_mask": np.ones((16, 12), np.int32)},
+    )
+    losses = []
+    for gc in (False, True):
+        t = Trainer(
+            TrainingArguments(output_dir=str(tmp_path / f"o{gc}"),
+                              cache_train_dir=str(tmp_path / f"c{gc}"),
+                              learning_rate=1e-3, log_every=0, grad_cache=gc,
+                              gc_q_chunk_size=2, gc_p_chunk_size=4),
+            model, jax.tree.map(lambda x: x.copy(), params), mesh=make_mesh(4, 2),
+        )
+        losses.append(float(t.train_step(batch)))
+    np.testing.assert_allclose(losses[0], losses[1], atol=1e-5)
