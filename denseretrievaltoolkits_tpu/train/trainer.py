@@ -343,12 +343,22 @@ class Trainer:
             q_reps = np.asarray(self._encode_query(self.state["params"], padded))[:valid]
             k = min(retrieve_k, len(self.index))
             scores, indices = self.index.search(q_reps, k)
+            # one Arrow batch-read for all texts this batch needs (retrieved
+            # docs repeat across queries; per-hit row access is O(Q·k) reads)
+            texts = {}
+            if corpus_ds is not None:
+                uniq = sorted({int(r) for i in range(valid) for r in indices[i]})
+                try:
+                    fetched = corpus_ds[uniq]  # HF datasets fancy indexing
+                    texts = dict(zip(uniq, fetched["original"]))
+                except (TypeError, KeyError):
+                    texts = {r: corpus_ds[r]["original"] for r in uniq}
             pos_index = np.zeros((valid, k), dtype=np.int8)
             for i in range(valid):
                 eval_num += 1
                 for j, row in enumerate(indices[i]):
                     docid = self.idx[row]
-                    doc_text = corpus_ds[int(row)]["original"] if corpus_ds is not None else ""
+                    doc_text = texts.get(int(row), "")
                     if self._label_hit(doc_text, docid, answers[i]):
                         pos_index[i][j] = 1
                     dump_rows.append(
