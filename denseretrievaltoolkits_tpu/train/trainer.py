@@ -477,6 +477,7 @@ class RRTrainer(Trainer):
         (reference trainer.py:403-482)."""
         args = self.training_args
         result: Dict[Any, list] = {}
+        matcher = AnswerMatcher()  # memoized doc/answer tokenization
         bs = pair_loader.batch_size
         for qids, batch, answers, docs, dids in pair_loader:
             padded, valid = pad_to_batch(batch, bs)
@@ -488,7 +489,7 @@ class RRTrainer(Trainer):
                 # (the reference's s[0] reads the neg logit for T5,
                 # trainer.py:428)
                 bucket[0].append(float(s[-1]))
-                bucket[1].append(int(has_answers(d, a)))
+                bucket[1].append(int(matcher.match(did, d, a)))
                 bucket[2].append(d)
                 bucket[3].append(did)
 
