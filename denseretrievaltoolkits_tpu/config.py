@@ -80,8 +80,11 @@ class ModelArguments:
         default=False, metadata={"help": "L2-normalize the embeddings"}
     )
     param_efficient_method: Optional[str] = field(
-        default=None, metadata={"help": "Param-efficient method used in training"}
+        default=None,
+        metadata={"help": "Param-efficient method: 'lora' adds rank-r adapters "
+                  "on the attention q/v projections and freezes the base"},
     )
+    lora_rank: int = field(default=8, metadata={"help": "LoRA adapter rank"})
 
     # --- TPU-native additions ---
     remat: bool = field(

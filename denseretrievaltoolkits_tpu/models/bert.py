@@ -167,9 +167,18 @@ def _encoder_block(x, layer, mask_bias, config: BertConfig, compute_dtype):
             + bias.astype(compute_dtype)
         )
 
-    q = dense(x, layer["q_kernel"], layer["q_bias"]).reshape(B, S, nh, hd)
+    q = dense(x, layer["q_kernel"], layer["q_bias"])
     k = dense(x, layer["k_kernel"], layer["k_bias"]).reshape(B, S, nh, hd)
-    v = dense(x, layer["v_kernel"], layer["v_bias"]).reshape(B, S, nh, hd)
+    v = dense(x, layer["v_kernel"], layer["v_bias"])
+    if "lora_q_A" in layer:  # LoRA adapters on q/v (models/lora.py)
+        def delta(a, b):
+            h_low = jnp.dot(x, a.astype(compute_dtype), preferred_element_type=compute_dtype)
+            return jnp.dot(h_low, b.astype(compute_dtype), preferred_element_type=compute_dtype)
+
+        q = q + delta(layer["lora_q_A"], layer["lora_q_B"])
+        v = v + delta(layer["lora_v_A"], layer["lora_v_B"])
+    q = q.reshape(B, S, nh, hd)
+    v = v.reshape(B, S, nh, hd)
 
     scores = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
     scores = scores / math.sqrt(hd) + mask_bias

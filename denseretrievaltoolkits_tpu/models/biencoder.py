@@ -324,6 +324,13 @@ class DRModel:
             fused_loss=getattr(model_args, "fused_loss", False),
         )
         model = cls(spec)
+        if getattr(model_args, "param_efficient_method", None) == "lora" and backbone == "bert":
+            from .lora import add_lora
+
+            lm_params = add_lora(
+                lm_params, jax.random.fold_in(rng, 2),
+                rank=getattr(model_args, "lora_rank", 8),
+            )
         params: Dict[str, Any] = {"lm_q": lm_params}
         if not tied:
             params["lm_p"] = jax.tree.map(jnp.copy, lm_params)

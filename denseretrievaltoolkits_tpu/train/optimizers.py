@@ -27,7 +27,7 @@ _FACTORIES = {
 }
 
 
-def get_optimizer(training_args) -> optax.GradientTransformation:
+def get_optimizer(training_args, params=None) -> optax.GradientTransformation:
     name = training_args.optimizer
     factory = _FACTORIES.get(name, optax.adamw)
     if name not in _FACTORIES:
@@ -41,4 +41,26 @@ def get_optimizer(training_args) -> optax.GradientTransformation:
     kwargs = dict(training_args.optimizer_kwargs)
     if name == "adafactor":
         kwargs.update(training_args.adafactor_kwargs)
-    return factory(learning_rate=lr, **kwargs)
+    opt = factory(learning_rate=lr, **kwargs)
+
+    if params is not None:
+        from ..models.lora import has_lora, lora_mask
+
+        if has_lora(params):
+            # parameter-efficient training: only the adapter (+head) leaves
+            # update; the frozen base gets set_to_zero updates (optax.masked
+            # would pass RAW gradients through for masked-out leaves)
+            logger.info("LoRA leaves detected: freezing base parameters")
+
+            def labels(p):
+                import jax
+
+                return jax.tree.map(
+                    lambda trainable: "train" if trainable else "freeze",
+                    lora_mask(p),
+                )
+
+            opt = optax.multi_transform(
+                {"train": opt, "freeze": optax.set_to_zero()}, labels
+            )
+    return opt

@@ -68,7 +68,7 @@ class Trainer:
         self.mesh = mesh
         self.miner = miner  # mine/miner.py DenseMiner (on-device hard negatives)
 
-        self.optimizer = get_optimizer(training_args)
+        self.optimizer = get_optimizer(training_args, params)
         if mesh is not None:
             from ..parallel.mesh import shard_state
 
