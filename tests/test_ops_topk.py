@@ -97,3 +97,16 @@ def test_flat_index_save_after_add_device(tmp_path):
     s2, i2 = loaded.search(q, 10)
     overlap = np.mean([len(set(a) & set(b)) for a, b in zip(i1, i2)])
     assert overlap >= 8  # int8 roundtrip keeps ranking
+
+
+def test_quantize_int8_device_interpret():
+    from denseretrievaltoolkits_tpu.ops.quant import dequantize_int8, quantize_int8_device
+
+    rng = np.random.default_rng(12)
+    reps = rng.normal(size=(300, 64)).astype(np.float32)
+    values, scales = quantize_int8_device(jnp.asarray(reps), block_rows=128)
+    assert values.shape == (300, 64) and scales.shape == (300,)
+    recon = np.asarray(dequantize_int8(values, scales))
+    # per-row error bounded by scale/2 = absmax/254
+    row_bound = np.abs(reps).max(axis=1) / 127
+    assert (np.abs(recon - reps).max(axis=1) <= row_bound + 1e-6).all()
