@@ -324,7 +324,7 @@ class DRModel:
             fused_loss=getattr(model_args, "fused_loss", False),
         )
         model = cls(spec)
-        if getattr(model_args, "param_efficient_method", None) == "lora" and backbone == "bert":
+        if getattr(model_args, "param_efficient_method", None) == "lora" and backbone in ("bert", "t5"):
             from .lora import add_lora
 
             lm_params = add_lora(

@@ -26,6 +26,8 @@ LORA_KEYS = ("lora_q_A", "lora_q_B", "lora_v_A", "lora_v_B")
 def add_lora(lm_params: Dict[str, Any], rng: jax.Array, rank: int = 8,
              dtype=jnp.float32) -> Dict[str, Any]:
     """Return a copy of a BERT tower pytree with stacked LoRA leaves added."""
+    if "encoder" in lm_params:  # T5 tower
+        return add_lora_t5(lm_params, rng, rank, dtype)
     layers = lm_params["layers"]
     L, H, _ = layers["q_kernel"].shape
     k_q, k_v = jax.random.split(rng)
@@ -39,12 +41,31 @@ def add_lora(lm_params: Dict[str, Any], rng: jax.Array, rank: int = 8,
     return out
 
 
+def add_lora_t5(lm_params: Dict[str, Any], rng: jax.Array, rank: int = 8,
+                dtype=jnp.float32) -> Dict[str, Any]:
+    """LoRA on the T5 ENCODER attention q/v projections ([L, D, inner])."""
+    enc = lm_params["encoder"]
+    L, D, I = enc["attn_q"].shape
+    k_q, k_v = jax.random.split(rng)
+    std = D ** -0.5
+    out = dict(lm_params)
+    out["encoder"] = dict(enc)
+    out["encoder"]["lora_q_A"] = (jax.random.normal(k_q, (L, D, rank)) * std).astype(dtype)
+    out["encoder"]["lora_q_B"] = jnp.zeros((L, rank, I), dtype)
+    out["encoder"]["lora_v_A"] = (jax.random.normal(k_v, (L, D, rank)) * std).astype(dtype)
+    out["encoder"]["lora_v_B"] = jnp.zeros((L, rank, I), dtype)
+    return out
+
+
 def has_lora(params: Dict[str, Any]) -> bool:
-    return any(
-        isinstance(v, dict) and "layers" in v and "lora_q_A" in v["layers"]
-        for v in params.values()
-        if isinstance(v, dict)
-    ) or ("layers" in params and "lora_q_A" in params.get("layers", {}))
+    def walk(node):
+        if not isinstance(node, dict):
+            return False
+        if "lora_q_A" in node:
+            return True
+        return any(walk(v) for v in node.values())
+
+    return walk(params)
 
 
 def lora_mask(params: Dict[str, Any]):

@@ -145,9 +145,18 @@ def _attention(x_q, x_kv, layer, prefix, config, mask_bias, pos_bias, compute_dt
             preferred_element_type=compute_dtype,
         )
 
-    q = proj(x_q, "q").reshape(B, Sq, nh, dk)
+    q = proj(x_q, "q")
     k = proj(x_kv, "k").reshape(B, Sk, nh, dk)
-    v = proj(x_kv, "v").reshape(B, Sk, nh, dk)
+    v = proj(x_kv, "v")
+    if prefix == "attn" and "lora_q_A" in layer:  # encoder LoRA (models/lora.py)
+        def delta(h, a, b):
+            low = jnp.dot(h, a.astype(compute_dtype), preferred_element_type=compute_dtype)
+            return jnp.dot(low, b.astype(compute_dtype), preferred_element_type=compute_dtype)
+
+        q = q + delta(x_q, layer["lora_q_A"], layer["lora_q_B"])
+        v = v + delta(x_kv, layer["lora_v_A"], layer["lora_v_B"])
+    q = q.reshape(B, Sq, nh, dk)
+    v = v.reshape(B, Sk, nh, dk)
     # NB: T5 does NOT scale q by 1/sqrt(d_kv)
     scores = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
     scores = scores + mask_bias + pos_bias

@@ -108,3 +108,22 @@ def test_lora_merge_matches_adapted_forward():
     a = np.asarray(bert_encode(adapted, TINY, ids, mask))
     b = np.asarray(bert_encode(merged, TINY, ids, mask))
     np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_t5_lora_init_identity_and_train():
+    from denseretrievaltoolkits_tpu.models import t5 as t5m
+    from denseretrievaltoolkits_tpu.models.lora import add_lora, has_lora
+    from denseretrievaltoolkits_tpu.train.optimizers import get_optimizer
+
+    config = t5m.T5Config(vocab_size=97, d_model=16, d_kv=4, d_ff=32, num_layers=2,
+                          num_heads=4, relative_attention_num_buckets=8,
+                          relative_attention_max_distance=20)
+    base = t5m.init_params(jax.random.key(0), config)
+    adapted = add_lora(base, jax.random.key(1), rank=4)
+    assert has_lora({"lm_q": adapted})
+    rng = np.random.default_rng(0)
+    ids = rng.integers(2, 97, (2, 8)).astype(np.int32)
+    mask = np.ones((2, 8), np.int32)
+    a = np.asarray(t5m.t5_encode(base, config, ids, mask))
+    b = np.asarray(t5m.t5_encode(adapted, config, ids, mask))
+    np.testing.assert_allclose(a, b, atol=1e-6)
