@@ -27,7 +27,9 @@ import numpy as np
 
 N_DOCS = int(os.environ.get("BENCH_DOCS", 1_000_000))
 DIM = 768
-N_QUERIES = 256
+# serving-batch size: per-dispatch relay overhead on this rig is ~60 ms flat,
+# so larger batches measure the device rather than the tunnel
+N_QUERIES = int(os.environ.get("BENCH_QUERIES", 2048))
 TOPK = 100
 CPU_SAMPLE_DOCS = 100_000
 ITERS = 20
