@@ -82,17 +82,29 @@ def blockwise_topk(
     init_s = jnp.full((Q, k), -jnp.inf, jnp.float32)
     init_i = jnp.zeros((Q, k), jnp.int32)
 
+    # fp32 corpora must score at true fp32 (TPU default matmul precision is
+    # single-pass bf16, which drifts ~1e-2 on 768-dim dots — FAISS-parity
+    # requires multi-pass); bf16 corpora keep single-pass by design
+    precision = (
+        jax.lax.Precision.DEFAULT
+        if compute_dtype == jnp.bfloat16
+        else jax.lax.Precision.HIGHEST
+    )
+
     def body(carry, blk):
         run_s, run_i = carry
         if scale_blocks is None:
             block, offset = blk
             blk_mat = block.astype(compute_dtype)
             s = jnp.dot(
-                qf.astype(compute_dtype), blk_mat.T, preferred_element_type=jnp.float32
+                qf.astype(compute_dtype), blk_mat.T,
+                preferred_element_type=jnp.float32, precision=precision,
             )
         else:
             block, scale, offset = blk
-            s = jnp.dot(qf, block.astype(jnp.float32).T, preferred_element_type=jnp.float32)
+            s = jnp.dot(qf, block.astype(jnp.float32).T,
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
             s = s * scale[None, :]
         ids = offset + local_ids  # [B]
         s = jnp.where(ids[None, :] < n_valid, s, -jnp.inf)

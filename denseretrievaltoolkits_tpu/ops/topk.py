@@ -197,6 +197,18 @@ def pallas_topk(
         J = max(4, min(k, 8))
     J = min(J, k)
 
+    # small corpora: fewer candidate slots (n_blocks*J) than k can represent —
+    # the scan path is exact and cheap at this size
+    n_blocks_total = -(-N // block_size)
+    if n_blocks_total * J < min(k, n_valid):
+        from ..index.flat import blockwise_topk
+
+        s, i = blockwise_topk(
+            jnp.asarray(q_reps, jnp.float32), corpus, min(k, n_valid),
+            min(block_size, N), scales=scales, valid=n_valid,
+        )
+        return np.asarray(s), np.asarray(i)
+
     pad_n = (-N) % block_size
     corpus_padded = jnp.pad(corpus, ((0, pad_n), (0, 0))) if pad_n else corpus
     if corpus.dtype == jnp.int8:

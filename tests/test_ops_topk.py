@@ -110,3 +110,15 @@ def test_quantize_int8_device_interpret():
     # per-row error bounded by scale/2 = absmax/254
     row_bound = np.abs(reps).max(axis=1) / 127
     assert (np.abs(recon - reps).max(axis=1) <= row_bound + 1e-6).all()
+
+
+def test_pallas_topk_small_corpus_full_k():
+    """Corpora with fewer candidate slots than k route to the exact scan and
+    return the full k columns (regression: silent truncation to nb*J)."""
+    rng = np.random.default_rng(13)
+    corpus = rng.normal(size=(100, 64)).astype(np.float32)
+    q = rng.normal(size=(3, 64)).astype(np.float32)
+    s, i = pallas_topk(q, jnp.asarray(corpus), k=50, block_size=512)
+    assert i.shape == (3, 50)
+    full = q @ corpus.T
+    np.testing.assert_array_equal(i, np.argsort(-full, axis=1)[:, :50])
