@@ -260,3 +260,36 @@ def test_search_approx_mode():
     ref = np.argsort(-full, axis=1)[:, :10]
     overlap = np.mean([len(set(a) & set(b)) for a, b in zip(i, ref)])
     assert overlap >= 8  # CPU lowering is near-exact; TPU ~recall_target
+
+
+def test_retrieval_dump_converters(tmp_path):
+    from denseretrievaltoolkits_tpu.evaluator.convert import (
+        retrieval_jsonl_to_nq_json,
+        retrieval_jsonl_to_trec,
+    )
+    from denseretrievaltoolkits_tpu.evaluator.nq_eval import evaluate_retrieval
+
+    rows = [
+        {"doc_id": "d1", "query_id": "q1", "query": "who", "document": "the answer is paris",
+         "answers": ["paris"], "score": 2.0},
+        {"doc_id": "d2", "query_id": "q1", "query": "who", "document": "nothing here",
+         "answers": ["paris"], "score": 1.0},
+        {"doc_id": "d3", "query_id": "q2", "query": "what", "document": "plain text",
+         "answers": ["tokyo"], "score": 0.5},
+    ]
+    dump = tmp_path / "1.0.json"
+    with open(dump, "w") as fh:
+        for r in rows:
+            fh.write(json.dumps(r) + "\n")
+
+    nq_path = str(tmp_path / "retrieval.json")
+    retrieval_jsonl_to_nq_json(str(dump), nq_path)
+    acc = evaluate_retrieval(nq_path, [1, 2])
+    assert acc[1] == 0.5 and acc[2] == 0.5  # q1 hits at rank 1, q2 never
+
+    trec_path = str(tmp_path / "run.trec")
+    retrieval_jsonl_to_trec(str(dump), trec_path)
+    from denseretrievaltoolkits_tpu.evaluator.trec import load_from_trec
+
+    run = load_from_trec(trec_path)
+    assert run["q1"] == {"d1": 2.0, "d2": 1.0} and "q2" in run
