@@ -54,6 +54,14 @@ class DRModelSpec:
     backbone: str = "bert"  # "bert" | "t5" (encoder tower) | "t5_full" (enc+dec step-0 reps)
     fused_loss: bool = False  # Pallas fused similarity+CE kernel (ops/contrastive.py)
 
+    def __post_init__(self):
+        # Fail at build time, not first trace (reference raises in pooling
+        # dispatch, DRT/model/biencoder.py:139-146).
+        if self.pooling not in ("first", "mean", "max"):
+            raise ValueError(f"Unknown pooling type: {self.pooling}")
+        if self.backbone not in ("bert", "t5", "t5_full"):
+            raise ValueError(f"Unknown backbone: {self.backbone}")
+
 
 class DRModel:
     """Dual encoder. Methods are pure in (params, batch) — safe under jit/pjit."""
