@@ -267,6 +267,12 @@ class TrainingArguments:
     profile_dir: Optional[str] = field(
         default=None, metadata={"help": "If set, write a jax.profiler trace of a train step here"}
     )
+    index_slab_rows: int = field(
+        default=262144,
+        metadata={"help": "Corpus-encode rows accumulated on device before they "
+                  "are flushed into the index as one slab (device-native add "
+                  "path; bounds transient HBM at slab_rows x dim x 4 bytes)"},
+    )
 
     def __post_init__(self):
         # Derived artifact dirs (reference arguments.py:206-220).

@@ -218,18 +218,28 @@ class FlatIPIndex:
         corpus dtypes (int8 via fused in-kernel dequant) — ~30x faster than
         the lax.scan path, whose per-block lax.top_k sort dominates; elsewhere
         the XLA scan serves.  mode="approx": the TPU's hardware PartialReduce
-        (recall-targeted ~0.95), the serving mode."""
-        if mode == "approx":
+        (recall-targeted ~0.95) for fp32/bf16 corpora; int8 corpora serve
+        approx via the Pallas kernel with the exactness certificate skipped."""
+        if mode == "approx" and not self._device_slabs:
             self._materialize()
-            if self._device_scales is not None:
-                raise NotImplementedError("approx mode serves fp32/bf16 corpora")
-            from ..ops.topk import approx_topk
+            if self._device_scales is None:
+                from ..ops.topk import approx_topk
 
-            s, i = approx_topk(jnp.asarray(q_reps, jnp.float32),
-                               self._device_corpus, min(k, self._n))
-            return np.asarray(s), np.asarray(i)
+                s, i = approx_topk(jnp.asarray(q_reps, jnp.float32),
+                                   self._device_corpus, min(k, self._n))
+                return np.asarray(s), np.asarray(i)
+            if jax.default_backend() == "tpu":
+                from ..ops.topk import pallas_topk
+
+                return pallas_topk(
+                    jnp.asarray(q_reps, jnp.float32), self._device_corpus,
+                    min(k, self._n),
+                    min(self.block_size, self._device_corpus.shape[0]),
+                    scales=self._device_scales, certify=False,
+                )
+            # CPU int8: no hardware approx path — exact scan serves
         if self._device_slabs:
-            return self._search_slabs(q_reps, k)
+            return self._search_slabs(q_reps, k, mode=mode)
         self._materialize()
         k = min(k, self._n)
         block = min(self.block_size, max(256, 1 << (self._n - 1).bit_length()))
@@ -249,8 +259,10 @@ class FlatIPIndex:
         )
         return np.asarray(scores), np.asarray(indices)
 
-    def _search_slabs(self, q_reps, k: int) -> Tuple[np.ndarray, np.ndarray]:
-        """Per-slab search + candidate merge for the device-native add path."""
+    def _search_slabs(self, q_reps, k: int,
+                      mode: str = "exact") -> Tuple[np.ndarray, np.ndarray]:
+        """Per-slab search + candidate merge for the device-native add path.
+        mode="approx" skips the Pallas exactness certificate (serving)."""
         k = min(k, self._n)
         q = jnp.asarray(q_reps, jnp.float32)
         use_pallas = jax.default_backend() == "tpu"
@@ -263,7 +275,7 @@ class FlatIPIndex:
                 s, i = pallas_topk(
                     q, values, min(k, n),
                     min(self.block_size, values.shape[0]),
-                    valid=n, scales=scales,
+                    valid=n, scales=scales, certify=(mode != "approx"),
                 )
                 s, i = jnp.asarray(s), jnp.asarray(i)
             else:
@@ -295,22 +307,40 @@ class FlatIPIndex:
     # -- persistence (replaces faiss.write_index/read_index + docid file,
     #    trainer.py:245-261) --------------------------------------------------
 
+    def _native_int8_payload(self) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+        """(values int8 [N,H], scales fp32 [N]) — the index's own storage,
+        saved as-is so a load round-trip is bit-identical (no fp32
+        materialization, no double quantization)."""
+        if self.dtype != "int8":
+            return None
+        if self._device_slabs:
+            vals = np.concatenate(
+                [np.asarray(v[:n], np.int8) for v, _, n in self._device_slabs])
+            scs = np.concatenate(
+                [np.asarray(s[:n], np.float32) for _, s, n in self._device_slabs])
+            return vals, scs
+        if self._chunks:
+            # quantize ONCE at save time — identical to what search would use
+            return quantize_int8(np.concatenate(self._chunks, axis=0))
+        return np.zeros((0, self.dim), np.int8), np.zeros((0,), np.float32)
+
     def save(self, path: str) -> None:
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-        if self._device_slabs:
-            # device-native slabs: dequantize to the host checkpoint format
-            parts = []
-            for values, scales, n in self._device_slabs:
-                x = np.asarray(values[:n], dtype=np.float32)
-                if scales is not None:
-                    x = x * np.asarray(scales[:n])[:, None]
-                parts.append(x)
-            full = np.concatenate(parts, axis=0)
-        elif self._chunks:
-            full = np.concatenate(self._chunks, axis=0)
+        native = self._native_int8_payload()
+        if native is not None:
+            values, scales = native
+            np.savez(path + ".npz", values=values, scales=scales)
         else:
-            full = np.zeros((0, self.dim), np.float32)
-        np.savez(path + ".npz", reps=full)
+            if self._device_slabs:
+                # bf16/fp32 slabs: widen to fp32 (lossless) for the checkpoint
+                parts = [np.asarray(v[:n], np.float32)
+                         for v, _, n in self._device_slabs]
+                full = np.concatenate(parts, axis=0)
+            elif self._chunks:
+                full = np.concatenate(self._chunks, axis=0)
+            else:
+                full = np.zeros((0, self.dim), np.float32)
+            np.savez(path + ".npz", reps=full)
         with open(path + ".meta.json", "w") as fh:
             json.dump({"dim": self.dim, "dtype": self.dtype, "n": self._n,
                        "docid": self.docid}, fh)
@@ -321,6 +351,16 @@ class FlatIPIndex:
             meta = json.load(fh)
         idx = cls(meta["dim"], dtype=meta["dtype"])
         with np.load(path + ".npz") as z:
+            if "values" in z:  # native int8 payload: restore without requantizing
+                values, scales = z["values"], z["scales"]
+                if values.shape[0]:
+                    # one device slab, exactly as add_device would have staged it
+                    idx._device_slabs.append(
+                        (jnp.asarray(values), jnp.asarray(scales), int(values.shape[0]))
+                    )
+                    idx._n = int(values.shape[0])
+                idx.docid = meta.get("docid", [])
+                return idx
             reps = z["reps"]
         if reps.shape[0]:
             idx.add(reps)

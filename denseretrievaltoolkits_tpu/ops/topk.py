@@ -179,6 +179,7 @@ def pallas_topk(
     J: Optional[int] = None,
     valid: Optional[int] = None,
     scales: Optional[jax.Array] = None,
+    certify: bool = True,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Exact top-k via the fused Pallas kernel + certificate fallback ladder.
 
@@ -186,6 +187,8 @@ def pallas_topk(
     the query dtype for the MXU matmul and multiplies the per-row dequant
     scales in-kernel.  Flagged queries (a block may hide more than J top-k
     members) re-run with J escalated 4x, then fall back to the XLA scan.
+    ``certify=False`` skips the certificate + fallback ladder entirely — the
+    recall-targeted serving mode (mode="approx" at the index surface).
     Returns numpy (scores [Q,k], indices [Q,k]) sorted descending."""
     from ..index.flat import blockwise_topk
 
@@ -252,6 +255,8 @@ def pallas_topk(
         return np.array(top_v), np.array(top_i), np.asarray(flagged), kk
 
     top_v, top_i, flagged, kk = one_pass(qc, J)
+    if not certify:
+        return top_v, top_i
     if flagged.any() and 4 * J < k:
         # escalate J for flagged queries only
         flagged_idx = np.nonzero(flagged)[0]

@@ -128,7 +128,7 @@ class ShardedFlatIndex:
             self._scales = None
         self._search_fn = None
 
-    def _build_search(self, k: int):
+    def _build_search(self, k: int, mode: str = "exact"):
         mesh = self.mesh
         per = self._rows_per_shard
         n_valid_total = self._n
@@ -137,6 +137,7 @@ class ShardedFlatIndex:
         use_pallas = (
             jax.default_backend() == "tpu" and per % block == 0
         )
+        certify = mode != "approx"
 
         def local_exact(q, corpus_rows, scales_rows, local_valid):
             """Per-shard exact top-k: Pallas fast path with an in-graph
@@ -173,6 +174,10 @@ class ShardedFlatIndex:
             if kk < k:
                 top_v = jnp.pad(top_v, ((0, 0), (0, k - kk)), constant_values=-jnp.inf)
                 top_i = jnp.pad(top_i, ((0, 0), (0, k - kk)))
+            if not certify:
+                # approx serving mode: Pallas candidates without the
+                # exactness certificate (recall-targeted, like approx_max_k)
+                return top_v, top_i
             theta = top_v[:, -1:]
             vals_last = jnp.transpose(vals_b[:, :, -1])  # [Q, nb]
             flagged = jnp.any(vals_last >= theta - (1e-6 * jnp.abs(theta) + 1e-30))
@@ -219,12 +224,13 @@ class ShardedFlatIndex:
         )
         return jax.jit(fn)
 
-    def search(self, q_reps: np.ndarray, k: int = 1000) -> Tuple[np.ndarray, np.ndarray]:
+    def search(self, q_reps: np.ndarray, k: int = 1000,
+               mode: str = "exact") -> Tuple[np.ndarray, np.ndarray]:
         self._materialize()
         k = min(k, self._n)
-        if self._search_fn is None or self._search_k != k:
-            self._search_fn = self._build_search(k)
-            self._search_k = k
+        if self._search_fn is None or getattr(self, "_search_key", None) != (k, mode):
+            self._search_fn = self._build_search(k, mode)
+            self._search_key = (k, mode)
         q = jnp.asarray(q_reps, jnp.float32)
         dummy_scales = self._scales if self._scales is not None else jnp.zeros((1,), jnp.float32)
         scores, indices = self._search_fn(q, self._corpus, dummy_scales)
@@ -245,22 +251,64 @@ class ShardedFlatIndex:
         import os
 
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-        if self._device_chunks:
-            parts = []
-            for v, s in self._device_chunks:
-                x = np.asarray(v, dtype=np.float32)
-                if s is not None:
-                    x = x * np.asarray(s)[:, None]
-                parts.append(x)
-            full = np.concatenate(parts, axis=0)
-        elif self._chunks:
-            full = np.concatenate(self._chunks, axis=0)
+        if self.dtype == "int8":
+            # native (values int8, scales fp32) payload: 4x less disk than the
+            # old fp32 round-trip and NO double quantization on reload
+            if self._device_chunks:
+                values = np.concatenate(
+                    [np.asarray(v, np.int8) for v, _ in self._device_chunks])
+                scales = np.concatenate(
+                    [np.asarray(s, np.float32) for _, s in self._device_chunks])
+            elif self._chunks:
+                values, scales = quantize_int8(np.concatenate(self._chunks, axis=0))
+            elif self._corpus is not None:
+                # materialized (possibly loaded) mesh-resident shards
+                values = np.asarray(self._corpus, np.int8).reshape(-1, self.dim)[: self._n]
+                scales = np.asarray(self._scales, np.float32).reshape(-1)[: self._n]
+            else:
+                values = np.zeros((0, self.dim), np.int8)
+                scales = np.zeros((0,), np.float32)
+            np.savez(path + ".npz", values=values, scales=scales)
         else:
-            full = np.zeros((0, self.dim), np.float32)
-        np.savez(path + ".npz", reps=full)
+            if self._device_chunks:
+                parts = [np.asarray(v, dtype=np.float32)
+                         for v, _ in self._device_chunks]
+                full = np.concatenate(parts, axis=0)
+            elif self._chunks:
+                full = np.concatenate(self._chunks, axis=0)
+            elif self._corpus is not None:
+                full = np.asarray(
+                    self._corpus, np.float32).reshape(-1, self.dim)[: self._n]
+            else:
+                full = np.zeros((0, self.dim), np.float32)
+            np.savez(path + ".npz", reps=full)
         with open(path + ".meta.json", "w") as fh:
             json.dump({"dim": self.dim, "dtype": self.dtype, "n": self._n,
                        "docid": self.docid}, fh)
+
+    def _place_native(self, values: np.ndarray, scales: Optional[np.ndarray]) -> None:
+        """Place pre-quantized/pre-cast rows straight onto the mesh shards
+        (no host fp32 materialization, no requantization)."""
+        n = int(values.shape[0])
+        per = -(-n // self.n_shards)
+        pad = per * self.n_shards - n
+        if pad:
+            values = np.concatenate(
+                [values, np.zeros((pad, self.dim), values.dtype)])
+            if scales is not None:
+                scales = np.concatenate([scales, np.zeros((pad,), scales.dtype)])
+        self._n = n
+        self._rows_per_shard = per
+        sharding = NamedSharding(self.mesh, P(DATA_AXIS, None, None))
+        self._corpus = jax.device_put(
+            jnp.asarray(values.reshape(self.n_shards, per, self.dim)), sharding)
+        if scales is not None:
+            self._scales = jax.device_put(
+                jnp.asarray(scales.reshape(self.n_shards, per)),
+                NamedSharding(self.mesh, P(DATA_AXIS, None)))
+        else:
+            self._scales = None
+        self._search_fn = None
 
     @classmethod
     def load(cls, path: str, mesh: Mesh) -> "ShardedFlatIndex":
@@ -270,8 +318,16 @@ class ShardedFlatIndex:
             meta = json.load(fh)
         idx = cls(mesh, meta["dim"], dtype=meta["dtype"])
         with np.load(path + ".npz") as z:
+            if "values" in z:  # native int8: shards go straight onto the mesh
+                idx._place_native(z["values"], z["scales"])
+                idx.docid = meta.get("docid", [])
+                return idx
             reps = z["reps"]
         if reps.shape[0]:
-            idx.add(reps)
+            if meta["dtype"] == "bfloat16":
+                idx._place_native(
+                    np.asarray(jnp.asarray(reps, jnp.bfloat16)), None)
+            else:
+                idx.add(reps)
         idx.docid = meta.get("docid", [])
         return idx

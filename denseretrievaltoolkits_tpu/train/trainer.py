@@ -242,17 +242,6 @@ class Trainer:
 
     # -- retrieval evaluation -------------------------------------------------
 
-    def _encode_batches(self, loader, encode_fn, what: str):
-        """Stream batches through a jitted encoder at ONE compiled shape."""
-        ids, reps = [], []
-        bs = loader.batch_size
-        for batch_ids, batch in prefetch(loader):
-            padded, valid = pad_to_batch(batch, bs)
-            out = np.asarray(encode_fn(self.state["params"], padded))
-            reps.append(out[:valid])
-            ids.extend(batch_ids)
-        return ids, np.concatenate(reps, axis=0)
-
     def _make_index(self, dim: int):
         """Single-device FlatIPIndex, or the ICI-sharded index on a mesh
         (each chip owns a corpus shard; candidates merge over the interconnect
@@ -269,17 +258,63 @@ class Trainer:
         return FlatIPIndex(dim, dtype=args.index_dtype)
 
     def _encoding_corpus(self, ep: int):
-        """Encode the corpus into the device-resident index; dump npy+docids
-        for interop (reference trainer.py:191-218 layout: {ep}.{rank}.npy)."""
+        """Encode the corpus into the device-resident index WITHOUT a host
+        fp32 copy: each encoded batch stays a device array, batches accumulate
+        into slabs of ``index_slab_rows`` and flush straight into the index's
+        device-native add path (int8 corpora quantize on device at flush).
+        Peak host memory is O(batch), not O(corpus) — at the 21M-passage
+        target the reference's layout (trainer.py:191-218) needed a 64 GB
+        host concat.  The npy interop dump, when enabled, streams to a disk
+        memmap one batch at a time."""
         args = self.training_args
         loader = self.corpus_dataloader
-        ids, reps = self._encode_batches(loader, self._encode_passage, "corpus")
+        bs = loader.batch_size
+        slab_rows = max(bs, getattr(args, "index_slab_rows", 262144))
+        save = getattr(args, "save_corpus_artifacts", True)
+
+        ids: List = []
+        self.index = None
+        buf: List = []
+        buf_rows = 0
+        mmap = None
+        row = 0
+
+        def flush():
+            nonlocal buf, buf_rows
+            if not buf:
+                return
+            slab = buf[0] if len(buf) == 1 else jnp.concatenate(buf, axis=0)
+            self.index.add_device(slab)
+            buf, buf_rows = [], 0
+
+        for batch_ids, batch in prefetch(loader):
+            padded, valid = pad_to_batch(batch, bs)
+            out = self._encode_passage(self.state["params"], padded)[:valid]
+            if self.index is None:
+                self.index = self._make_index(int(out.shape[1]))
+            buf.append(out)
+            buf_rows += valid
+            if buf_rows >= slab_rows:
+                flush()
+            if save:
+                if mmap is None:
+                    n_total = len(loader.dataset)
+                    os.makedirs(args.encode_corpus_dir, exist_ok=True)
+                    mmap = np.lib.format.open_memmap(
+                        os.path.join(args.encode_corpus_dir, f"{ep}.0.npy"),
+                        mode="w+", dtype=np.float32,
+                        shape=(n_total, int(out.shape[1])),
+                    )
+                mmap[row : row + valid] = np.asarray(out, np.float32)
+            row += valid
+            ids.extend(batch_ids)
+        flush()
+        if mmap is not None:
+            mmap.flush()
+            del mmap
         self.idx = ids
-        self.index = self._make_index(reps.shape[1])
-        self.index.add(reps)
         self.index.docid = ids
-        if getattr(args, "save_corpus_artifacts", True):
-            np.save(os.path.join(args.encode_corpus_dir, f"{ep}.0.npy"), reps)
+        if save:
             with open(os.path.join(args.encode_corpus_dir, f"{ep}.0.json"), "w",
                       encoding="utf-8") as fh:
                 json.dump({"id": ids}, fh, ensure_ascii=False)
@@ -335,52 +370,53 @@ class Trainer:
         m_all = {f"{m}@{k}": 0.0 for m in ("MRR", "NDCG", "Recall") for k in self.topk}
         eval_num = 0
         retrieve_k = args.retrieve_num
-        dump_rows = []
+        search_mode = getattr(args, "search_mode", "exact")
 
         bs = query_loader.batch_size
-        for qids, batch, answers, originals in query_loader:
-            padded, valid = pad_to_batch(batch, bs)
-            q_reps = np.asarray(self._encode_query(self.state["params"], padded))[:valid]
-            k = min(retrieve_k, len(self.index))
-            scores, indices = self.index.search(q_reps, k)
-            # one Arrow batch-read for all texts this batch needs (retrieved
-            # docs repeat across queries; per-hit row access is O(Q·k) reads)
-            texts = {}
-            if corpus_ds is not None:
-                uniq = sorted({int(r) for i in range(valid) for r in indices[i]})
-                try:
-                    fetched = corpus_ds[uniq]  # HF datasets fancy indexing
-                    texts = dict(zip(uniq, fetched["original"]))
-                except (TypeError, KeyError):
-                    texts = {r: corpus_ds[r]["original"] for r in uniq}
-            pos_index = np.zeros((valid, k), dtype=np.int8)
-            for i in range(valid):
-                eval_num += 1
-                for j, row in enumerate(indices[i]):
-                    docid = self.idx[row]
-                    doc_text = texts.get(int(row), "")
-                    if self._label_hit(doc_text, docid, answers[i]):
-                        pos_index[i][j] = 1
-                    dump_rows.append(
-                        {
-                            "doc_id": docid,
-                            "query_id": qids[i],
-                            "query": originals[i],
-                            "document": doc_text,
-                            "answers": list(answers[i]),
-                            "score": float(scores[i][j]),
-                        }
-                    )
-            batch_metrics = get_metrics(pos_index, self.topk)
-            for key in m_all:
-                m_all[key] += batch_metrics[key]
-
-        # retrieval dump for the reranker (reference trainer.py:323-337 layout)
+        # retrieval dump for the reranker (reference trainer.py:323-337
+        # layout), written incrementally per batch: eval host memory stays
+        # O(batch), independent of query count
+        os.makedirs(args.retrieve_dir, exist_ok=True)
         with open(os.path.join(args.retrieve_dir, f"{ep}.0.json"), "w",
-                  encoding="utf-8") as fh:
-            for row in dump_rows:
-                json.dump(row, fh, ensure_ascii=False)
-                fh.write("\n")
+                  encoding="utf-8") as dump_fh:
+            for qids, batch, answers, originals in query_loader:
+                padded, valid = pad_to_batch(batch, bs)
+                q_reps = np.asarray(self._encode_query(self.state["params"], padded))[:valid]
+                k = min(retrieve_k, len(self.index))
+                scores, indices = self.index.search(q_reps, k, mode=search_mode)
+                # one Arrow batch-read for all texts this batch needs (retrieved
+                # docs repeat across queries; per-hit row access is O(Q·k) reads)
+                texts = {}
+                if corpus_ds is not None:
+                    uniq = sorted({int(r) for i in range(valid) for r in indices[i]})
+                    try:
+                        fetched = corpus_ds[uniq]  # HF datasets fancy indexing
+                        texts = dict(zip(uniq, fetched["original"]))
+                    except (TypeError, KeyError):
+                        texts = {r: corpus_ds[r]["original"] for r in uniq}
+                pos_index = np.zeros((valid, k), dtype=np.int8)
+                for i in range(valid):
+                    eval_num += 1
+                    for j, row in enumerate(indices[i]):
+                        docid = self.idx[row]
+                        doc_text = texts.get(int(row), "")
+                        if self._label_hit(doc_text, docid, answers[i]):
+                            pos_index[i][j] = 1
+                        json.dump(
+                            {
+                                "doc_id": docid,
+                                "query_id": qids[i],
+                                "query": originals[i],
+                                "document": doc_text,
+                                "answers": list(answers[i]),
+                                "score": float(scores[i][j]),
+                            },
+                            dump_fh, ensure_ascii=False,
+                        )
+                        dump_fh.write("\n")
+                batch_metrics = get_metrics(pos_index, self.topk)
+                for key in m_all:
+                    m_all[key] += batch_metrics[key]
 
         for key in m_all:
             m_all[key] = m_all[key] / max(eval_num, 1)
