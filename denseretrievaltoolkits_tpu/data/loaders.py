@@ -32,6 +32,7 @@ class DataLoader:
         seed: int = 0,
         shard_num: int = 1,
         shard_idx: int = 0,
+        shard_bounds: Optional[tuple] = None,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -41,6 +42,14 @@ class DataLoader:
         self.seed = seed
         self.shard_num = shard_num
         self.shard_idx = shard_idx
+        # contiguous [start, stop) row window (multi-host corpus encode, where
+        # the window must match the device-sharded index placement —
+        # utils.distributed.host_corpus_bounds); mutually exclusive with the
+        # strided shard_num/shard_idx mode
+        self.shard_bounds = shard_bounds
+        if shard_bounds is not None:
+            assert shard_num == 1, "shard_bounds and shard_num are exclusive"
+            assert not shuffle, "shard_bounds requires a deterministic order"
         self.epoch = 0
 
     def set_epoch(self, epoch: int) -> None:
@@ -55,7 +64,10 @@ class DataLoader:
             idx = rng.permutation(n)
         else:
             idx = np.arange(n)
-        if self.shard_num > 1:
+        if self.shard_bounds is not None:
+            start, stop = self.shard_bounds
+            idx = idx[start:stop]
+        elif self.shard_num > 1:
             idx = idx[self.shard_idx :: self.shard_num]
         return idx
 
@@ -170,9 +182,14 @@ class ExactMatchDataloader:
     def get_dataset(self):
         self.train_dataset, self.eval_dataset, self.test_dataset = self.dataset.load_train()
 
-    def _loader(self, ds, bs, collator, shuffle):
+    def _loader(self, ds, bs, collator, shuffle, sharded: bool = True):
+        # only TRAIN loaders shard across hosts (the reference's
+        # DistributedSampler pick, exactmatch_dataloader.py:17-25); eval/test
+        # query batches stay replicated — under multi-host SPMD every process
+        # must feed the jitted search step the same global query batch
+        num, idx = (self.shard_num, self.shard_idx) if sharded else (1, 0)
         return DataLoader(ds, bs, collator, shuffle=shuffle, seed=self.seed,
-                          shard_num=self.shard_num, shard_idx=self.shard_idx)
+                          shard_num=num, shard_idx=idx)
 
     def get_dataloader(self):
         if not hasattr(self, "train_dataset"):
@@ -181,8 +198,8 @@ class ExactMatchDataloader:
         ev = EVCollator(self.data_args, self.tokenizer)
         return (
             self._loader(self.train_dataset, self.batch_size[0], qp, True),
-            self._loader(self.eval_dataset, self.batch_size[1], ev, False),
-            self._loader(self.test_dataset, self.batch_size[2], ev, False),
+            self._loader(self.eval_dataset, self.batch_size[1], ev, False, sharded=False),
+            self._loader(self.test_dataset, self.batch_size[2], ev, False, sharded=False),
         )
 
     def get_bm25dataloader(self, dataset):
@@ -219,19 +236,29 @@ class CorpusDataloader:
     text by row index (``trainer.py:307``)."""
 
     def __init__(self, data_args, dataset, tokenizer, batch_size: int = 128,
-                 shard_num: int = 1, shard_idx: int = 0):
+                 shard_num: int = 1, shard_idx: int = 0,
+                 shard_hosts: bool = False):
         self.data_args = data_args
         self.corpus = dataset
         self.tokenizer = tokenizer
         self.batch_size = batch_size
         self.shard_num = shard_num
         self.shard_idx = shard_idx
+        # multi-host: each host encodes the contiguous corpus window matching
+        # its devices' shards of the global index (host_corpus_bounds)
+        self.shard_hosts = shard_hosts
 
     def get_dataloader(self):
         self.dataset = self.corpus.load_dataset()
         pp = PPCollator(self.data_args, self.tokenizer)
+        bounds = None
+        if self.shard_hosts:
+            from ..utils.distributed import host_corpus_bounds
+
+            bounds = host_corpus_bounds(len(self.dataset))
         return DataLoader(self.dataset, self.batch_size, pp, shuffle=False,
-                          shard_num=self.shard_num, shard_idx=self.shard_idx)
+                          shard_num=self.shard_num, shard_idx=self.shard_idx,
+                          shard_bounds=bounds)
 
     # reference spelling (corpus_dataloader.py `get_dataloder`) kept as alias
     get_dataloder = get_dataloader

@@ -66,10 +66,17 @@ def param_pspec(path: Tuple, leaf) -> P:
 
 def shard_params(params, mesh: Mesh):
     """Place a parameter pytree on the mesh per the TP rules (replicated over
-    the data axis)."""
+    the data axis).  Multi-host: every process holds the full host copy, so
+    each addressable device pulls its slice via make_array_from_callback."""
+    multi = jax.process_count() > 1
 
     def place(path, leaf):
-        return jax.device_put(leaf, NamedSharding(mesh, param_pspec(path, leaf)))
+        sharding = NamedSharding(mesh, param_pspec(path, leaf))
+        if multi:
+            leaf = np.asarray(leaf)
+            return jax.make_array_from_callback(
+                leaf.shape, sharding, lambda idx, _leaf=leaf: _leaf[idx])
+        return jax.device_put(leaf, sharding)
 
     return jax.tree_util.tree_map_with_path(place, params)
 
@@ -106,6 +113,14 @@ def shard_steps(
     encp_jit = jax.jit(encode_passage)
 
     def put_batch(batch):
+        if jax.process_count() > 1:
+            # each host feeds its slice of the global batch (the loaders'
+            # strided shard); assembly into one global array is metadata-only
+            return jax.tree.map(
+                lambda x: jax.make_array_from_process_local_data(
+                    bsh, np.asarray(x)),
+                batch,
+            )
         return jax.tree.map(lambda x: jax.device_put(np.asarray(x), bsh), batch)
 
     def wrapped_train(state, batch):

@@ -43,6 +43,10 @@ class ShardedFlatIndex:
         self._rows_per_shard = 0
         self.docid: List = []
         self._search_fn = None
+        # multi-host: total corpus rows across ALL hosts. Each host adds only
+        # its contiguous window (utils.distributed.host_corpus_bounds) and
+        # materialization assembles the global array from the local windows.
+        self.global_rows: Optional[int] = None
 
     def __len__(self):
         return self._n
@@ -77,6 +81,9 @@ class ShardedFlatIndex:
 
     def _materialize(self):
         if self._corpus is not None:
+            return
+        if jax.process_count() > 1:
+            self._materialize_multihost()
             return
         # pad rows so every shard holds the same static count
         per = -(-self._n // self.n_shards)
@@ -126,6 +133,66 @@ class ShardedFlatIndex:
             )
         else:
             self._scales = None
+        self._search_fn = None
+
+    def _materialize_multihost(self):
+        """Assemble the global sharded corpus from per-host windows.
+
+        Every host encoded+added the contiguous row window
+        host_corpus_bounds(global_rows) — the window that lands on ITS devices
+        under the [n_shards, per, dim] layout — so assembly is
+        ``make_array_from_process_local_data`` (metadata, no host exchange).
+        This replaces the reference's npy→disk→rank-0-FAISS→disk broadcast
+        (DRT/trainer/trainer.py:191-262)."""
+        if self.global_rows is None:
+            raise RuntimeError(
+                "multi-host ShardedFlatIndex needs index.global_rows set to the "
+                "TOTAL corpus size; each process adds only its "
+                "host_corpus_bounds window")
+        n_global = int(self.global_rows)
+        per = -(-n_global // self.n_shards)
+        n_local_shards = self.n_shards // jax.process_count()
+        target = per * n_local_shards  # local rows incl. trailing padding
+        from ..utils.distributed import host_corpus_bounds
+
+        start, stop = host_corpus_bounds(
+            n_global, local_shards=n_local_shards)
+        if self._n != stop - start:
+            raise RuntimeError(
+                f"host added {self._n} rows but its window is [{start},{stop}) — "
+                "feed the corpus loader with shard_hosts=True")
+
+        if self._device_chunks:
+            values = jnp.concatenate([v for v, _ in self._device_chunks], axis=0)
+            scales = (jnp.concatenate([s for _, s in self._device_chunks])
+                      if self.dtype == "int8" else None)
+        else:
+            full = (np.concatenate(self._chunks, axis=0) if self._chunks
+                    else np.zeros((0, self.dim), np.float32))
+            if self.dtype == "int8":
+                values, scales = quantize_int8(full)
+            elif self.dtype == "bfloat16":
+                values, scales = jnp.asarray(full, jnp.bfloat16), None
+            else:
+                values, scales = full, None
+        pad = target - self._n
+        if pad:
+            values = jnp.pad(jnp.asarray(values), ((0, pad), (0, 0)))
+            if scales is not None:
+                scales = jnp.pad(jnp.asarray(scales), (0, pad))
+        local3 = np.asarray(values).reshape(n_local_shards, per, self.dim)
+        sharding = NamedSharding(self.mesh, P(DATA_AXIS, None, None))
+        self._corpus = jax.make_array_from_process_local_data(
+            sharding, local3, global_shape=(self.n_shards, per, self.dim))
+        if scales is not None:
+            self._scales = jax.make_array_from_process_local_data(
+                NamedSharding(self.mesh, P(DATA_AXIS, None)),
+                np.asarray(scales).reshape(n_local_shards, per),
+                global_shape=(self.n_shards, per))
+        else:
+            self._scales = None
+        self._rows_per_shard = per
+        self._n = n_global
         self._search_fn = None
 
     def _build_search(self, k: int, mode: str = "exact"):

@@ -271,6 +271,7 @@ class Trainer:
         bs = loader.batch_size
         slab_rows = max(bs, getattr(args, "index_slab_rows", 262144))
         save = getattr(args, "save_corpus_artifacts", True)
+        rank = jax.process_index()
 
         ids: List = []
         self.index = None
@@ -278,6 +279,7 @@ class Trainer:
         buf_rows = 0
         mmap = None
         row = 0
+        n_local = None  # rows THIS host encodes (== corpus size single-host)
 
         def flush():
             nonlocal buf, buf_rows
@@ -298,12 +300,13 @@ class Trainer:
                 flush()
             if save:
                 if mmap is None:
-                    n_total = len(loader.dataset)
+                    if n_local is None:
+                        n_local = len(loader._indices())
                     os.makedirs(args.encode_corpus_dir, exist_ok=True)
                     mmap = np.lib.format.open_memmap(
-                        os.path.join(args.encode_corpus_dir, f"{ep}.0.npy"),
+                        os.path.join(args.encode_corpus_dir, f"{ep}.{rank}.npy"),
                         mode="w+", dtype=np.float32,
-                        shape=(n_total, int(out.shape[1])),
+                        shape=(n_local, int(out.shape[1])),
                     )
                 mmap[row : row + valid] = np.asarray(out, np.float32)
             row += valid
@@ -312,11 +315,17 @@ class Trainer:
         if mmap is not None:
             mmap.flush()
             del mmap
-        self.idx = ids
-        self.index.docid = ids
+        if jax.process_count() > 1:
+            # each host added only its contiguous corpus window; the docid
+            # order and total size are global
+            self.index.global_rows = len(loader.dataset)
+            self.idx = list(loader.dataset["id"])
+        else:
+            self.idx = ids
+        self.index.docid = self.idx
         if save:
-            with open(os.path.join(args.encode_corpus_dir, f"{ep}.0.json"), "w",
-                      encoding="utf-8") as fh:
+            with open(os.path.join(args.encode_corpus_dir, f"{ep}.{rank}.json"),
+                      "w", encoding="utf-8") as fh:
                 json.dump({"id": ids}, fh, ensure_ascii=False)
 
     def _index_corpus(self, ep: int):
@@ -375,10 +384,12 @@ class Trainer:
         bs = query_loader.batch_size
         # retrieval dump for the reranker (reference trainer.py:323-337
         # layout), written incrementally per batch: eval host memory stays
-        # O(batch), independent of query count
+        # O(batch), independent of query count.  Queries are replicated
+        # across hosts (loaders.py), so process 0 writes for everyone.
         os.makedirs(args.retrieve_dir, exist_ok=True)
-        with open(os.path.join(args.retrieve_dir, f"{ep}.0.json"), "w",
-                  encoding="utf-8") as dump_fh:
+        dump_path = (os.path.join(args.retrieve_dir, f"{ep}.0.json")
+                     if jax.process_index() == 0 else os.devnull)
+        with open(dump_path, "w", encoding="utf-8") as dump_fh:
             for qids, batch, answers, originals in query_loader:
                 padded, valid = pad_to_batch(batch, bs)
                 q_reps = np.asarray(self._encode_query(self.state["params"], padded))[:valid]
@@ -422,16 +433,20 @@ class Trainer:
             m_all[key] = m_all[key] / max(eval_num, 1)
             logger.info("%s %.4f", key, m_all[key])
         m_all["query_num"] = eval_num
-        with open(os.path.join(args.cache_train_dir, f"{ep}.0_metrics"), "w",
-                  encoding="utf-8") as fh:
-            json.dump(m_all, fh, ensure_ascii=False)
+        if jax.process_index() == 0:
+            with open(os.path.join(args.cache_train_dir, f"{ep}.0_metrics"), "w",
+                      encoding="utf-8") as fh:
+                json.dump(m_all, fh, ensure_ascii=False)
         return m_all
 
     # -- persistence ---------------------------------------------------------
 
     def save(self, i_epoch: int):
         """Deploy-format save (reference trainer.py:348-356 layout
-        {cache}/result{N}) + Orbax resume checkpoint."""
+        {cache}/result{N}, rank-0-only like the reference) + Orbax resume
+        checkpoint."""
+        if jax.process_index() != 0:
+            return
         args = self.training_args
         path = os.path.join(args.cache_train_dir, f"result{i_epoch}")
         self.model.save(self.state["params"], path)
@@ -529,9 +544,11 @@ class RRTrainer(Trainer):
                 bucket[2].append(d)
                 bucket[3].append(did)
 
-        # per-rank jsonl dump (reference trainer.py:432-444 row schema)
-        with open(os.path.join(args.rr_result_dir, f"{ep}.0.json"), "w",
-                  encoding="utf-8") as fh:
+        # result jsonl dump (reference trainer.py:432-444 row schema); eval
+        # pairs are replicated across hosts, so process 0 writes for everyone
+        rr_path = (os.path.join(args.rr_result_dir, f"{ep}.0.json")
+                   if jax.process_index() == 0 else os.devnull)
+        with open(rr_path, "w", encoding="utf-8") as fh:
             for qid, (scores, is_true, ds, dids) in result.items():
                 for s, j, d, did in zip(scores, is_true, ds, dids):
                     json.dump({"qid": qid, "did": did, "score": s, "match": j,
@@ -552,7 +569,8 @@ class RRTrainer(Trainer):
             m_all[key] = m_all[key] / max(eval_num, 1)
             logger.info("%s %.4f", key, m_all[key])
         m_all["query_num"] = eval_num
-        with open(os.path.join(args.cache_train_dir, f"{ep}.0_RR_metrics"), "w",
-                  encoding="utf-8") as fh:
-            json.dump(m_all, fh, ensure_ascii=False)
+        if jax.process_index() == 0:
+            with open(os.path.join(args.cache_train_dir, f"{ep}.0_RR_metrics"),
+                      "w", encoding="utf-8") as fh:
+                json.dump(m_all, fh, ensure_ascii=False)
         return m_all

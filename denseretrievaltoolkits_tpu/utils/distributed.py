@@ -53,3 +53,29 @@ def process_shard() -> tuple:
     import jax
 
     return jax.process_count(), jax.process_index()
+
+
+def host_corpus_bounds(
+    n_rows: int,
+    n_proc: int = None,
+    proc_idx: int = None,
+    local_shards: int = None,
+) -> tuple:
+    """Contiguous [start, stop) of corpus rows THIS host must encode so the
+    device-sharded index assembles without host exchange.
+
+    The global index layout is [n_shards, per, dim] with
+    per = ceil(n / (n_proc * local_shards)); host h owns device shards
+    [h*L, (h+1)*L), hence rows [h*L*per, min(n, (h+1)*L*per)).  The reference
+    solved the same placement problem with npy dumps + a rank-0 FAISS rebuild
+    (DRT/trainer/trainer.py:191-250); here the loader bound IS the placement.
+    """
+    import jax
+
+    n_proc = jax.process_count() if n_proc is None else n_proc
+    proc_idx = jax.process_index() if proc_idx is None else proc_idx
+    local_shards = jax.local_device_count() if local_shards is None else local_shards
+    per = -(-n_rows // (n_proc * local_shards))
+    start = min(n_rows, proc_idx * local_shards * per)
+    stop = min(n_rows, (proc_idx + 1) * local_shards * per)
+    return start, stop

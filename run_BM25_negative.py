@@ -74,9 +74,13 @@ def main(argv=None):
     bm25dataset = bm25_sampler.load_passages(train_dataset)
     logger.info("BM25 negatives ready: %d samples", len(bm25dataset))
 
+    from denseretrievaltoolkits_tpu.utils.distributed import process_shard
+
+    shard_num, shard_idx = process_shard()
     dataloader = loader_cls(
         data_args, dataset, tokenizer, bm25_sampler,
         batch_size=batch_size, seed=training_args.seed,
+        shard_num=shard_num, shard_idx=shard_idx,
     )
     _, eval_dl, test_dl = dataloader.get_dataloader()
     train_dl = dataloader.get_bm25dataloader(bm25dataset)
@@ -85,7 +89,8 @@ def main(argv=None):
     if data_args.corpus_path or data_args.corpus_name != "json":
         corpus = CorpusDataset(data_args, tokenizer, cache)
         corpus_dl = CorpusDataloader(
-            data_args, corpus, tokenizer, training_args.corpus_batch_size
+            data_args, corpus, tokenizer, training_args.corpus_batch_size,
+            shard_hosts=shard_num > 1,
         ).get_dataloader()
 
     n_dev = len(jax.devices())

@@ -72,16 +72,24 @@ def main(argv=None):
         training_args.eval_batch_size,
         training_args.test_batch_size,
     ]
+    # multi-host: each host feeds its slice of the global train batch, and
+    # encodes the contiguous corpus window matching its index shards
+    # (the reference's DistributedSampler pick, exactmatch_dataloader.py:17-25)
+    from denseretrievaltoolkits_tpu.utils.distributed import process_shard
+
+    shard_num, shard_idx = process_shard()
     dataset = dataset_cls(data_args, tokenizer, cache_dir=cache)
     rnd_sampler = RandomSampleNegatives(data_args, seed=training_args.seed)
     corpus = CorpusDataset(data_args, tokenizer, cache)
     dataloader = loader_cls(
         data_args, dataset, tokenizer, rnd_sampler,
         batch_size=batch_size, seed=training_args.seed,
+        shard_num=shard_num, shard_idx=shard_idx,
     )
     train_dl, eval_dl, test_dl = dataloader.get_dataloader()
     corpus_dl = CorpusDataloader(
-        data_args, corpus, tokenizer, training_args.corpus_batch_size
+        data_args, corpus, tokenizer, training_args.corpus_batch_size,
+        shard_hosts=shard_num > 1,
     ).get_dataloader()
 
     n_dev = len(jax.devices())

@@ -59,11 +59,15 @@ def main(argv=None, eval_only: bool = False):
         training_args.eval_batch_size,
         training_args.test_batch_size,
     ]
+    from denseretrievaltoolkits_tpu.utils.distributed import process_shard
+
+    shard_num, shard_idx = process_shard()
     dataset = ExactMatchDataset(data_args, tokenizer, cache_dir=cache)
     rnd_sampler = RandomSampleNegatives(data_args, seed=training_args.seed)
     dataloader = ExactMatchDataloader(
         data_args, dataset, tokenizer, rnd_sampler,
         batch_size=batch_size, seed=training_args.seed,
+        shard_num=shard_num, shard_idx=shard_idx,
     )
     train_dl = dataloader.get_rr_dataloader()
 

@@ -1,0 +1,100 @@
+"""Worker for the REAL multi-host integration test (test_multihost.py).
+
+Launched as: python mh_worker.py <proc_id> <n_proc> <port>
+
+Each process gets 4 virtual CPU devices; together they form one 8-device
+global mesh — the actual jax.distributed programming model of a TPU pod
+(2 hosts x 4 chips), exercised end-to-end:
+
+  1. contiguous corpus windows (host_corpus_bounds) feed the sharded index,
+     which assembles the global array via make_array_from_process_local_data
+  2. global exact top-k search matches single-host numpy brute force
+  3. a dp=8 train step consumes per-host batch slices and produces the same
+     loss on every host as the single-host global-batch run
+"""
+
+import os
+import sys
+
+proc_id, n_proc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(
+    coordinator_address=f"127.0.0.1:{port}", num_processes=n_proc,
+    process_id=proc_id,
+)
+assert jax.process_count() == n_proc and jax.device_count() == 4 * n_proc
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from denseretrievaltoolkits_tpu.parallel.mesh import make_mesh
+from denseretrievaltoolkits_tpu.parallel.sharded_index import ShardedFlatIndex
+from denseretrievaltoolkits_tpu.utils.distributed import host_corpus_bounds, process_shard
+
+N, DIM, K = 103, 16, 10
+rng = np.random.default_rng(0)  # same corpus on every host (deterministic)
+corpus = rng.normal(size=(N, DIM)).astype(np.float32)
+queries = rng.normal(size=(5, DIM)).astype(np.float32)
+
+mesh = make_mesh(4 * n_proc, 1)
+
+# --- 1+2: sharded index from per-host contiguous windows ---------------------
+start, stop = host_corpus_bounds(N)
+assert stop > start, f"empty window for proc {proc_id}"
+index = ShardedFlatIndex(mesh, DIM, block_size=16)
+index.add(corpus[start:stop])
+index.global_rows = N
+scores, indices = index.search(queries, K)
+
+ref = np.argsort(-(queries @ corpus.T), axis=1)[:, :K]
+np.testing.assert_array_equal(indices, ref)
+ref_scores = np.take_along_axis(queries @ corpus.T, ref, axis=1)
+np.testing.assert_allclose(scores, ref_scores, rtol=1e-5, atol=1e-5)
+
+# int8 variant
+idx8 = ShardedFlatIndex(mesh, DIM, dtype="int8", block_size=16)
+idx8.add(corpus[start:stop])
+idx8.global_rows = N
+s8, i8 = idx8.search(queries, K)
+overlap = np.mean([len(set(i8[q]) & set(ref[q])) / K for q in range(5)])
+assert overlap >= 0.8, f"int8 recall {overlap}"
+
+# --- 3: dp train step over per-host batch slices ------------------------------
+import tempfile
+
+from denseretrievaltoolkits_tpu.config import TrainingArguments
+from denseretrievaltoolkits_tpu.models.bert import BertConfig
+from denseretrievaltoolkits_tpu.models.biencoder import DRModel, DRModelSpec
+from denseretrievaltoolkits_tpu.train.trainer import Trainer
+
+config = BertConfig(vocab_size=64, hidden_size=32, num_hidden_layers=2,
+                    num_attention_heads=2, intermediate_size=64,
+                    max_position_embeddings=32)
+model = DRModel(DRModelSpec(bert_config=config))
+params = model.init_params(jax.random.key(0))
+tmp = tempfile.mkdtemp()
+args = TrainingArguments(output_dir=tmp, cache_train_dir=tmp,
+                         learning_rate=1e-3, optimizer="adamw", log_every=0)
+trainer = Trainer(args, model, params, mesh=mesh)
+
+brng = np.random.default_rng(7)  # identical GLOBAL batch on every host
+gq = {"input_ids": brng.integers(1, 64, (8 * n_proc, 12)).astype(np.int32),
+      "attention_mask": np.ones((8 * n_proc, 12), np.int32)}
+gp = {"input_ids": brng.integers(1, 64, (16 * n_proc, 16)).astype(np.int32),
+      "attention_mask": np.ones((16 * n_proc, 16), np.int32)}
+# this host feeds its own collated block of the global batch: the assembled
+# global array is the process-order concatenation of the local blocks, so
+# query row i still pairs with passage group i (contrastive stride targets)
+shard_num, shard_idx = process_shard()
+lq = {k: v[proc_id * 8 : (proc_id + 1) * 8] for k, v in gq.items()}
+lp = {k: v[proc_id * 16 : (proc_id + 1) * 16] for k, v in gp.items()}
+loss = float(trainer.train_step((lq, lp)))
+assert np.isfinite(loss)
+
+print(f"MH_OK proc={proc_id} loss={loss:.6f}", flush=True)
