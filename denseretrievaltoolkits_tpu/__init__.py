@@ -22,6 +22,8 @@ def __getattr__(name):
         "Trainer": "denseretrievaltoolkits_tpu.train.trainer",
         "RRTrainer": "denseretrievaltoolkits_tpu.train.trainer",
         "FlatIPIndex": "denseretrievaltoolkits_tpu.index.flat",
+        "index_factory": "denseretrievaltoolkits_tpu.index.flat",
+        "IVFFlatIndex": "denseretrievaltoolkits_tpu.index.ivf",
         "ShardedFlatIndex": "denseretrievaltoolkits_tpu.parallel.sharded_index",
         "make_mesh": "denseretrievaltoolkits_tpu.parallel.mesh",
         "DenseMiner": "denseretrievaltoolkits_tpu.mine.miner",

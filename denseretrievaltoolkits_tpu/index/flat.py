@@ -368,24 +368,39 @@ class FlatIPIndex:
         return idx
 
 
-def index_factory(dim: int, factory_str: str, block_size: int = DEFAULT_BLOCK) -> FlatIPIndex:
+def index_factory(dim: int, factory_str: str, block_size: int = DEFAULT_BLOCK,
+                  nprobe: int = 32):
     """FAISS ``index_factory``-style constructor (reference index.py:47-54).
 
     Maps the factory strings this framework serves natively:
-      "Flat" / "IP"      → fp32 exact
-      "BF16" / "Flat16"  → bf16 exact
-      "SQ8" / "SQint8"   → int8 per-row-scale (scalar-quantized)
-    IVF/PQ strings are not supported — the TPU answer to ANN is the hardware
-    ``approx_max_k`` mode (ops/topk.py:approx_topk)."""
+      "Flat" / "IP"        → fp32 exact
+      "BF16" / "Flat16"    → bf16 exact
+      "SQ8" / "SQint8"     → int8 per-row-scale (scalar-quantized)
+      "IVF{n},Flat"        → trained coarse index (index/ivf.py), fp32 cells
+      "IVF{n},BF16"        → …bf16 cells
+      "IVF{n},SQ8"         → …int8 cells
+    (flat indexes also serve a hardware-ANN mode via search(mode="approx"))."""
     key = factory_str.strip().lower()
-    dtype = {
+    flat_dtypes = {
         "flat": "float32", "ip": "float32",
         "bf16": "bfloat16", "flat16": "bfloat16",
         "sq8": "int8", "sqint8": "int8",
-    }.get(key)
-    if dtype is None:
-        raise ValueError(
-            f"unsupported factory string {factory_str!r}; supported: Flat, BF16, SQ8 "
-            "(for ANN use ops.topk.approx_topk)"
-        )
-    return FlatIPIndex(dim, dtype=dtype, block_size=block_size)
+    }
+    if key in flat_dtypes:
+        return FlatIPIndex(dim, dtype=flat_dtypes[key], block_size=block_size)
+    if key.startswith("ivf"):
+        head, _, tail = key.partition(",")
+        cell_dtype = flat_dtypes.get(tail or "flat")
+        try:
+            nlist = int(head[3:])
+        except ValueError:
+            nlist = 0
+        if nlist > 0 and cell_dtype is not None:
+            from .ivf import IVFFlatIndex
+
+            return IVFFlatIndex(dim, nlist=nlist, nprobe=nprobe,
+                                dtype=cell_dtype)
+    raise ValueError(
+        f"unsupported factory string {factory_str!r}; supported: Flat, BF16, "
+        "SQ8, IVF{{n}},Flat|BF16|SQ8"
+    )

@@ -1,0 +1,346 @@
+"""Trained coarse ANN index: IVF-flat on TPU (k-means + centroid-pruned search).
+
+This is the TPU-native answer to the reference's trained FAISS factory
+indexes (``FaissRetriever`` wrapping ``faiss.index_factory`` + ``train()``,
+``DRT/evaluator/index.py:47-54``): where a flat scan touches every corpus row,
+IVF visits only the ``nprobe`` most promising of ``nlist`` k-means cells.
+
+TPU-first design decisions (vs FAISS's CPU pointer-chasing inverted lists):
+
+- **training** is Lloyd's k-means run entirely on device: assignment is one
+  MXU matmul per corpus block (argmax of ``x·cᵀ − ½‖c‖²`` — the L2 argmin),
+  the centroid update is a one-hot matmul segment-sum accumulated in a
+  ``lax.scan`` carry, so HBM traffic is one corpus pass per iteration;
+- **storage** is cluster-major with a FIXED per-cell capacity (static shapes
+  — XLA cannot tile ragged inverted lists): values ``[nlist, C, dim]`` +
+  row ids ``[nlist, C]``.  Rows beyond a cell's capacity spill into a flat
+  **overflow slab that every search scans exactly**, so skewed clusters cost
+  bandwidth instead of recall;
+- **search** is jitted end-to-end: probe scores ``q·centroidsᵀ`` → top-nprobe
+  cells → gather the probed cells' rows → MXU dot → masked top-k, processed
+  in query tiles to bound the gather workspace; int8 cells dequantize in the
+  dot via per-row scales.
+
+``index_factory("IVF4096,Flat")`` / ``"IVF4096,SQ8"`` construct it (see
+``index/flat.py:index_factory`` for the flat strings).
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .flat import blockwise_topk, quantize_int8
+
+
+@functools.partial(jax.jit, static_argnames=("nlist", "iters", "block"))
+def _kmeans_device(corpus: jax.Array, init: jax.Array, nlist: int,
+                   iters: int, block: int) -> jax.Array:
+    """Lloyd's k-means over corpus blocks; returns centroids [nlist, dim]."""
+    N, H = corpus.shape
+    n_blocks = -(-N // block)
+    pad = n_blocks * block - N
+    padded = jnp.pad(corpus, ((0, pad), (0, 0))) if pad else corpus
+    blocks = padded.reshape(n_blocks, block, H)
+    row_valid = (jnp.arange(n_blocks * block) < N).reshape(n_blocks, block)
+
+    def one_iter(centroids, _):
+        half_norm = 0.5 * jnp.sum(centroids * centroids, axis=1)
+
+        def scan_block(carry, xs):
+            sums, counts = carry
+            x, valid = xs
+            # L2 argmin == argmax(x·c − ½‖c‖²); one MXU matmul per block
+            scores = jnp.dot(x, centroids.T,
+                             preferred_element_type=jnp.float32) - half_norm
+            assign = jnp.argmax(scores, axis=1)
+            onehot = jax.nn.one_hot(assign, nlist, dtype=jnp.float32)
+            onehot = onehot * valid[:, None].astype(jnp.float32)
+            sums = sums + jnp.dot(onehot.T, x.astype(jnp.float32),
+                                  preferred_element_type=jnp.float32)
+            counts = counts + jnp.sum(onehot, axis=0)
+            return (sums, counts), None
+
+        (sums, counts), _ = jax.lax.scan(
+            scan_block,
+            (jnp.zeros((nlist, H), jnp.float32), jnp.zeros((nlist,), jnp.float32)),
+            (blocks, row_valid),
+        )
+        # empty cells keep their previous centroid
+        new = jnp.where(counts[:, None] > 0, sums / jnp.maximum(counts, 1)[:, None],
+                        centroids)
+        return new, None
+
+    centroids, _ = jax.lax.scan(one_iter, init.astype(jnp.float32),
+                                None, length=iters)
+    return centroids
+
+
+@functools.partial(jax.jit, static_argnames=("block",))
+def _assign_device(corpus: jax.Array, centroids: jax.Array, block: int) -> jax.Array:
+    """Nearest-centroid (L2) assignment per corpus row → [N] int32."""
+    N, H = corpus.shape
+    n_blocks = -(-N // block)
+    pad = n_blocks * block - N
+    padded = jnp.pad(corpus, ((0, pad), (0, 0))) if pad else corpus
+    blocks = padded.reshape(n_blocks, block, H)
+    half_norm = 0.5 * jnp.sum(centroids * centroids, axis=1)
+
+    def scan_block(_, x):
+        scores = jnp.dot(x, centroids.T,
+                         preferred_element_type=jnp.float32) - half_norm
+        return None, jnp.argmax(scores, axis=1).astype(jnp.int32)
+
+    _, assign = jax.lax.scan(scan_block, None, blocks)
+    return assign.reshape(-1)[:N]
+
+
+class IVFFlatIndex:
+    """Trained inverted-file flat index (inner-product metric).
+
+    API mirror of the reference's trained-index role: ``train`` → ``add`` →
+    ``search``; search touches ~``nprobe/nlist`` of the corpus plus the
+    overflow slab. fp32 / bfloat16 / int8 (per-row scales) cell storage."""
+
+    def __init__(self, dim: int, nlist: int = 1024, nprobe: int = 32,
+                 dtype: str = "float32", capacity_factor: float = 2.0,
+                 query_tile: int = 16, train_block: int = 8192):
+        self.dim = dim
+        self.nlist = nlist
+        self.nprobe = min(nprobe, nlist)
+        self.dtype = dtype
+        self.capacity_factor = capacity_factor
+        self.query_tile = query_tile
+        self.train_block = train_block
+        self.centroids: Optional[jax.Array] = None  # [nlist, dim] fp32
+        self._values = None      # [nlist, C, dim] cell rows
+        self._scales = None      # [nlist, C] for int8
+        self._row_ids = None     # [nlist, C] int32, -1 = empty slot
+        self._ovf_values = None  # [M, dim] overflow slab (flat-scanned)
+        self._ovf_scales = None
+        self._ovf_ids = None
+        self._n = 0
+        self.docid: List = []
+        self._search_fn = None
+
+    def __len__(self):
+        return self._n
+
+    @property
+    def is_trained(self) -> bool:
+        return self.centroids is not None
+
+    # -- training --------------------------------------------------------------
+
+    def train(self, reps: np.ndarray, iters: int = 10, seed: int = 0) -> None:
+        """On-device Lloyd's k-means (the faiss ``index.train()`` role)."""
+        reps = np.asarray(reps, np.float32)
+        assert reps.shape[0] >= self.nlist, (
+            f"need >= nlist={self.nlist} training rows, got {reps.shape[0]}")
+        rng = np.random.default_rng(seed)
+        init = reps[rng.choice(reps.shape[0], self.nlist, replace=False)]
+        self.centroids = _kmeans_device(
+            jnp.asarray(reps), jnp.asarray(init), self.nlist, iters,
+            min(self.train_block, reps.shape[0]))
+        self._search_fn = None
+
+    # -- population -------------------------------------------------------------
+
+    def add(self, reps: np.ndarray) -> None:
+        """Assign rows to cells on device, bucket into the fixed-capacity
+        cluster-major layout; capacity overflow spills to the exact slab."""
+        if not self.is_trained:
+            raise RuntimeError("IVFFlatIndex.add before train()")
+        if self._values is not None:
+            raise RuntimeError("IVFFlatIndex.add is one-shot; concatenate first")
+        reps = np.asarray(reps, np.float32)
+        N = reps.shape[0]
+        assign = np.asarray(_assign_device(
+            jnp.asarray(reps), self.centroids, min(8192, max(8, N))))
+
+        counts = np.bincount(assign, minlength=self.nlist)
+        mean = max(1.0, N / self.nlist)
+        C = int(-(-(self.capacity_factor * mean) // 8) * 8)
+        order = np.argsort(assign, kind="stable")
+        values = np.zeros((self.nlist, C, self.dim), np.float32)
+        row_ids = np.full((self.nlist, C), -1, np.int32)
+        ovf_rows, ovf_ids = [], []
+        start = 0
+        for cell in range(self.nlist):
+            cnt = counts[cell]
+            rows = order[start : start + cnt]
+            start += cnt
+            keep = min(cnt, C)
+            values[cell, :keep] = reps[rows[:keep]]
+            row_ids[cell, :keep] = rows[:keep]
+            if cnt > C:
+                ovf_rows.append(reps[rows[C:]])
+                ovf_ids.append(rows[C:])
+
+        if self.dtype == "int8":
+            flat_v, flat_s = quantize_int8(values.reshape(-1, self.dim))
+            self._values = jnp.asarray(flat_v.reshape(self.nlist, C, self.dim))
+            self._scales = jnp.asarray(flat_s.reshape(self.nlist, C))
+        elif self.dtype == "bfloat16":
+            self._values = jnp.asarray(values, jnp.bfloat16)
+            self._scales = None
+        else:
+            self._values = jnp.asarray(values)
+            self._scales = None
+        self._row_ids = jnp.asarray(row_ids)
+
+        if ovf_rows:
+            ovf = np.concatenate(ovf_rows, axis=0)
+            self._ovf_ids = jnp.asarray(np.concatenate(ovf_ids).astype(np.int32))
+            if self.dtype == "int8":
+                ov, os_ = quantize_int8(ovf)
+                self._ovf_values, self._ovf_scales = jnp.asarray(ov), jnp.asarray(os_)
+            else:
+                self._ovf_values = jnp.asarray(
+                    ovf, jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32)
+                self._ovf_scales = None
+        self._n = N
+        self._search_fn = None
+
+    # -- search ------------------------------------------------------------------
+
+    def _build_search(self, k: int, nprobe: int):
+        centroids = self.centroids
+        values, scales, row_ids = self._values, self._scales, self._row_ids
+        ovf_v, ovf_s, ovf_i = self._ovf_values, self._ovf_scales, self._ovf_ids
+        C = values.shape[1]
+        tile = self.query_tile
+
+        def probe_tile(q):  # q: [T, dim] fp32
+            # 1) probe cells by INNER PRODUCT (faiss IVF-IP semantics)
+            cell_scores = jnp.dot(q, centroids.T,
+                                  preferred_element_type=jnp.float32)
+            _, cells = jax.lax.top_k(cell_scores, nprobe)       # [T, nprobe]
+            # 2) gather the probed cells' rows and score on the MXU
+            rows = values[cells]                                # [T, np, C, dim]
+            ids = row_ids[cells].reshape(q.shape[0], nprobe * C)
+            qc = q.astype(rows.dtype if rows.dtype == jnp.bfloat16 else jnp.float32)
+            s = jnp.einsum("td,tpcd->tpc", qc,
+                           rows.astype(qc.dtype),
+                           preferred_element_type=jnp.float32)
+            if scales is not None:
+                s = s * scales[cells]
+            s = s.reshape(q.shape[0], nprobe * C)
+            s = jnp.where(ids >= 0, s, -jnp.inf)
+            # 3) overflow slab: scanned exactly by every query
+            if ovf_v is not None:
+                so = jnp.dot(qc, ovf_v.astype(qc.dtype).T,
+                             preferred_element_type=jnp.float32)
+                if ovf_s is not None:
+                    so = so * ovf_s[None, :]
+                s = jnp.concatenate([s, so], axis=1)
+                ids = jnp.concatenate(
+                    [ids, jnp.broadcast_to(ovf_i, (q.shape[0], ovf_i.shape[0]))],
+                    axis=1)
+            top_s, pos = jax.lax.top_k(s, k)
+            return top_s, jnp.take_along_axis(ids, pos, axis=1)
+
+        return jax.jit(probe_tile), tile
+
+    def search(self, q_reps: np.ndarray, k: int = 100,
+               mode: str = "approx",
+               nprobe: Optional[int] = None) -> Tuple[np.ndarray, np.ndarray]:
+        """Centroid-pruned top-k. ``mode="exact"`` falls back to a flat scan
+        over the reconstructed corpus (for parity checks)."""
+        if self._values is None:
+            raise RuntimeError("IVFFlatIndex.search before add()")
+        k = min(k, self._n)
+        q = np.asarray(q_reps, np.float32)
+        if mode == "exact":
+            return self._search_exact(q, k)
+        nprobe = self.nprobe if nprobe is None else min(nprobe, self.nlist)
+        key = (k, nprobe)
+        if self._search_fn is None or self._search_key != key:
+            self._search_fn = self._build_search(k, nprobe)
+            self._search_key = key
+        fn, tile = self._search_fn
+        out_s, out_i = [], []
+        for s0 in range(0, q.shape[0], tile):
+            qt = q[s0 : s0 + tile]
+            valid = qt.shape[0]
+            if valid < tile:
+                qt = np.concatenate(
+                    [qt, np.zeros((tile - valid, self.dim), np.float32)])
+            ts, ti = fn(jnp.asarray(qt))
+            out_s.append(np.asarray(ts)[:valid])
+            out_i.append(np.asarray(ti)[:valid])
+        return np.concatenate(out_s), np.concatenate(out_i)
+
+    def _search_exact(self, q: np.ndarray, k: int):
+        """Flat scan over every stored row (cells + overflow), exact."""
+        mask = np.asarray(self._row_ids).reshape(-1) >= 0
+        flat_ids = np.asarray(self._row_ids).reshape(-1)[mask]
+        vals = np.asarray(self._values, np.float32).reshape(-1, self.dim)[mask]
+        if self._scales is not None:
+            vals = vals * np.asarray(self._scales).reshape(-1)[mask][:, None]
+        if self._ovf_values is not None:
+            ov = np.asarray(self._ovf_values, np.float32)
+            if self._ovf_scales is not None:
+                ov = ov * np.asarray(self._ovf_scales)[:, None]
+            vals = np.concatenate([vals, ov])
+            flat_ids = np.concatenate([flat_ids, np.asarray(self._ovf_ids)])
+        s, i = blockwise_topk(jnp.asarray(q), jnp.asarray(vals), k,
+                              min(4096, vals.shape[0]))
+        return np.asarray(s), np.asarray(flat_ids)[np.asarray(i)]
+
+    def batch_search(self, q_reps, k, batch_size, quiet=False):
+        out_s, out_i = [], []
+        for start in range(0, q_reps.shape[0], batch_size):
+            s, i = self.search(q_reps[start : start + batch_size], k)
+            out_s.append(s)
+            out_i.append(i)
+        return np.concatenate(out_s), np.concatenate(out_i)
+
+    # -- persistence ---------------------------------------------------------
+
+    def save(self, path: str) -> None:
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        payload = {
+            "centroids": np.asarray(self.centroids, np.float32),
+            "values": np.asarray(self._values),
+            "row_ids": np.asarray(self._row_ids),
+        }
+        if self._scales is not None:
+            payload["scales"] = np.asarray(self._scales)
+        if self._ovf_values is not None:
+            payload["ovf_values"] = np.asarray(self._ovf_values)
+            payload["ovf_ids"] = np.asarray(self._ovf_ids)
+            if self._ovf_scales is not None:
+                payload["ovf_scales"] = np.asarray(self._ovf_scales)
+        np.savez(path + ".npz", **payload)
+        with open(path + ".meta.json", "w") as fh:
+            json.dump({"kind": "ivf", "dim": self.dim, "nlist": self.nlist,
+                       "nprobe": self.nprobe, "dtype": self.dtype, "n": self._n,
+                       "docid": self.docid}, fh)
+
+    @classmethod
+    def load(cls, path: str) -> "IVFFlatIndex":
+        with open(path + ".meta.json") as fh:
+            meta = json.load(fh)
+        idx = cls(meta["dim"], nlist=meta["nlist"], nprobe=meta["nprobe"],
+                  dtype=meta["dtype"])
+        with np.load(path + ".npz") as z:
+            idx.centroids = jnp.asarray(z["centroids"])
+            idx._values = jnp.asarray(z["values"])
+            idx._row_ids = jnp.asarray(z["row_ids"])
+            if "scales" in z:
+                idx._scales = jnp.asarray(z["scales"])
+            if "ovf_values" in z:
+                idx._ovf_values = jnp.asarray(z["ovf_values"])
+                idx._ovf_ids = jnp.asarray(z["ovf_ids"])
+                if "ovf_scales" in z:
+                    idx._ovf_scales = jnp.asarray(z["ovf_scales"])
+        idx._n = meta["n"]
+        idx.docid = meta.get("docid", [])
+        return idx
