@@ -1,23 +1,34 @@
 #!/usr/bin/env python
-"""Headline benchmark: query QPS on a 1M-doc flat inner-product index.
+"""Headline + regression benchmarks, printed as ONE JSON line.
 
-North star (BASELINE.md): >10× the reference's CPU query QPS/chip on a large
-flat index.  The reference serves brute-force top-k from FAISS IndexFlatIP on
-host CPU (``DRT/evaluator/index.py:19``, ``trainer.py:297``); here the corpus
+Headline (BASELINE.md north star): query QPS on a 1M-doc flat inner-product
+index. The reference serves brute-force top-k from FAISS IndexFlatIP on host
+CPU (``DRT/evaluator/index.py:19``, ``trainer.py:297``); here the corpus
 lives in HBM as bf16 and the fused Pallas kernel (ops/topk.py) does the tiled
-MXU matmul + in-kernel top-J selection, with an exactness-certified merge.
+MXU matmul + in-kernel top-J selection.
 
-The CPU baseline runs the same brute-force algorithm in numpy (a stand-in for
-FAISS flat) on a sample, scaled to the full corpus size.
+The single stdout line keeps the driver schema
+``{"metric", "value", "unit", "vs_baseline"}`` for the headline and carries
+the other tracked metrics in ``"extras"`` (same per-metric schema), so every
+hot path is machine-checkable round over round (VERDICT r1 item 9):
+
+  - query_qps_int8_8800k_docs_top100 — MS MARCO-scale int8 HBM index, fused
+    in-kernel dequant (vs_baseline = ratio to the round-1 measurement)
+  - train_step_ms_bertbase — bert-base dual-encoder adamw step, 32 q / 64 p
+    x156 tok bf16 (vs_baseline = round-1 ms / current ms; >1 is faster)
+  - encode_passages_per_s — bert-base corpus encode, batch 256 seq 156
+    (vs_baseline = ratio to round 1)
+
+CPU baseline for the headline runs the same brute-force algorithm in numpy
+(a stand-in for FAISS flat) on a sample, scaled to the full corpus size.
 
 Timing notes: this host drives the TPU over a relay with ~30-80 ms call
 latency, so per-call ``block_until_ready`` timing is meaningless; the bench
 dispatches N iterations into the device queue and drains with one readback,
 subtracting one measured roundtrip.
-
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
+import functools
 import json
 import os
 import sys
@@ -34,6 +45,28 @@ TOPK = 100
 CPU_SAMPLE_DOCS = 100_000
 ITERS = 20
 
+# int8 regression config (round-1 conditions: BASELINE.md "8.8M int8" row)
+N_DOCS_INT8 = int(os.environ.get("BENCH_DOCS_INT8", 8_800_000))
+N_QUERIES_INT8 = 256
+INT8_CHUNK = 550_000  # bf16 staging chunk while building the int8 corpus
+
+# round-1 measured values (BASELINE.md) — the regression denominators
+R1_INT8_QPS = 4959.0
+R1_TRAIN_STEP_MS = 134.0
+R1_ENCODE_PPS = 2799.0
+
+
+def _roundtrip():
+    import jax.numpy as jnp
+
+    tiny = jnp.ones((1,), jnp.float32)
+    for _ in range(3):
+        float(jnp.sum(tiny + 1.0))
+    t0 = time.time()
+    for _ in range(5):
+        float(jnp.sum(tiny + 1.0))
+    return (time.time() - t0) / 5
+
 
 def bench_tpu(queries: np.ndarray) -> float:
     import jax
@@ -49,14 +82,7 @@ def bench_tpu(queries: np.ndarray) -> float:
     corpus.block_until_ready()
     queries_dev = jax.device_put(jnp.asarray(queries, jnp.float32))
 
-    # measured host<->device roundtrip to subtract
-    tiny = jnp.ones((1,), jnp.float32)
-    for _ in range(3):
-        float(jnp.sum(tiny + 1.0))
-    t0 = time.time()
-    for _ in range(5):
-        float(jnp.sum(tiny + 1.0))
-    rt = (time.time() - t0) / 5
+    rt = _roundtrip()
 
     def run():
         return pallas_topk(queries_dev, corpus, TOPK, block_size=2048)
@@ -85,6 +111,138 @@ def bench_tpu(queries: np.ndarray) -> float:
           f"({flops/elapsed/1e12:.0f} TFLOP/s effective; compile {compile_s:.1f} s; "
           f"roundtrip {rt*1e3:.0f} ms) on {jax.devices()[0]}", file=sys.stderr)
     return qps
+
+
+def bench_int8(queries: np.ndarray) -> float:
+    """Exact-int8 top-100 over an N_DOCS_INT8-row corpus built + quantized on
+    device (per-row absmax scales; in-kernel dequant)."""
+    import jax
+    import jax.numpy as jnp
+
+    from denseretrievaltoolkits_tpu.ops.quant import quantize_int8_device
+    from denseretrievaltoolkits_tpu.ops.topk import pallas_topk_jit_scaled
+
+    block = 2048
+    n = N_DOCS_INT8 + ((-N_DOCS_INT8) % block)
+
+    # build the int8 corpus chunk-at-a-time: bf16 staging chunk -> quantize ->
+    # donate-update into the preallocated int8 buffer (peak HBM = int8 corpus
+    # + one bf16 chunk, never a full-precision copy)
+    values = jnp.zeros((n, DIM), jnp.int8)
+    scales = jnp.ones((n,), jnp.float32)
+
+    @functools.partial(jax.jit, static_argnames=("rows",))
+    def gen_chunk(key, rows):
+        return jax.random.normal(key, (rows, DIM), jnp.bfloat16)
+
+    def place(buf_v, buf_s, chunk_v, chunk_s, off):
+        buf_v = jax.lax.dynamic_update_slice(buf_v, chunk_v, (off, 0))
+        buf_s = jax.lax.dynamic_update_slice(buf_s, chunk_s, (off,))
+        return buf_v, buf_s
+    place = jax.jit(place, donate_argnums=(0, 1))
+
+    key = jax.random.key(1)
+    off = 0
+    while off < n:
+        rows = min(INT8_CHUNK, n - off)
+        key, sub = jax.random.split(key)
+        chunk = gen_chunk(sub, rows=rows)
+        cv, cs = quantize_int8_device(chunk, block_rows=1024)
+        values, scales = place(values, scales, cv, cs, off)
+        off += rows
+    values.block_until_ready()
+
+    rt = _roundtrip()
+    q = jax.device_put(jnp.asarray(queries[:N_QUERIES_INT8], jnp.bfloat16))
+    out = pallas_topk_jit_scaled(q, values, scales, TOPK, 8, block, N_DOCS_INT8)
+    assert out[1].shape == (N_QUERIES_INT8, TOPK)
+    assert int(out[1].max()) < N_DOCS_INT8
+    iters = 10
+    t0 = time.time()
+    for _ in range(iters):
+        out = pallas_topk_jit_scaled(q, values, scales, TOPK, 8, block,
+                                     N_DOCS_INT8)
+    float(jnp.sum(out[0][0, 0]))
+    elapsed = (time.time() - t0 - rt) / iters
+    qps = N_QUERIES_INT8 / elapsed
+    print(f"# int8: {elapsed*1e3:.1f} ms / {N_QUERIES_INT8} queries over "
+          f"{N_DOCS_INT8} docs", file=sys.stderr)
+    # free ~6.8 GB HBM before the model benches
+    values.delete(), scales.delete()
+    return qps
+
+
+def _bert_base_model():
+    import jax
+
+    from denseretrievaltoolkits_tpu.models.bert import BertConfig
+    from denseretrievaltoolkits_tpu.models.biencoder import DRModel, DRModelSpec
+
+    config = BertConfig()  # bert-base shape
+    model = DRModel(DRModelSpec(bert_config=config, dtype="bfloat16"))
+    params = model.init_params(jax.random.key(0))
+    return config, model, params
+
+
+def _token_batch(rng, n, seq, vocab):
+    return {
+        "input_ids": rng.integers(1, vocab, size=(n, seq)).astype(np.int32),
+        "attention_mask": np.ones((n, seq), np.int32),
+    }
+
+
+def bench_train_step() -> float:
+    """bert-base dual-encoder adamw step (32 queries / 64 passages x156 tok,
+    bf16) — round-1 conditions (BASELINE.md train-step row). Returns ms/step
+    including the per-step dispatch share (queue-drain timing)."""
+    import tempfile
+
+    from denseretrievaltoolkits_tpu.config import TrainingArguments
+    from denseretrievaltoolkits_tpu.train.trainer import Trainer
+
+    config, model, params = _bert_base_model()
+    tmp = tempfile.mkdtemp()
+    args = TrainingArguments(output_dir=tmp, cache_train_dir=tmp,
+                             learning_rate=1e-5, optimizer="adamw", log_every=0)
+    trainer = Trainer(args, model, params)
+    rng = np.random.default_rng(0)
+    batch = (_token_batch(rng, 32, 156, config.vocab_size),
+             _token_batch(rng, 64, 156, config.vocab_size))
+    loss = trainer.train_step(batch)  # compile
+    assert np.isfinite(float(loss))
+    rt = _roundtrip()
+    iters = 10
+    t0 = time.time()
+    for _ in range(iters):
+        loss = trainer.train_step(batch)
+    float(loss)
+    ms = (time.time() - t0 - rt) / iters * 1e3
+    print(f"# train step: {ms:.1f} ms", file=sys.stderr)
+    return ms
+
+
+def bench_encode() -> float:
+    """bert-base corpus encode throughput (batch 256, seq 156, bf16) —
+    round-1 conditions (BASELINE.md encode row)."""
+    import jax
+    import jax.numpy as jnp
+
+    config, model, params = _bert_base_model()
+    encode = jax.jit(model.encode_passage)
+    rng = np.random.default_rng(0)
+    batch = _token_batch(rng, 256, 156, config.vocab_size)
+    reps = encode(params, batch)  # compile
+    reps.block_until_ready()
+    rt = _roundtrip()
+    iters = 20
+    t0 = time.time()
+    for _ in range(iters):
+        reps = encode(params, batch)
+    float(jnp.sum(reps[0, 0]))
+    per_batch = (time.time() - t0 - rt) / iters
+    pps = 256 / per_batch
+    print(f"# encode: {pps:.0f} passages/s", file=sys.stderr)
+    return pps
 
 
 def bench_cpu_baseline(sample: np.ndarray, queries: np.ndarray) -> float:
@@ -117,6 +275,29 @@ def main():
         N_DOCS //= 4
         tpu_qps = bench_tpu(queries)
 
+    extras = []
+
+    def run_extra(name, unit, fn, baseline, invert=False):
+        try:
+            value = fn()
+            ratio = (baseline / value) if invert else (value / baseline)
+            extras.append({"metric": name, "value": round(value, 1),
+                           "unit": unit, "vs_baseline": round(ratio, 2)})
+        except Exception as exc:
+            print(f"# extra {name} failed: {type(exc).__name__}: {exc}",
+                  file=sys.stderr)
+            extras.append({"metric": name, "value": None, "unit": unit,
+                           "vs_baseline": None,
+                           "error": f"{type(exc).__name__}: {exc}"})
+
+    if os.environ.get("BENCH_SKIP_EXTRAS") != "1":
+        run_extra(f"query_qps_int8_{N_DOCS_INT8 // 1000}k_docs_top{TOPK}",
+                  "qps", lambda: bench_int8(queries), R1_INT8_QPS)
+        run_extra("train_step_ms_bertbase", "ms", bench_train_step,
+                  R1_TRAIN_STEP_MS, invert=True)
+        run_extra("encode_passages_per_s", "passages/s", bench_encode,
+                  R1_ENCODE_PPS)
+
     # the cpu baseline was scaled to orig_n docs; rescale if the tpu run shrank
     cpu_qps_at_n = cpu_qps * (orig_n / N_DOCS)
     print(json.dumps({
@@ -124,6 +305,7 @@ def main():
         "value": round(tpu_qps, 1),
         "unit": "qps",
         "vs_baseline": round(tpu_qps / cpu_qps_at_n, 2),
+        "extras": extras,
     }))
 
 

@@ -305,6 +305,23 @@ def pallas_topk_jit(q, corpus, k, J, block_size, n_valid):
     return top_v, jnp.take_along_axis(flat_i, pos, axis=1)
 
 
+@functools.partial(jax.jit, static_argnames=("k", "J", "block_size", "n_valid"))
+def pallas_topk_jit_scaled(q, corpus, scales, k, J, block_size, n_valid):
+    """int8 twin of :func:`pallas_topk_jit`: fully-jitted scaled kernel +
+    candidate merge (no certificate/fallback). ``corpus`` is int8 [N, H] with
+    per-row dequant ``scales`` [N] — the serving fast path for quantized HBM
+    indexes (the reference serves quantized indexes through FAISS
+    ``index_factory``, DRT/evaluator/index.py:47-54)."""
+    vals_b, ids_b = _pallas_block_topj_scaled(q, corpus, scales, J, block_size, n_valid)
+    nb = vals_b.shape[0]
+    Q = vals_b.shape[1]
+    flat_v = jnp.transpose(vals_b, (1, 0, 2)).reshape(Q, nb * J)
+    flat_i = jnp.transpose(ids_b, (1, 0, 2)).reshape(Q, nb * J)
+    kk = min(k, nb * J)
+    top_v, pos = jax.lax.top_k(flat_v, kk)
+    return top_v, jnp.take_along_axis(flat_i, pos, axis=1)
+
+
 def approx_topk(
     q_reps: jax.Array,
     corpus: jax.Array,

@@ -122,3 +122,25 @@ def test_pallas_topk_small_corpus_full_k():
     assert i.shape == (3, 50)
     full = q @ corpus.T
     np.testing.assert_array_equal(i, np.argsort(-full, axis=1)[:, :50])
+
+
+def test_pallas_topk_jit_scaled_matches_dequant():
+    """The fully-jitted int8 serving path (kernel + merge, no certificate)
+    must match exact search over the dequantized corpus."""
+    from denseretrievaltoolkits_tpu.index.flat import quantize_int8
+    from denseretrievaltoolkits_tpu.ops.topk import pallas_topk_jit_scaled
+
+    rng = np.random.default_rng(7)
+    corpus = rng.normal(size=(1024, 64)).astype(np.float32)
+    values, scales = quantize_int8(corpus)
+    q = rng.normal(size=(8, 64)).astype(np.float32)
+    s, i = pallas_topk_jit_scaled(
+        jnp.asarray(q), jnp.asarray(values), jnp.asarray(scales),
+        10, 10, 256, 1024,
+    )
+    s, i = np.asarray(s), np.asarray(i)
+    deq = values.astype(np.float32) * scales[:, None]
+    full = q @ deq.T
+    ref_i = np.argsort(-full, axis=1)[:, :10]
+    np.testing.assert_array_equal(i, ref_i)
+    np.testing.assert_allclose(s, -np.sort(-full, axis=1)[:, :10], rtol=2e-2, atol=1e-2)
