@@ -379,8 +379,26 @@ def index_factory(dim: int, factory_str: str, block_size: int = DEFAULT_BLOCK,
       "IVF{n},Flat"        → trained coarse index (index/ivf.py), fp32 cells
       "IVF{n},BF16"        → …bf16 cells
       "IVF{n},SQ8"         → …int8 cells
+      "PCAR{d},<rest>"     → trained orthogonal projection to d dims + random
+                             rotation (index/transforms.py), chained in front
+                             of any of the above ("PCA{d},..." skips the
+                             rotation)
     (flat indexes also serve a hardware-ANN mode via search(mode="approx"))."""
     key = factory_str.strip().lower()
+    if key.startswith("pca"):
+        head, _, tail = key.partition(",")
+        rotate = head.startswith("pcar")
+        try:
+            d_out = int(head[4 if rotate else 3:])
+        except ValueError:
+            d_out = 0
+        if d_out > 0 and tail:
+            from .transforms import PCATransform, TransformedIndex
+
+            inner = index_factory(d_out, tail, block_size=block_size,
+                                  nprobe=nprobe)
+            return TransformedIndex(PCATransform(dim, d_out, rotate=rotate),
+                                    inner)
     flat_dtypes = {
         "flat": "float32", "ip": "float32",
         "bf16": "bfloat16", "flat16": "bfloat16",
@@ -402,5 +420,5 @@ def index_factory(dim: int, factory_str: str, block_size: int = DEFAULT_BLOCK,
                                 dtype=cell_dtype)
     raise ValueError(
         f"unsupported factory string {factory_str!r}; supported: Flat, BF16, "
-        "SQ8, IVF{{n}},Flat|BF16|SQ8"
+        "SQ8, IVF{{n}},Flat|BF16|SQ8, PCAR{{d}}/PCA{{d}} + any of the former"
     )

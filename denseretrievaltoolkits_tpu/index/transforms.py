@@ -1,0 +1,162 @@
+"""Vector transforms for the index factory (FAISS ``PCAR{d}`` analog).
+
+The reference exposes arbitrary FAISS factory strings through
+``FaissRetriever`` (``/root/reference/DRT/evaluator/index.py:47-54``); the
+dimensionality-reduction leg of that factory space ("PCAR64,Flat",
+"PCA256,SQ8", ...) is covered here the TPU way: the transform is a single
+matmul (MXU-friendly), trained on device via a blockwise covariance
+accumulation, with the tiny 768x768 eigendecomposition on host.
+
+Note on metric: FAISS's PCA centers the data, which changes inner products.
+For IP-metric retrieval the transform here is a pure orthogonal projection
+(no centering): scores in the reduced space approximate the originals by
+projecting onto the top-variance subspace, and are EXACT when d == dim.
+PCAR additionally applies a random rotation after the projection so variance
+spreads evenly across components — that is what makes per-row int8
+quantization of the output well-conditioned (the reason FAISS pairs PCAR
+with SQ/PQ codecs).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@jax.jit
+def _cov_accum(cov, block):
+    return cov + jnp.dot(block.T, block, preferred_element_type=jnp.float32)
+
+
+class PCATransform:
+    """Orthogonal projection dim -> d_out, optionally with a random rotation
+    (PCAR). ``train`` estimates principal directions from sample vectors;
+    ``apply`` is one matmul."""
+
+    def __init__(self, dim: int, d_out: int, rotate: bool = True, seed: int = 0):
+        assert d_out <= dim, f"d_out {d_out} > dim {dim}"
+        self.dim = dim
+        self.d_out = d_out
+        self.rotate = rotate
+        self.seed = seed
+        self.matrix: Optional[np.ndarray] = None  # [dim, d_out] fp32
+
+    @property
+    def is_trained(self) -> bool:
+        return self.matrix is not None
+
+    def train(self, reps: np.ndarray, block: int = 65536) -> None:
+        reps = np.asarray(reps, np.float32)
+        assert reps.shape[1] == self.dim
+        cov = jnp.zeros((self.dim, self.dim), jnp.float32)
+        for start in range(0, reps.shape[0], block):
+            cov = _cov_accum(cov, jnp.asarray(reps[start:start + block]))
+        cov_h = np.asarray(cov)
+        # dim x dim eigh is trivial on host (768**2); descending variance
+        eigvals, eigvecs = np.linalg.eigh(cov_h)
+        w = eigvecs[:, ::-1][:, : self.d_out]  # [dim, d_out]
+        if self.rotate:
+            rng = np.random.default_rng(self.seed)
+            g = rng.standard_normal((self.d_out, self.d_out))
+            q, r = np.linalg.qr(g)
+            q *= np.sign(np.diag(r))  # unique, det-stable rotation
+            w = w @ q
+        self.matrix = np.ascontiguousarray(w, np.float32)
+
+    def apply(self, x) -> jax.Array:
+        assert self.is_trained, "PCATransform.apply before train()"
+        return jnp.dot(jnp.asarray(x, jnp.float32), jnp.asarray(self.matrix),
+                       preferred_element_type=jnp.float32)
+
+    def save(self, path: str) -> None:
+        np.savez(path, matrix=self.matrix,
+                 meta=np.array([self.dim, self.d_out, int(self.rotate),
+                                self.seed], np.int64))
+
+    @classmethod
+    def load(cls, path: str) -> "PCATransform":
+        data = np.load(path)
+        dim, d_out, rotate, seed = (int(v) for v in data["meta"])
+        t = cls(dim, d_out, rotate=bool(rotate), seed=seed)
+        t.matrix = data["matrix"]
+        return t
+
+
+class TransformedIndex:
+    """Factory chain head: a vector transform in front of any index built at
+    the reduced dimension (FAISS "PCAR64,SQ8" behavior: train codec on
+    transformed vectors, transform queries at search time)."""
+
+    def __init__(self, transform: PCATransform, inner):
+        self.transform = transform
+        self.inner = inner
+
+    def __len__(self):
+        return len(self.inner)
+
+    @property
+    def dim(self):
+        return self.transform.dim
+
+    @property
+    def docid(self):
+        return self.inner.docid
+
+    @docid.setter
+    def docid(self, value):
+        self.inner.docid = value
+
+    @property
+    def is_trained(self) -> bool:
+        if not self.transform.is_trained:
+            return False
+        return getattr(self.inner, "is_trained", True)
+
+    def train(self, reps: np.ndarray, **kw) -> None:
+        if not self.transform.is_trained:
+            self.transform.train(reps)
+        if hasattr(self.inner, "train"):
+            self.inner.train(np.asarray(self.transform.apply(reps)), **kw)
+
+    def add(self, reps: np.ndarray) -> None:
+        assert self.transform.is_trained, "add before train()"
+        self.inner.add(np.asarray(self.transform.apply(reps)))
+
+    def add_device(self, reps) -> None:
+        assert self.transform.is_trained, "add_device before train()"
+        self.inner.add_device(self.transform.apply(reps))
+
+    def search(self, q_reps, k: int = 1000, **kw) -> Tuple[np.ndarray, np.ndarray]:
+        return self.inner.search(np.asarray(self.transform.apply(q_reps)), k, **kw)
+
+    def batch_search(self, q_reps, k, batch_size, quiet=False):
+        all_s, all_i = [], []
+        for start in range(0, q_reps.shape[0], batch_size):
+            s, i = self.search(q_reps[start:start + batch_size], k)
+            all_s.append(s)
+            all_i.append(i)
+        return np.concatenate(all_s), np.concatenate(all_i)
+
+    def save(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+        self.transform.save(os.path.join(path, "transform.npz"))
+        self.inner.save(os.path.join(path, "inner"))
+        with open(os.path.join(path, "transformed_meta.json"), "w") as fh:
+            json.dump({"inner_type": type(self.inner).__name__}, fh)
+
+    @classmethod
+    def load(cls, path: str) -> "TransformedIndex":
+        with open(os.path.join(path, "transformed_meta.json")) as fh:
+            meta = json.load(fh)
+        transform = PCATransform.load(os.path.join(path, "transform.npz"))
+        if meta["inner_type"] == "IVFFlatIndex":
+            from .ivf import IVFFlatIndex as inner_cls
+        else:
+            from .flat import FlatIPIndex as inner_cls
+        inner = inner_cls.load(os.path.join(path, "inner"))
+        return cls(transform, inner)

@@ -88,20 +88,69 @@ def _block_topj_kernel_scaled(q_ref, c_ref, sc_ref, out_v_ref, out_i_ref, *,
         s = jnp.where(ids == amin, NEG_INF, s)
 
 
+INT32_MIN = -(2**31)
+
+
+def _block_topj_kernel_packed(q_ref, c_ref, out_v_ref, out_i_ref, *, J: int,
+                              block_size: int, n_valid: int, precision,
+                              id_bits: int):
+    """Packed-selection variant: score+id live in ONE int32, so each top-J
+    iteration is a single max-reduce + one masked update (~2 VPU passes vs ~5
+    for the exact kernel). The fp32 score is mapped through the standard
+    monotonic sortable-int transform (key = bits>=0 ? bits : bits^0x7fffffff),
+    its low ``id_bits`` are cleared and replaced by the bit-inverted local doc
+    id (so ties break toward the smaller id, matching the exact kernel).
+
+    Cost: returned scores are quantized to ~2^id_bits ulps (rel err ~1e-4 at
+    block 2048) — candidate SELECTION is exact up to score ties within that
+    quantum. This is the serving-path kernel; the certified exact path keeps
+    ``_block_topj_kernel``."""
+    b = pl.program_id(1)
+    q = q_ref[:]
+    c = c_ref[:]
+    s = jax.lax.dot_general(
+        q, c, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    )  # [Q, TN] fp32
+    Q = s.shape[0]
+    mask = (1 << id_bits) - 1
+    local = jax.lax.broadcasted_iota(jnp.int32, (Q, block_size), 1)
+    bits = jax.lax.bitcast_convert_type(s, jnp.int32)
+    key = jnp.where(bits >= 0, bits, bits ^ 0x7FFFFFFF)
+    packed = (key & ~mask) | (mask - local)  # inverted id: max picks min id
+    packed = jnp.where(local + b * block_size < n_valid, packed, INT32_MIN)
+
+    for j in range(J):
+        m = jnp.max(packed, axis=1, keepdims=True)  # [Q, 1]
+        mq = m[:, 0]
+        out_i_ref[0, :, j] = (mask - (mq & mask)) + b * block_size
+        keyq = mq & ~mask
+        bitsq = jnp.where(keyq >= 0, keyq, keyq ^ 0x7FFFFFFF)
+        val = jax.lax.bitcast_convert_type(bitsq, jnp.float32)
+        # exhausted/masked slots (key INT32_MIN) unpack to NaN — pin to -inf
+        out_v_ref[0, :, j] = jnp.where(mq == INT32_MIN, NEG_INF, val)
+        if j + 1 < J:
+            packed = jnp.where(packed == m, INT32_MIN, packed)
+
+
 QUERY_TILE = 256  # queries per grid step; bounds VMEM (s: [TQ, block] fp32)
 
 
-@functools.partial(jax.jit, static_argnames=("J", "block_size", "n_valid"))
+@functools.partial(jax.jit, static_argnames=("J", "block_size", "n_valid", "tq"))
 def _pallas_block_topj(q: jax.Array, corpus: jax.Array, J: int, block_size: int,
-                       n_valid: int) -> Tuple[jax.Array, jax.Array]:
+                       n_valid: int, tq: Optional[int] = None
+                       ) -> Tuple[jax.Array, jax.Array]:
     """Per-block top-J candidates. corpus [N, H] padded to block multiple,
     q [Q, H] padded to a QUERY_TILE multiple.
     Returns (vals [n_blocks, Q, J], ids [n_blocks, Q, J]) — block-major layout
-    keeps the per-grid-step output block tileable (last two dims = TQ, J)."""
+    keeps the per-grid-step output block tileable (last two dims = TQ, J).
+    ``tq`` overrides the query-tile size (perf tuning: a larger resident query
+    tile means fewer full corpus re-streams from HBM)."""
     Q, H = q.shape
     N = corpus.shape[0]
     n_blocks = N // block_size
-    TQ = min(Q, QUERY_TILE)
+    TQ = min(Q, tq or QUERY_TILE)
     n_qtiles = Q // TQ
     precision = (
         jax.lax.Precision.HIGHEST
@@ -118,6 +167,43 @@ def _pallas_block_topj(q: jax.Array, corpus: jax.Array, J: int, block_size: int,
     return pl.pallas_call(
         kernel,
         grid=grid,
+        in_specs=[
+            pl.BlockSpec((TQ, H), lambda qi, b: (qi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_size, H), lambda qi, b: (b, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, TQ, J), lambda qi, b: (b, qi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TQ, J), lambda qi, b: (b, qi, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_blocks, Q, J), jnp.float32),
+            jax.ShapeDtypeStruct((n_blocks, Q, J), jnp.int32),
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(q, corpus)
+
+
+@functools.partial(jax.jit, static_argnames=("J", "block_size", "n_valid", "tq"))
+def _pallas_block_topj_packed(q, corpus, J, block_size, n_valid, tq=None):
+    """Per-block top-J via the packed-selection kernel (serving fast path)."""
+    Q, H = q.shape
+    N = corpus.shape[0]
+    n_blocks = N // block_size
+    TQ = min(Q, tq or QUERY_TILE)
+    n_qtiles = Q // TQ
+    precision = (
+        jax.lax.Precision.HIGHEST
+        if q.dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+    id_bits = max(1, (block_size - 1).bit_length())
+    kernel = functools.partial(
+        _block_topj_kernel_packed, J=J, block_size=block_size, n_valid=n_valid,
+        precision=precision, id_bits=id_bits,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(n_qtiles, n_blocks),
         in_specs=[
             pl.BlockSpec((TQ, H), lambda qi, b: (qi, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((block_size, H), lambda qi, b: (b, 0), memory_space=pltpu.VMEM),
@@ -296,6 +382,24 @@ def pallas_topk_jit(q, corpus, k, J, block_size, n_valid):
     serving fast path and the benchmark target. Use ``pallas_topk`` when the
     exactness certificate is required."""
     vals_b, ids_b = _pallas_block_topj(q, corpus, J, block_size, n_valid)
+    nb = vals_b.shape[0]
+    Q = vals_b.shape[1]
+    flat_v = jnp.transpose(vals_b, (1, 0, 2)).reshape(Q, nb * J)
+    flat_i = jnp.transpose(ids_b, (1, 0, 2)).reshape(Q, nb * J)
+    kk = min(k, nb * J)
+    top_v, pos = jax.lax.top_k(flat_v, kk)
+    return top_v, jnp.take_along_axis(flat_i, pos, axis=1)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "J", "block_size", "n_valid", "tq"))
+def pallas_topk_serve(q, corpus, k, J, block_size, n_valid, tq=None):
+    """Serving fast path: packed-selection kernel + candidate merge, fully
+    jitted, no certificate. Selection is exact up to score ties within one
+    quantization quantum (~1e-4 relative at block 2048); returned scores are
+    quantized the same way. ~2x the selection throughput of pallas_topk_jit."""
+    vals_b, ids_b = _pallas_block_topj_packed(q, corpus, J, block_size,
+                                              n_valid, tq=tq)
     nb = vals_b.shape[0]
     Q = vals_b.shape[1]
     flat_v = jnp.transpose(vals_b, (1, 0, 2)).reshape(Q, nb * J)

@@ -144,3 +144,45 @@ def test_pallas_topk_jit_scaled_matches_dequant():
     ref_i = np.argsort(-full, axis=1)[:, :10]
     np.testing.assert_array_equal(i, ref_i)
     np.testing.assert_allclose(s, -np.sort(-full, axis=1)[:, :10], rtol=2e-2, atol=1e-2)
+
+
+def test_packed_kernel_matches_exact_selection():
+    """Packed-selection serving kernel: indices must match numpy exact top-k
+    (no near-ties in random data), scores within the pack quantum."""
+    from denseretrievaltoolkits_tpu.ops.topk import pallas_topk_serve
+
+    rng = np.random.default_rng(11)
+    corpus = rng.normal(size=(2048, 64)).astype(np.float32)
+    # include negative-heavy rows so the sortable-int transform's negative
+    # branch is exercised
+    corpus[:512] -= 3.0
+    q = rng.normal(size=(8, 64)).astype(np.float32)
+    q[3] = -np.abs(q[3])  # queries producing mostly negative scores
+    s, i = pallas_topk_serve(jnp.asarray(q), jnp.asarray(corpus), 10, 10, 256, 2048)
+    s, i = np.asarray(s), np.asarray(i)
+    full = q @ corpus.T
+    ref_i = np.argsort(-full, axis=1)[:, :10]
+    np.testing.assert_array_equal(i, ref_i)
+    ref_s = -np.sort(-full, axis=1)[:, :10]
+    np.testing.assert_allclose(s, ref_s, rtol=1e-3, atol=1e-3)
+    # quantization rounds toward -inf: packed score never exceeds the truth
+    assert (s <= ref_s + 1e-6).all()
+
+
+def test_packed_kernel_masks_padding():
+    from denseretrievaltoolkits_tpu.ops.topk import _pallas_block_topj_packed
+
+    rng = np.random.default_rng(12)
+    corpus = np.zeros((512, 64), np.float32)
+    corpus[:300] = rng.normal(size=(300, 64))
+    corpus[300:] = 50.0  # padded region must never win
+    q = rng.normal(size=(8, 64)).astype(np.float32)
+    vals, ids = _pallas_block_topj_packed(
+        jnp.asarray(q), jnp.asarray(corpus), 4, 256, 300
+    )
+    vals, ids = np.asarray(vals), np.asarray(ids)
+    # block 0 fully valid; block 1 has 44 valid rows then padding
+    assert ids[0].max() < 256
+    real = (vals > -1e29)
+    assert (ids[real] < 300).all()
+    assert np.isfinite(vals[real]).all() and not np.isnan(vals).any()
