@@ -99,10 +99,11 @@ def bench_tpu(queries: np.ndarray) -> float:
     qb = queries_dev.astype(jnp.bfloat16)
     pad = (-N_DOCS) % 2048
     corpus_pad = jnp.pad(corpus, ((0, pad), (0, 0))) if pad else corpus
-    out = pallas_topk_jit(qb, corpus_pad, TOPK, 8, 2048, N_DOCS)  # warm
+    tq = 512 if N_QUERIES % 512 == 0 else None  # hardware-swept winner
+    out = pallas_topk_jit(qb, corpus_pad, TOPK, 8, 2048, N_DOCS, tq=tq)  # warm
     t0 = time.time()
     for _ in range(ITERS):
-        out = pallas_topk_jit(qb, corpus_pad, TOPK, 8, 2048, N_DOCS)
+        out = pallas_topk_jit(qb, corpus_pad, TOPK, 8, 2048, N_DOCS, tq=tq)
     float(jnp.sum(out[0][0, 0]))  # drain queue
     elapsed = (time.time() - t0 - rt) / ITERS
     qps = N_QUERIES / elapsed
@@ -113,6 +114,33 @@ def bench_tpu(queries: np.ndarray) -> float:
     return qps
 
 
+def bench_serve(queries: np.ndarray) -> float:
+    """Packed-selection serving path (pallas_topk_serve) on the same 1M bf16
+    corpus — the production query path (search_mode='serve')."""
+    import jax
+    import jax.numpy as jnp
+
+    from denseretrievaltoolkits_tpu.ops.topk import pallas_topk_serve
+
+    corpus = jax.jit(
+        lambda key: jax.random.normal(key, (N_DOCS, DIM), jnp.bfloat16)
+    )(jax.random.key(0))
+    qb = jax.device_put(jnp.asarray(queries, jnp.bfloat16))
+    pad = (-N_DOCS) % 2048
+    corpus_pad = jnp.pad(corpus, ((0, pad), (0, 0))) if pad else corpus
+    rt = _roundtrip()
+    tq = 512 if N_QUERIES % 512 == 0 else None
+    out = pallas_topk_serve(qb, corpus_pad, TOPK, 4, 2048, N_DOCS, tq=tq)
+    assert out[1].shape == (N_QUERIES, TOPK)
+    t0 = time.time()
+    for _ in range(ITERS):
+        out = pallas_topk_serve(qb, corpus_pad, TOPK, 4, 2048, N_DOCS, tq=tq)
+    float(jnp.sum(out[0][0, 0]))
+    elapsed = (time.time() - t0 - rt) / ITERS
+    print(f"# serve: {elapsed*1e3:.2f} ms / {N_QUERIES} queries", file=sys.stderr)
+    return N_QUERIES / elapsed
+
+
 def bench_int8(queries: np.ndarray) -> float:
     """Exact-int8 top-100 over an N_DOCS_INT8-row corpus built + quantized on
     device (per-row absmax scales; in-kernel dequant)."""
@@ -120,7 +148,7 @@ def bench_int8(queries: np.ndarray) -> float:
     import jax.numpy as jnp
 
     from denseretrievaltoolkits_tpu.ops.quant import quantize_int8_device
-    from denseretrievaltoolkits_tpu.ops.topk import pallas_topk_jit_scaled
+    from denseretrievaltoolkits_tpu.ops.topk import pallas_topk_serve_scaled
 
     block = 2048
     n = N_DOCS_INT8 + ((-N_DOCS_INT8) % block)
@@ -154,14 +182,15 @@ def bench_int8(queries: np.ndarray) -> float:
 
     rt = _roundtrip()
     q = jax.device_put(jnp.asarray(queries[:N_QUERIES_INT8], jnp.bfloat16))
-    out = pallas_topk_jit_scaled(q, values, scales, TOPK, 8, block, N_DOCS_INT8)
+    out = pallas_topk_serve_scaled(q, values, scales, TOPK, 4, block,
+                                   N_DOCS_INT8, tq=N_QUERIES_INT8)
     assert out[1].shape == (N_QUERIES_INT8, TOPK)
     assert int(out[1].max()) < N_DOCS_INT8
     iters = 10
     t0 = time.time()
     for _ in range(iters):
-        out = pallas_topk_jit_scaled(q, values, scales, TOPK, 8, block,
-                                     N_DOCS_INT8)
+        out = pallas_topk_serve_scaled(q, values, scales, TOPK, 4, block,
+                                       N_DOCS_INT8, tq=N_QUERIES_INT8)
     float(jnp.sum(out[0][0, 0]))
     elapsed = (time.time() - t0 - rt) / iters
     qps = N_QUERIES_INT8 / elapsed
@@ -291,6 +320,8 @@ def main():
                            "error": f"{type(exc).__name__}: {exc}"})
 
     if os.environ.get("BENCH_SKIP_EXTRAS") != "1":
+        run_extra(f"query_qps_{N_DOCS // 1000}k_docs_serve",
+                  "qps", lambda: bench_serve(queries), cpu_qps * (orig_n / N_DOCS))
         run_extra(f"query_qps_int8_{N_DOCS_INT8 // 1000}k_docs_top{TOPK}",
                   "qps", lambda: bench_int8(queries), R1_INT8_QPS)
         run_extra("train_step_ms_bertbase", "ms", bench_train_step,

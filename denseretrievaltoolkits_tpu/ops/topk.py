@@ -134,6 +134,40 @@ def _block_topj_kernel_packed(q_ref, c_ref, out_v_ref, out_i_ref, *, J: int,
             packed = jnp.where(packed == m, INT32_MIN, packed)
 
 
+def _block_topj_kernel_packed_scaled(q_ref, c_ref, sc_ref, out_v_ref,
+                                     out_i_ref, *, J: int, block_size: int,
+                                     n_valid: int, precision, id_bits: int):
+    """int8-corpus twin of the packed kernel: in-kernel dequant-cast matmul +
+    per-row scale multiply, then packed 2-pass top-J selection."""
+    b = pl.program_id(1)
+    q = q_ref[:]
+    c = c_ref[:].astype(q.dtype)
+    s = jax.lax.dot_general(
+        q, c, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    )
+    s = s * sc_ref[:].reshape(1, -1)
+    Q = s.shape[0]
+    mask = (1 << id_bits) - 1
+    local = jax.lax.broadcasted_iota(jnp.int32, (Q, block_size), 1)
+    bits = jax.lax.bitcast_convert_type(s, jnp.int32)
+    key = jnp.where(bits >= 0, bits, bits ^ 0x7FFFFFFF)
+    packed = (key & ~mask) | (mask - local)
+    packed = jnp.where(local + b * block_size < n_valid, packed, INT32_MIN)
+
+    for j in range(J):
+        m = jnp.max(packed, axis=1, keepdims=True)
+        mq = m[:, 0]
+        out_i_ref[0, :, j] = (mask - (mq & mask)) + b * block_size
+        keyq = mq & ~mask
+        bitsq = jnp.where(keyq >= 0, keyq, keyq ^ 0x7FFFFFFF)
+        val = jax.lax.bitcast_convert_type(bitsq, jnp.float32)
+        out_v_ref[0, :, j] = jnp.where(mq == INT32_MIN, NEG_INF, val)
+        if j + 1 < J:
+            packed = jnp.where(packed == m, INT32_MIN, packed)
+
+
 QUERY_TILE = 256  # queries per grid step; bounds VMEM (s: [TQ, block] fp32)
 
 
@@ -218,6 +252,45 @@ def _pallas_block_topj_packed(q, corpus, J, block_size, n_valid, tq=None):
         ),
         interpret=jax.default_backend() != "tpu",
     )(q, corpus)
+
+
+@functools.partial(jax.jit, static_argnames=("J", "block_size", "n_valid", "tq"))
+def _pallas_block_topj_packed_scaled(q, corpus, scales, J, block_size, n_valid,
+                                     tq=None):
+    """Per-block top-J over an int8 corpus, packed selection (serving path)."""
+    Q, H = q.shape
+    N = corpus.shape[0]
+    n_blocks = N // block_size
+    TQ = min(Q, tq or QUERY_TILE)
+    n_qtiles = Q // TQ
+    precision = (
+        jax.lax.Precision.HIGHEST
+        if q.dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+    id_bits = max(1, (block_size - 1).bit_length())
+    kernel = functools.partial(
+        _block_topj_kernel_packed_scaled, J=J, block_size=block_size,
+        n_valid=n_valid, precision=precision, id_bits=id_bits,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(n_qtiles, n_blocks),
+        in_specs=[
+            pl.BlockSpec((TQ, H), lambda qi, b: (qi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_size, H), lambda qi, b: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_size), lambda qi, b: (0, b), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, TQ, J), lambda qi, b: (b, qi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TQ, J), lambda qi, b: (b, qi, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_blocks, Q, J), jnp.float32),
+            jax.ShapeDtypeStruct((n_blocks, Q, J), jnp.int32),
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(q, corpus, scales.reshape(1, -1))
 
 
 @functools.partial(jax.jit, static_argnames=("J", "block_size", "n_valid"))
@@ -376,12 +449,13 @@ def pallas_topk(
     return top_v, top_i
 
 
-@functools.partial(jax.jit, static_argnames=("k", "J", "block_size", "n_valid"))
-def pallas_topk_jit(q, corpus, k, J, block_size, n_valid):
+@functools.partial(jax.jit,
+                   static_argnames=("k", "J", "block_size", "n_valid", "tq"))
+def pallas_topk_jit(q, corpus, k, J, block_size, n_valid, tq=None):
     """Fully-jitted kernel + candidate merge (no certificate/fallback) — the
     serving fast path and the benchmark target. Use ``pallas_topk`` when the
     exactness certificate is required."""
-    vals_b, ids_b = _pallas_block_topj(q, corpus, J, block_size, n_valid)
+    vals_b, ids_b = _pallas_block_topj(q, corpus, J, block_size, n_valid, tq=tq)
     nb = vals_b.shape[0]
     Q = vals_b.shape[1]
     flat_v = jnp.transpose(vals_b, (1, 0, 2)).reshape(Q, nb * J)
@@ -409,8 +483,27 @@ def pallas_topk_serve(q, corpus, k, J, block_size, n_valid, tq=None):
     return top_v, jnp.take_along_axis(flat_i, pos, axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "J", "block_size", "n_valid"))
-def pallas_topk_jit_scaled(q, corpus, scales, k, J, block_size, n_valid):
+@functools.partial(jax.jit,
+                   static_argnames=("k", "J", "block_size", "n_valid", "tq"))
+def pallas_topk_serve_scaled(q, corpus, scales, k, J, block_size, n_valid,
+                             tq=None):
+    """int8 serving fast path: packed kernel with fused in-kernel dequant +
+    candidate merge (see pallas_topk_serve for semantics)."""
+    vals_b, ids_b = _pallas_block_topj_packed_scaled(
+        q, corpus, scales, J, block_size, n_valid, tq=tq)
+    nb = vals_b.shape[0]
+    Q = vals_b.shape[1]
+    flat_v = jnp.transpose(vals_b, (1, 0, 2)).reshape(Q, nb * J)
+    flat_i = jnp.transpose(ids_b, (1, 0, 2)).reshape(Q, nb * J)
+    kk = min(k, nb * J)
+    top_v, pos = jax.lax.top_k(flat_v, kk)
+    return top_v, jnp.take_along_axis(flat_i, pos, axis=1)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "J", "block_size", "n_valid", "tq"))
+def pallas_topk_jit_scaled(q, corpus, scales, k, J, block_size, n_valid,
+                           tq=None):
     """int8 twin of :func:`pallas_topk_jit`: fully-jitted scaled kernel +
     candidate merge (no certificate/fallback). ``corpus`` is int8 [N, H] with
     per-row dequant ``scales`` [N] — the serving fast path for quantized HBM
@@ -424,6 +517,75 @@ def pallas_topk_jit_scaled(q, corpus, scales, k, J, block_size, n_valid):
     kk = min(k, nb * J)
     top_v, pos = jax.lax.top_k(flat_v, kk)
     return top_v, jnp.take_along_axis(flat_i, pos, axis=1)
+
+
+SERVE_J = 4       # hardware-swept winners on the 1M x 768 bench (block 2048)
+SERVE_TQ = 512
+
+
+def pallas_topk_fast(
+    q_reps,
+    corpus: jax.Array,
+    k: int,
+    block_size: int = 2048,
+    scales: Optional[jax.Array] = None,
+    valid: Optional[int] = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Near-exact serving search: pad, pick (J, tq), run the packed kernel.
+
+    The serving twin of :func:`pallas_topk`: no certificate/fallback ladder,
+    packed 2-pass selection, tuned tile sizes. Per-query miss probability at
+    the default density (J=4 per 2048-row block, k=100, 1M docs) is ~1e-3 of
+    queries losing one tail member of the top-k — recall ~0.99999. Scores are
+    quantized to ~1e-4 relative (see _block_topj_kernel_packed)."""
+    q_reps = jnp.asarray(q_reps)
+    Q0 = q_reps.shape[0]
+    N, H = corpus.shape
+    n_valid = int(N if valid is None else valid)
+    n_blocks = -(-N // block_size)
+    # J sizes the per-block candidate list: the number of true top-k members
+    # landing in one block is ~Poisson(k/n_blocks), so mean + 4*sqrt + 4 slots
+    # pushes the per-block overflow probability below ~1e-6 at any scale
+    # (production: k=100 over 489 blocks -> J=6; tiny corpora grow J toward k)
+    lam = k / n_blocks
+    J = max(SERVE_J, int(np.ceil(lam + 4.0 * np.sqrt(lam) + 4.0)))
+    J = min(J, k, block_size)
+    if n_blocks * J < min(k, n_valid) or N < 2 * block_size:
+        # tiny corpus: the exact scan is cheap and has no slot ceiling
+        from ..index.flat import blockwise_topk
+
+        s, i = blockwise_topk(
+            jnp.asarray(q_reps, jnp.float32), corpus, min(k, n_valid),
+            min(block_size, N), scales=scales, valid=n_valid,
+        )
+        return np.asarray(s), np.asarray(i)
+
+    pad_n = (-N) % block_size
+    corpus_padded = jnp.pad(corpus, ((0, pad_n), (0, 0))) if pad_n else corpus
+    if corpus.dtype == jnp.int8:
+        assert scales is not None, "int8 corpus requires per-row scales"
+        qc = q_reps.astype(jnp.bfloat16)
+        scales_padded = jnp.pad(scales, (0, pad_n)) if pad_n else scales
+    else:
+        qc = q_reps.astype(
+            jnp.bfloat16 if corpus.dtype == jnp.bfloat16 else jnp.float32
+        )
+        scales_padded = None
+    TQ = min(SERVE_TQ, max(8, Q0))
+    pad_q = (-Q0) % TQ
+    if pad_q:
+        qc = jnp.pad(qc, ((0, pad_q), (0, 0)))
+
+    if scales_padded is not None:
+        s, i = pallas_topk_serve_scaled(
+            qc, corpus_padded, scales_padded, min(k, n_valid), J, block_size,
+            n_valid, tq=TQ,
+        )
+    else:
+        s, i = pallas_topk_serve(
+            qc, corpus_padded, min(k, n_valid), J, block_size, n_valid, tq=TQ,
+        )
+    return np.asarray(s[:Q0]), np.asarray(i[:Q0])
 
 
 def approx_topk(

@@ -40,14 +40,19 @@ def make_dataset(out, rng, n_train, n_eval, n_corpus, n_neg=4):
     """Synthetic NQ-style jsonl splits + corpus in the Tevatron schema
     (the reference's canonical data shape, run.sh:13-14)."""
     words = _words()
+    # disjoint noise/answer vocabularies: answer-containment labeling then
+    # marks ONLY planted passages relevant, so the metric floor at random
+    # init is ~0 and the curve measures actual learning
+    noise_words = words[: N_WORDS - 512]
+    answer_words = words[N_WORDS - 512:]
     data_dir = os.path.join(out, "data")
     os.makedirs(data_dir, exist_ok=True)
 
     def sent(n):
-        return " ".join(rng.choice(words) for _ in range(n))
+        return " ".join(rng.choice(noise_words) for _ in range(n))
 
     corpus_rows = [
-        {"docid": f"d{i}", "title": sent(2), "text": sent(12)}
+        {"docid": f"d{i}", "title": sent(2), "text": sent(24)}
         for i in range(n_corpus)
     ]
 
@@ -55,8 +60,13 @@ def make_dataset(out, rng, n_train, n_eval, n_corpus, n_neg=4):
         rows = []
         for j in range(n):
             i = (start + j) % n_corpus
-            answer = rng.choice(words)
-            corpus_rows[i]["text"] += " " + answer
+            answer = rng.choice(answer_words)
+            # dilute the signal: the answer lands at a random position inside
+            # a long passage, so the encoder must learn to surface it through
+            # pooling rather than memorize a fixed slot
+            toks = corpus_rows[i]["text"].split()
+            toks.insert(rng.randrange(len(toks) + 1), answer)
+            corpus_rows[i]["text"] = " ".join(toks)
             pos = {"docid": f"d{i}", "title": corpus_rows[i]["title"],
                    "text": corpus_rows[i]["text"]}
             negs = []
@@ -66,7 +76,7 @@ def make_dataset(out, rng, n_train, n_eval, n_corpus, n_neg=4):
                              "text": corpus_rows[k]["text"]})
             rows.append({
                 "query_id": f"q{start + j}",
-                "query": sent(5) + " " + answer,
+                "query": sent(10) + " " + answer,
                 "answers": [answer],
                 "positive_passages": [pos],
                 "negative_passages": negs,
@@ -119,7 +129,7 @@ def main(argv=None):
     ap.add_argument("--train", type=int, default=2000)
     ap.add_argument("--eval", type=int, default=200)
     ap.add_argument("--corpus", type=int, default=20000)
-    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--lr", type=float, default=1e-4)
     opts = ap.parse_args(argv)
 
     rng = random.Random(0)

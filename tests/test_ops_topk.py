@@ -186,3 +186,68 @@ def test_packed_kernel_masks_padding():
     real = (vals > -1e29)
     assert (ids[real] < 300).all()
     assert np.isfinite(vals[real]).all() and not np.isnan(vals).any()
+
+
+def test_packed_scaled_kernel_matches_dequant():
+    """int8 packed serving path vs exact search over the dequantized corpus."""
+    from denseretrievaltoolkits_tpu.index.flat import quantize_int8
+    from denseretrievaltoolkits_tpu.ops.topk import pallas_topk_serve_scaled
+
+    rng = np.random.default_rng(13)
+    corpus = rng.normal(size=(1024, 64)).astype(np.float32)
+    corpus[:256] -= 2.0  # negative-score region
+    values, scales = quantize_int8(corpus)
+    q = rng.normal(size=(8, 64)).astype(np.float32)
+    s, i = pallas_topk_serve_scaled(
+        jnp.asarray(q), jnp.asarray(values), jnp.asarray(scales),
+        10, 10, 256, 1024,
+    )
+    s, i = np.asarray(s), np.asarray(i)
+    deq = values.astype(np.float32) * scales[:, None]
+    full = q @ deq.T
+    ref_i = np.argsort(-full, axis=1)[:, :10]
+    np.testing.assert_array_equal(i, ref_i)
+    ref_s = -np.sort(-full, axis=1)[:, :10]
+    np.testing.assert_allclose(s, ref_s, rtol=2e-3, atol=2e-3)
+
+
+def test_pallas_topk_fast_wrapper():
+    """High-level serving wrapper: padding/J/tq handling, bf16 + int8 paths,
+    tiny-corpus fallback; parity with numpy exact on random data."""
+    from denseretrievaltoolkits_tpu.index.flat import quantize_int8
+    from denseretrievaltoolkits_tpu.ops.topk import pallas_topk_fast
+
+    rng = np.random.default_rng(14)
+    corpus = rng.normal(size=(777, 48)).astype(np.float32)  # non-multiple size
+    q = rng.normal(size=(5, 48)).astype(np.float32)
+    full = q @ corpus.T
+    ref_i = np.argsort(-full, axis=1)[:, :20]
+
+    s, i = pallas_topk_fast(q, jnp.asarray(corpus), 20, block_size=256)
+    np.testing.assert_array_equal(i, ref_i)
+    assert s.shape == (5, 20)
+
+    values, scales = quantize_int8(corpus)
+    s8, i8 = pallas_topk_fast(q, jnp.asarray(values), 20, block_size=256,
+                              scales=jnp.asarray(scales))
+    deq = values.astype(np.float32) * scales[:, None]
+    ref8 = np.argsort(-(q.astype(np.float32) @ deq.T), axis=1)[:, :20]
+    overlap = np.mean([len(set(a) & set(b)) for a, b in zip(i8, ref8)])
+    assert overlap >= 19.0, overlap  # bf16 query cast may flip near-ties
+
+    # tiny corpus: exact-scan fallback, k > rows clamps
+    s2, i2 = pallas_topk_fast(q, jnp.asarray(corpus[:40]), 64, block_size=256)
+    assert i2.shape == (5, 40)
+
+
+def test_flat_index_serve_mode_cpu_fallback():
+    """mode='serve' off-TPU falls back to the exact scan path."""
+    from denseretrievaltoolkits_tpu.index.flat import FlatIPIndex
+
+    rng = np.random.default_rng(15)
+    corpus = rng.normal(size=(300, 32)).astype(np.float32)
+    idx = FlatIPIndex(corpus, block_size=64)
+    q = rng.normal(size=(4, 32)).astype(np.float32)
+    s, i = idx.search(q, 10, mode="serve")
+    ref = np.argsort(-(q @ corpus.T), axis=1)[:, :10]
+    np.testing.assert_array_equal(i, ref)
