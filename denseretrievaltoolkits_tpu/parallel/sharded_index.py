@@ -204,7 +204,7 @@ class ShardedFlatIndex:
         use_pallas = (
             jax.default_backend() == "tpu" and per % block == 0
         )
-        certify = mode != "approx"
+        certify = mode not in ("approx", "serve")
 
         def local_exact(q, corpus_rows, scales_rows, local_valid):
             """Per-shard exact top-k: Pallas fast path with an in-graph
@@ -217,14 +217,34 @@ class ShardedFlatIndex:
                     valid=local_valid,
                 )
 
-            from ..ops.topk import _pallas_block_topj, _pallas_block_topj_scaled
+            from ..ops.topk import (
+                _pallas_block_topj,
+                _pallas_block_topj_packed,
+                _pallas_block_topj_packed_scaled,
+                _pallas_block_topj_scaled,
+            )
 
-            J = max(4, min(k, 8))
+            if mode == "serve":
+                # packed-selection serving kernel; J sized by the Poisson
+                # tail rule (see ops/topk.py:pallas_topk_fast)
+                lam = k / max(1, per // block)
+                J = min(k, block,
+                        max(4, int(np.ceil(lam + 4.0 * np.sqrt(lam) + 4.0))))
+            else:
+                J = max(4, min(k, 8))
             qb = q.astype(jnp.bfloat16 if corpus_rows.dtype != jnp.float32 else jnp.float32)
             # n_valid masking inside the kernel needs a static bound, but the
             # per-shard valid count is traced under shard_map — pass the full
             # static row count (no in-kernel masking) and mask here instead
-            if has_scales:
+            if mode == "serve" and has_scales:
+                vals_b, ids_b = _pallas_block_topj_packed_scaled(
+                    qb, corpus_rows, scales_rows, J, block, per
+                )
+            elif mode == "serve":
+                vals_b, ids_b = _pallas_block_topj_packed(
+                    qb, corpus_rows, J, block, per
+                )
+            elif has_scales:
                 vals_b, ids_b = _pallas_block_topj_scaled(
                     qb, corpus_rows, scales_rows, J, block, per
                 )

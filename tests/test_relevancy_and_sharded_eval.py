@@ -133,3 +133,21 @@ def test_approx_topk_blockwise_recall():
     recall = np.mean([len(set(np.asarray(indices)[r]) & set(ref[r])) / 10 for r in range(6)])
     assert recall >= 0.8  # CPU lowering of approx_max_k is exact-ish; TPU ~target
     assert np.asarray(indices).max() < 3000
+
+
+def test_sharded_serve_mode():
+    """mode='serve' on the 8-device mesh: CPU has no Pallas fast path, so the
+    scan serves and results stay exact; the mode string must round-trip the
+    shard_map rebuild without error."""
+    import numpy as np
+    from denseretrievaltoolkits_tpu.parallel.mesh import make_mesh
+    from denseretrievaltoolkits_tpu.parallel.sharded_index import ShardedFlatIndex
+
+    rng = np.random.default_rng(21)
+    corpus = rng.normal(size=(640, 24)).astype(np.float32)
+    q = rng.normal(size=(4, 24)).astype(np.float32)
+    idx = ShardedFlatIndex(make_mesh(8, 1), 24, block_size=32)
+    idx.add(corpus)
+    s, i = idx.search(q, 12, mode="serve")
+    ref = np.argsort(-(q @ corpus.T), axis=1)[:, :12]
+    np.testing.assert_array_equal(i, ref)
