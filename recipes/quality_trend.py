@@ -178,11 +178,13 @@ def main(argv=None):
 
     # collect the per-epoch metrics the trainer dumped ({ep}.0_metrics)
     rows = []
-    for path in sorted(glob.glob(os.path.join(cache, "*_metrics"))):
+    for path in glob.glob(os.path.join(cache, "*_metrics")):
         ep = os.path.basename(path).split(".")[0]
         with open(path) as fh:
             m = json.load(fh)
         rows.append((ep, m))
+    # numeric epoch order, with the final test eval (ep -1) last
+    rows.sort(key=lambda r: (int(r[0]) if int(r[0]) >= 0 else 10**9))
     print("\n| epoch | MRR@10 | NDCG@10 | Recall@10 | Recall@100 |")
     print("|---|---|---|---|---|")
     for ep, m in rows:
