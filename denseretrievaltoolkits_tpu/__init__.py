@@ -24,6 +24,8 @@ def __getattr__(name):
         "FlatIPIndex": "denseretrievaltoolkits_tpu.index.flat",
         "index_factory": "denseretrievaltoolkits_tpu.index.flat",
         "IVFFlatIndex": "denseretrievaltoolkits_tpu.index.ivf",
+        "PCATransform": "denseretrievaltoolkits_tpu.index.transforms",
+        "TransformedIndex": "denseretrievaltoolkits_tpu.index.transforms",
         "ShardedFlatIndex": "denseretrievaltoolkits_tpu.parallel.sharded_index",
         "make_mesh": "denseretrievaltoolkits_tpu.parallel.mesh",
         "DenseMiner": "denseretrievaltoolkits_tpu.mine.miner",
