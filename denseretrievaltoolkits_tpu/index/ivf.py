@@ -82,6 +82,40 @@ def _kmeans_device(corpus: jax.Array, init: jax.Array, nlist: int,
     return centroids
 
 
+@functools.partial(jax.jit, static_argnames=("C", "nlist", "n_ovf"))
+def _bucket_device(reps, assign, starts, C: int, nlist: int, n_ovf: int):
+    """Scatter rows into the cluster-major fixed-capacity layout ON DEVICE.
+
+    reps [N, dim] (any dtype), assign [N] int32, starts [nlist] int32 (cell
+    start offsets in the stably-sorted order). Rows ranked beyond a cell's
+    capacity C spill to the overflow slab (exactly n_ovf of them — computed
+    host-side from the tiny [N] assignment vector, the ONLY device→host
+    transfer of the build).
+
+    Returns (values [nlist*C, dim], row_ids [nlist*C] int32 with -1 = empty,
+    ovf_rows [n_ovf, dim], ovf_ids [n_ovf] int32)."""
+    N = reps.shape[0]
+    order = jnp.argsort(assign)                    # stable in jnp
+    sa = assign[order]
+    pos = jnp.arange(N, dtype=jnp.int32) - starts[sa]
+    in_cell = pos < C
+    dest = jnp.where(in_cell, sa * C + pos, nlist * C)  # OOB index → dropped
+    gathered = reps[order]
+    values = jnp.zeros((nlist * C, reps.shape[1]), reps.dtype)
+    values = values.at[dest].set(gathered, mode="drop")
+    row_ids = jnp.full((nlist * C,), -1, jnp.int32)
+    row_ids = row_ids.at[dest].set(order.astype(jnp.int32), mode="drop")
+    if n_ovf:
+        # stable partition: in-capacity rows first, overflow rows last
+        p2 = jnp.argsort(jnp.where(in_cell, 0, 1))
+        ovf_ids = order[p2][N - n_ovf:].astype(jnp.int32)
+        ovf_rows = reps[ovf_ids]
+    else:
+        ovf_ids = jnp.zeros((0,), jnp.int32)
+        ovf_rows = jnp.zeros((0, reps.shape[1]), reps.dtype)
+    return values, row_ids, ovf_rows, ovf_ids
+
+
 @functools.partial(jax.jit, static_argnames=("block",))
 def _assign_device(corpus: jax.Array, centroids: jax.Array, block: int) -> jax.Array:
     """Nearest-centroid (L2) assignment per corpus row → [N] int32."""
@@ -138,72 +172,83 @@ class IVFFlatIndex:
 
     # -- training --------------------------------------------------------------
 
-    def train(self, reps: np.ndarray, iters: int = 10, seed: int = 0) -> None:
-        """On-device Lloyd's k-means (the faiss ``index.train()`` role)."""
-        reps = np.asarray(reps, np.float32)
-        assert reps.shape[0] >= self.nlist, (
-            f"need >= nlist={self.nlist} training rows, got {reps.shape[0]}")
+    def train(self, reps, iters: int = 10, seed: int = 0) -> None:
+        """On-device Lloyd's k-means (the faiss ``index.train()`` role).
+
+        Accepts host numpy OR a device array; device input never round-trips
+        to host (init centroids are gathered on device from host-drawn row
+        indices)."""
+        n = int(reps.shape[0])
+        assert n >= self.nlist, (
+            f"need >= nlist={self.nlist} training rows, got {n}")
         rng = np.random.default_rng(seed)
-        init = reps[rng.choice(reps.shape[0], self.nlist, replace=False)]
+        sel = np.sort(rng.choice(n, self.nlist, replace=False)).astype(np.int32)
+        reps_d = jnp.asarray(reps, jnp.float32)
+        init = reps_d[jnp.asarray(sel)]
         self.centroids = _kmeans_device(
-            jnp.asarray(reps), jnp.asarray(init), self.nlist, iters,
-            min(self.train_block, reps.shape[0]))
+            reps_d, init, self.nlist, iters, min(self.train_block, n))
         self._search_fn = None
 
     # -- population -------------------------------------------------------------
 
     def add(self, reps: np.ndarray) -> None:
-        """Assign rows to cells on device, bucket into the fixed-capacity
-        cluster-major layout; capacity overflow spills to the exact slab."""
+        """Assign + bucket into the fixed-capacity cluster-major layout, ON
+        DEVICE (reps cross host→device once; the bucketing scatter and the
+        int8 quantization never round-trip). Capacity overflow spills to the
+        exact slab."""
+        self.add_device(jnp.asarray(np.asarray(reps, np.float32)))
+
+    def add_device(self, reps) -> None:
+        """Device-native build: bucket device-resident encoder output without
+        any host staging. Only the [N] int32 assignment vector is pulled to
+        host (for cell counts / overflow sizing — both shape-defining).
+
+        HBM note: the cluster-major buffer is ``capacity_factor`` x the corpus
+        bytes at cell dtype; at 10M+ rows prefer int8 cells and/or a lower
+        capacity_factor (spilling more rows to the exact overflow slab)."""
         if not self.is_trained:
             raise RuntimeError("IVFFlatIndex.add before train()")
         if self._values is not None:
             raise RuntimeError("IVFFlatIndex.add is one-shot; concatenate first")
-        reps = np.asarray(reps, np.float32)
-        N = reps.shape[0]
-        assign = np.asarray(_assign_device(
-            jnp.asarray(reps), self.centroids, min(8192, max(8, N))))
-
-        counts = np.bincount(assign, minlength=self.nlist)
+        reps = jnp.asarray(reps)
+        N = int(reps.shape[0])
+        assign = _assign_device(
+            reps.astype(jnp.float32) if reps.dtype == jnp.bfloat16 else reps,
+            self.centroids, min(8192, max(8, N)))
+        counts = np.bincount(np.asarray(assign), minlength=self.nlist)
         mean = max(1.0, N / self.nlist)
         C = int(-(-(self.capacity_factor * mean) // 8) * 8)
-        order = np.argsort(assign, kind="stable")
-        values = np.zeros((self.nlist, C, self.dim), np.float32)
-        row_ids = np.full((self.nlist, C), -1, np.int32)
-        ovf_rows, ovf_ids = [], []
-        start = 0
-        for cell in range(self.nlist):
-            cnt = counts[cell]
-            rows = order[start : start + cnt]
-            start += cnt
-            keep = min(cnt, C)
-            values[cell, :keep] = reps[rows[:keep]]
-            row_ids[cell, :keep] = rows[:keep]
-            if cnt > C:
-                ovf_rows.append(reps[rows[C:]])
-                ovf_ids.append(rows[C:])
+        n_ovf = int((counts - np.minimum(counts, C)).sum())
+        starts = np.zeros(self.nlist, np.int32)
+        np.cumsum(counts[:-1], out=starts[1:])
+
+        cell_dtype = {"int8": jnp.bfloat16, "bfloat16": jnp.bfloat16,
+                      "float32": jnp.float32}[self.dtype]
+        values, row_ids, ovf_rows, ovf_ids = _bucket_device(
+            reps.astype(cell_dtype), assign, jnp.asarray(starts),
+            C, self.nlist, n_ovf)
 
         if self.dtype == "int8":
-            flat_v, flat_s = quantize_int8(values.reshape(-1, self.dim))
-            self._values = jnp.asarray(flat_v.reshape(self.nlist, C, self.dim))
-            self._scales = jnp.asarray(flat_s.reshape(self.nlist, C))
-        elif self.dtype == "bfloat16":
-            self._values = jnp.asarray(values, jnp.bfloat16)
-            self._scales = None
-        else:
-            self._values = jnp.asarray(values)
-            self._scales = None
-        self._row_ids = jnp.asarray(row_ids)
+            from ..ops.quant import quantize_int8_device
 
-        if ovf_rows:
-            ovf = np.concatenate(ovf_rows, axis=0)
-            self._ovf_ids = jnp.asarray(np.concatenate(ovf_ids).astype(np.int32))
+            flat_v, flat_s = quantize_int8_device(values)
+            self._values = flat_v.reshape(self.nlist, C, self.dim)
+            self._scales = flat_s.reshape(self.nlist, C)
+        else:
+            self._values = values.reshape(self.nlist, C, self.dim)
+            self._scales = None
+        self._row_ids = row_ids.reshape(self.nlist, C)
+
+        if n_ovf:
+            self._ovf_ids = ovf_ids
             if self.dtype == "int8":
-                ov, os_ = quantize_int8(ovf)
-                self._ovf_values, self._ovf_scales = jnp.asarray(ov), jnp.asarray(os_)
+                from ..ops.quant import quantize_int8_device
+
+                ov, os_ = quantize_int8_device(
+                    ovf_rows, block_rows=min(1024, n_ovf))
+                self._ovf_values, self._ovf_scales = ov, os_
             else:
-                self._ovf_values = jnp.asarray(
-                    ovf, jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32)
+                self._ovf_values = ovf_rows
                 self._ovf_scales = None
         self._n = N
         self._search_fn = None

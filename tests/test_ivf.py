@@ -123,3 +123,31 @@ def test_factory_parses_ivf_strings():
         index_factory(64, "IVFx,Flat")
     with pytest.raises(ValueError):
         index_factory(64, "PQ16")
+
+
+def test_add_device_matches_add():
+    """Device-native build (add_device on a bf16 device array) produces the
+    same search results as the host add() path (both route through the
+    on-device bucketing scatter)."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(31)
+    corpus = rng.normal(size=(600, 32)).astype(np.float32)
+    q = rng.normal(size=(5, 32)).astype(np.float32)
+
+    a = IVFFlatIndex(32, nlist=8, nprobe=8, dtype="float32", query_tile=8)
+    a.train(corpus[:256], iters=4)
+    a.add(corpus)
+
+    b = IVFFlatIndex(32, nlist=8, nprobe=8, dtype="float32", query_tile=8)
+    b.centroids = a.centroids
+    b.add_device(jax.device_put(jnp.asarray(corpus)))
+
+    sa, ia = a.search(q, 10, nprobe=8)
+    sb, ib = b.search(q, 10, nprobe=8)
+    np.testing.assert_array_equal(ia, ib)
+    np.testing.assert_allclose(sa, sb, rtol=1e-5, atol=1e-5)
+    # full probe = exact
+    ref = np.argsort(-(q @ corpus.T), axis=1)[:, :10]
+    np.testing.assert_array_equal(ib, ref)
