@@ -144,7 +144,8 @@ class IVFFlatIndex:
 
     def __init__(self, dim: int, nlist: int = 1024, nprobe: int = 32,
                  dtype: str = "float32", capacity_factor: float = 2.0,
-                 query_tile: int = 16, train_block: int = 8192):
+                 query_tile: int = 16, train_block: int = 8192,
+                 ovf_frac: float = 0.02, max_capacity_factor: float = 8.0):
         self.dim = dim
         self.nlist = nlist
         self.nprobe = min(nprobe, nlist)
@@ -152,6 +153,12 @@ class IVFFlatIndex:
         self.capacity_factor = capacity_factor
         self.query_tile = query_tile
         self.train_block = train_block
+        # adaptive capacity: grow cells past capacity_factor x mean until the
+        # overflow slab holds <= ovf_frac of the rows (skewed cluster sizes —
+        # e.g. isotropic data — would otherwise spill half the corpus to the
+        # exactly-scanned slab), bounded by max_capacity_factor x mean HBM
+        self.ovf_frac = ovf_frac
+        self.max_capacity_factor = max_capacity_factor
         self.centroids: Optional[jax.Array] = None  # [nlist, dim] fp32
         self._values = None      # [nlist, C, dim] cell rows
         self._scales = None      # [nlist, C] for int8
@@ -218,6 +225,9 @@ class IVFFlatIndex:
         counts = np.bincount(np.asarray(assign), minlength=self.nlist)
         mean = max(1.0, N / self.nlist)
         C = int(-(-(self.capacity_factor * mean) // 8) * 8)
+        c_max = max(C, int(-(-(self.max_capacity_factor * mean) // 8) * 8))
+        while C < c_max and np.maximum(counts - C, 0).sum() > self.ovf_frac * N:
+            C += 8
         n_ovf = int((counts - np.minimum(counts, C)).sum())
         starts = np.zeros(self.nlist, np.int32)
         np.cumsum(counts[:-1], out=starts[1:])
@@ -278,18 +288,25 @@ class IVFFlatIndex:
                 s = s * scales[cells]
             s = s.reshape(q.shape[0], nprobe * C)
             s = jnp.where(ids >= 0, s, -jnp.inf)
-            # 3) overflow slab: scanned exactly by every query
+            top_s, pos = jax.lax.top_k(s, k)
+            top_i = jnp.take_along_axis(ids, pos, axis=1)
+            # 3) overflow slab: scanned exactly by every query, reduced to
+            # its own top-k FIRST so the final merge is 2k wide (a single
+            # top_k over nprobe*C + n_ovf columns gets slow when the slab is
+            # large)
             if ovf_v is not None:
                 so = jnp.dot(qc, ovf_v.astype(qc.dtype).T,
                              preferred_element_type=jnp.float32)
                 if ovf_s is not None:
                     so = so * ovf_s[None, :]
-                s = jnp.concatenate([s, so], axis=1)
-                ids = jnp.concatenate(
-                    [ids, jnp.broadcast_to(ovf_i, (q.shape[0], ovf_i.shape[0]))],
-                    axis=1)
-            top_s, pos = jax.lax.top_k(s, k)
-            return top_s, jnp.take_along_axis(ids, pos, axis=1)
+                k2 = min(k, so.shape[1])
+                so_top, so_pos = jax.lax.top_k(so, k2)
+                so_ids = jnp.take(ovf_i, so_pos)
+                all_s = jnp.concatenate([top_s, so_top], axis=1)
+                all_i = jnp.concatenate([top_i, so_ids], axis=1)
+                top_s, pos2 = jax.lax.top_k(all_s, k)
+                top_i = jnp.take_along_axis(all_i, pos2, axis=1)
+            return top_s, top_i
 
         return jax.jit(probe_tile), tile
 
