@@ -83,37 +83,49 @@ def _kmeans_device(corpus: jax.Array, init: jax.Array, nlist: int,
 
 
 @functools.partial(jax.jit, static_argnames=("C", "nlist", "n_ovf"))
-def _bucket_device(reps, assign, starts, C: int, nlist: int, n_ovf: int):
+def _bucket_device(reps, assign, starts, C: int, nlist: int, n_ovf: int,
+                   scales=None):
     """Scatter rows into the cluster-major fixed-capacity layout ON DEVICE.
 
-    reps [N, dim] (any dtype), assign [N] int32, starts [nlist] int32 (cell
-    start offsets in the stably-sorted order). Rows ranked beyond a cell's
+    reps [N, dim] (any dtype — int8 rows scatter as int8, so the buffer never
+    exists at a wider dtype), assign [N] int32, starts [nlist] int32 (cell
+    start offsets in the stably-sorted order), optional per-row ``scales``
+    [N] (int8 dequant) scattered alongside. Rows ranked beyond a cell's
     capacity C spill to the overflow slab (exactly n_ovf of them — computed
     host-side from the tiny [N] assignment vector, the ONLY device→host
     transfer of the build).
 
     Returns (values [nlist*C, dim], row_ids [nlist*C] int32 with -1 = empty,
-    ovf_rows [n_ovf, dim], ovf_ids [n_ovf] int32)."""
+    cell_scales [nlist*C] | None, ovf_rows [n_ovf, dim], ovf_ids [n_ovf],
+    ovf_scales [n_ovf] | None)."""
     N = reps.shape[0]
     order = jnp.argsort(assign)                    # stable in jnp
     sa = assign[order]
     pos = jnp.arange(N, dtype=jnp.int32) - starts[sa]
     in_cell = pos < C
     dest = jnp.where(in_cell, sa * C + pos, nlist * C)  # OOB index → dropped
-    gathered = reps[order]
     values = jnp.zeros((nlist * C, reps.shape[1]), reps.dtype)
-    values = values.at[dest].set(gathered, mode="drop")
+    values = values.at[dest].set(reps[order], mode="drop")
     row_ids = jnp.full((nlist * C,), -1, jnp.int32)
     row_ids = row_ids.at[dest].set(order.astype(jnp.int32), mode="drop")
+    cell_scales = None
+    if scales is not None:
+        cell_scales = jnp.ones((nlist * C,), jnp.float32)
+        cell_scales = cell_scales.at[dest].set(scales[order], mode="drop")
+    ovf_scales = None
     if n_ovf:
         # stable partition: in-capacity rows first, overflow rows last
         p2 = jnp.argsort(jnp.where(in_cell, 0, 1))
         ovf_ids = order[p2][N - n_ovf:].astype(jnp.int32)
         ovf_rows = reps[ovf_ids]
+        if scales is not None:
+            ovf_scales = scales[ovf_ids]
     else:
         ovf_ids = jnp.zeros((0,), jnp.int32)
         ovf_rows = jnp.zeros((0, reps.shape[1]), reps.dtype)
-    return values, row_ids, ovf_rows, ovf_ids
+        if scales is not None:
+            ovf_scales = jnp.zeros((0,), jnp.float32)
+    return values, row_ids, cell_scales, ovf_rows, ovf_ids, ovf_scales
 
 
 @functools.partial(jax.jit, static_argnames=("block",))
@@ -232,34 +244,32 @@ class IVFFlatIndex:
         starts = np.zeros(self.nlist, np.int32)
         np.cumsum(counts[:-1], out=starts[1:])
 
-        cell_dtype = {"int8": jnp.bfloat16, "bfloat16": jnp.bfloat16,
-                      "float32": jnp.float32}[self.dtype]
-        values, row_ids, ovf_rows, ovf_ids = _bucket_device(
-            reps.astype(cell_dtype), assign, jnp.asarray(starts),
-            C, self.nlist, n_ovf)
-
         if self.dtype == "int8":
+            # quantize the ROWS first so the scatter moves int8 (the cell
+            # buffer never exists at a wider dtype — peak HBM matters at 1M+)
             from ..ops.quant import quantize_int8_device
 
-            flat_v, flat_s = quantize_int8_device(values)
-            self._values = flat_v.reshape(self.nlist, C, self.dim)
-            self._scales = flat_s.reshape(self.nlist, C)
+            qv, qs = quantize_int8_device(
+                reps if reps.dtype != jnp.bfloat16 else reps.astype(jnp.float32))
+            values, row_ids, cell_scales, ovf_rows, ovf_ids, ovf_scales = \
+                _bucket_device(qv, assign, jnp.asarray(starts),
+                               C, self.nlist, n_ovf, scales=qs)
+            self._values = values.reshape(self.nlist, C, self.dim)
+            self._scales = cell_scales.reshape(self.nlist, C)
         else:
+            cell_dtype = jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32
+            values, row_ids, _, ovf_rows, ovf_ids, _ = _bucket_device(
+                reps.astype(cell_dtype), assign, jnp.asarray(starts),
+                C, self.nlist, n_ovf)
+            ovf_scales = None
             self._values = values.reshape(self.nlist, C, self.dim)
             self._scales = None
         self._row_ids = row_ids.reshape(self.nlist, C)
 
         if n_ovf:
             self._ovf_ids = ovf_ids
-            if self.dtype == "int8":
-                from ..ops.quant import quantize_int8_device
-
-                ov, os_ = quantize_int8_device(
-                    ovf_rows, block_rows=min(1024, n_ovf))
-                self._ovf_values, self._ovf_scales = ov, os_
-            else:
-                self._ovf_values = ovf_rows
-                self._ovf_scales = None
+            self._ovf_values = ovf_rows
+            self._ovf_scales = ovf_scales
         self._n = N
         self._search_fn = None
 
