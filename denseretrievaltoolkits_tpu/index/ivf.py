@@ -276,13 +276,14 @@ class IVFFlatIndex:
     # -- search ------------------------------------------------------------------
 
     def _build_search(self, k: int, nprobe: int):
-        centroids = self.centroids
-        values, scales, row_ids = self._values, self._scales, self._row_ids
-        ovf_v, ovf_s, ovf_i = self._ovf_values, self._ovf_scales, self._ovf_ids
-        C = values.shape[1]
+        C = self._values.shape[1]
         tile = self.query_tile
 
-        def probe_tile(q):  # q: [T, dim] fp32
+        # the cell arrays are RUNTIME ARGUMENTS, never jit-captured constants:
+        # closure-captured device arrays are serialized with the computation
+        # at lowering (multi-GB through a remote-compile path)
+        def probe_tile(q, centroids, values, row_ids, scales,
+                       ovf_v, ovf_s, ovf_i):  # q: [T, dim] fp32
             # 1) probe cells by INNER PRODUCT (faiss IVF-IP semantics)
             cell_scores = jnp.dot(q, centroids.T,
                                   preferred_element_type=jnp.float32)
@@ -318,7 +319,14 @@ class IVFFlatIndex:
                 top_i = jnp.take_along_axis(all_i, pos2, axis=1)
             return top_s, top_i
 
-        return jax.jit(probe_tile), tile
+        jitted = jax.jit(probe_tile)
+
+        def fn(q):
+            return jitted(q, self.centroids, self._values, self._row_ids,
+                          self._scales, self._ovf_values, self._ovf_scales,
+                          self._ovf_ids)
+
+        return fn, tile
 
     def search(self, q_reps: np.ndarray, k: int = 100,
                mode: str = "approx",
