@@ -82,6 +82,32 @@ def _kmeans_device(corpus: jax.Array, init: jax.Array, nlist: int,
     return centroids
 
 
+def _split_heavy_cells(corpus_d, centroids, nlist: int, block: int,
+                       rounds: int = 2, iters: int = 4, seed: int = 0):
+    """Rebalance Lloyd's output: random-row init leaves ~1/e of the cells
+    starving (init collisions), which inflates the fixed cell capacity. Each
+    round moves the emptiest centroids next to the heaviest ones (perturbed
+    copies — the split halves the heavy cell) and re-runs a few Lloyd's
+    iterations. Host work is one [N] bincount per round."""
+    rng = np.random.default_rng(seed)
+    for _ in range(rounds):
+        assign = np.asarray(_assign_device(corpus_d, centroids, block))
+        counts = np.bincount(assign, minlength=nlist)
+        mean = counts.mean()
+        heavy = np.argsort(-counts)
+        light = np.argsort(counts)
+        n_move = int(min((counts[light] < mean / 4).sum(),
+                         (counts[heavy] > 2 * mean).sum()))
+        if n_move == 0:
+            break
+        c_host = np.array(centroids)  # writable host copy
+        eps = rng.standard_normal((n_move, c_host.shape[1])).astype(np.float32)
+        c_host[light[:n_move]] = c_host[heavy[:n_move]] + 1e-3 * eps
+        centroids = _kmeans_device(corpus_d, jnp.asarray(c_host), nlist,
+                                   iters, block)
+    return centroids
+
+
 @functools.partial(jax.jit, static_argnames=("C", "nlist", "n_ovf"))
 def _bucket_device(reps, assign, starts, C: int, nlist: int, n_ovf: int,
                    scales=None):
@@ -204,8 +230,12 @@ class IVFFlatIndex:
         sel = np.sort(rng.choice(n, self.nlist, replace=False)).astype(np.int32)
         reps_d = jnp.asarray(reps, jnp.float32)
         init = reps_d[jnp.asarray(sel)]
-        self.centroids = _kmeans_device(
-            reps_d, init, self.nlist, iters, min(self.train_block, n))
+        block = min(self.train_block, n)
+        centroids = _kmeans_device(reps_d, init, self.nlist, iters, block)
+        # rebalance: split the heaviest cells into the starving ones (cuts
+        # the fixed cell capacity the skewed counts would otherwise force)
+        self.centroids = _split_heavy_cells(
+            reps_d, centroids, self.nlist, block, seed=seed)
         self._search_fn = None
 
     # -- population -------------------------------------------------------------
@@ -277,7 +307,10 @@ class IVFFlatIndex:
 
     def _build_search(self, k: int, nprobe: int):
         C = self._values.shape[1]
-        tile = self.query_tile
+        # bound the per-tile cell gather (tile x nprobe x C x dim at cell
+        # dtype) to ~1 GB so large (nprobe, C) combinations cannot OOM
+        bytes_per_q = nprobe * C * self.dim * self._values.dtype.itemsize
+        tile = max(1, min(self.query_tile, (1 << 30) // max(1, bytes_per_q)))
 
         # the cell arrays are RUNTIME ARGUMENTS, never jit-captured constants:
         # closure-captured device arrays are serialized with the computation
