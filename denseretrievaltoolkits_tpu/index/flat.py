@@ -44,7 +44,7 @@ def quantize_int8(reps: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     return values, scales.squeeze(1)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "block_size"))
+@functools.partial(jax.jit, static_argnames=("k", "block_size", "int4"))
 def blockwise_topk(
     q_reps: jax.Array,
     corpus: jax.Array,
@@ -52,11 +52,14 @@ def blockwise_topk(
     block_size: int = DEFAULT_BLOCK,
     scales: Optional[jax.Array] = None,
     valid: Optional[jax.Array] = None,
+    int4: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Exact top-k inner-product search, O(k + block) memory per query.
 
     q_reps: [Q, H] float; corpus: [N, H] (fp32/bf16/int8); scales: [N] for
     int8 dequant; valid: scalar count of real rows (padded rows masked out).
+    ``int4=True``: corpus is nibble-packed [N, H/2] int8 (ops/quant.py column-
+    half layout) with per-row ``scales``.
     Returns (scores [Q, k] fp32, indices [Q, k] int32), sorted descending.
     """
     Q, H = q_reps.shape
@@ -72,7 +75,7 @@ def blockwise_topk(
     qf = q_reps.astype(jnp.float32)
     compute_dtype = corpus.dtype if corpus.dtype == jnp.bfloat16 else jnp.float32
 
-    corpus_blocks = corpus.reshape(n_blocks, block_size, H)
+    corpus_blocks = corpus.reshape(n_blocks, block_size, corpus.shape[1])
     scale_blocks = (
         scales.reshape(n_blocks, block_size) if scales is not None else None
     )
@@ -100,6 +103,19 @@ def blockwise_topk(
                 qf.astype(compute_dtype), blk_mat.T,
                 preferred_element_type=jnp.float32, precision=precision,
             )
+        elif int4:
+            block, scale, offset = blk
+            x = block.astype(jnp.int32)
+            lo = ((x << 28) >> 28).astype(jnp.float32)   # dims [0, H/2)
+            hi = ((x << 24) >> 28).astype(jnp.float32)   # dims [H/2, H)
+            half = H // 2
+            s = (jnp.dot(qf[:, :half], lo.T,
+                         preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
+                 + jnp.dot(qf[:, half:], hi.T,
+                           preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST))
+            s = s * scale[None, :]
         else:
             block, scale, offset = blk
             s = jnp.dot(qf, block.astype(jnp.float32).T,
@@ -177,6 +193,12 @@ class FlatIPIndex:
             values, scales = quantize_int8_device(jnp.asarray(p_reps),
                                                   block_rows=min(1024, p_reps.shape[0]))
             self._device_slabs.append((values, scales, n))
+        elif self.dtype == "int4":
+            from ..ops.quant import quantize_int4_device
+
+            values, scales = quantize_int4_device(jnp.asarray(p_reps),
+                                                  block_rows=min(1024, p_reps.shape[0]))
+            self._device_slabs.append((values, scales, n))
         elif self.dtype == "bfloat16":
             self._device_slabs.append((jnp.asarray(p_reps, jnp.bfloat16), None, n))
         else:
@@ -203,6 +225,11 @@ class FlatIPIndex:
                 values, scales = quantize_int8(full)
                 self._device_corpus = jnp.asarray(values)
                 self._device_scales = jnp.asarray(scales)
+        elif self.dtype == "int4":
+            from ..ops.quant import quantize_int4_device
+
+            values_d, scales_d = quantize_int4_device(jnp.asarray(full))
+            self._device_corpus, self._device_scales = values_d, scales_d
         elif self.dtype == "bfloat16":
             self._device_corpus = jnp.asarray(full, jnp.bfloat16)
             self._device_scales = None
@@ -223,6 +250,25 @@ class FlatIPIndex:
         mode="approx": the TPU's hardware PartialReduce (recall-targeted
         ~0.95) for fp32/bf16 corpora; int8 corpora serve approx via the
         Pallas kernel with the exactness certificate skipped."""
+        if self.dtype == "int4" and not self._device_slabs:
+            # nibble-packed corpus: the packed-sq4 serving kernel on TPU,
+            # the int4-aware exact scan elsewhere (and for mode="exact")
+            self._materialize()
+            kk = min(k, self._n)
+            if mode != "exact" and jax.default_backend() == "tpu":
+                from ..ops.topk import pallas_topk_fast
+
+                return pallas_topk_fast(
+                    jnp.asarray(q_reps, jnp.float32), self._device_corpus,
+                    kk, min(self.block_size, self._device_corpus.shape[0]),
+                    scales=self._device_scales, valid=self._n, int4=True,
+                )
+            s, i = blockwise_topk(
+                jnp.asarray(q_reps, jnp.float32), self._device_corpus, kk,
+                min(self.block_size, self._device_corpus.shape[0]),
+                scales=self._device_scales, valid=self._n, int4=True,
+            )
+            return np.asarray(s), np.asarray(i)
         if mode == "serve" and jax.default_backend() == "tpu" \
                 and not self._device_slabs:
             from ..ops.topk import pallas_topk_fast
@@ -282,8 +328,25 @@ class FlatIPIndex:
         use_pallas = jax.default_backend() == "tpu"
         parts_v, parts_i = [], []
         offset = 0
+        int4 = self.dtype == "int4"
         for values, scales, n in self._device_slabs:
-            if use_pallas and mode == "serve":
+            if int4:
+                if use_pallas and mode != "exact":
+                    from ..ops.topk import pallas_topk_fast
+
+                    s, i = pallas_topk_fast(
+                        q, values, min(k, n),
+                        min(self.block_size, values.shape[0]),
+                        valid=n, scales=scales, int4=True,
+                    )
+                else:
+                    s, i = blockwise_topk(
+                        q, values, min(k, n),
+                        min(self.block_size, values.shape[0]),
+                        scales=scales, valid=n, int4=True,
+                    )
+                s, i = jnp.asarray(s), jnp.asarray(i)
+            elif use_pallas and mode == "serve":
                 from ..ops.topk import pallas_topk_fast
 
                 s, i = pallas_topk_fast(
@@ -334,7 +397,7 @@ class FlatIPIndex:
         """(values int8 [N,H], scales fp32 [N]) — the index's own storage,
         saved as-is so a load round-trip is bit-identical (no fp32
         materialization, no double quantization)."""
-        if self.dtype != "int8":
+        if self.dtype not in ("int8", "int4"):
             return None
         if self._device_slabs:
             vals = np.concatenate(
@@ -344,7 +407,13 @@ class FlatIPIndex:
             return vals, scs
         if self._chunks:
             # quantize ONCE at save time — identical to what search would use
-            return quantize_int8(np.concatenate(self._chunks, axis=0))
+            full = np.concatenate(self._chunks, axis=0)
+            if self.dtype == "int4":
+                from ..ops.quant import quantize_int4_device
+
+                v, s = quantize_int4_device(jnp.asarray(full))
+                return np.asarray(v), np.asarray(s)
+            return quantize_int8(full)
         return np.zeros((0, self.dim), np.int8), np.zeros((0,), np.float32)
 
     def save(self, path: str) -> None:
@@ -399,6 +468,8 @@ def index_factory(dim: int, factory_str: str, block_size: int = DEFAULT_BLOCK,
       "Flat" / "IP"        → fp32 exact
       "BF16" / "Flat16"    → bf16 exact
       "SQ8" / "SQint8"     → int8 per-row-scale (scalar-quantized)
+      "SQ4" / "SQint4"     → int4 nibble-packed, per-row scales (half the
+                             HBM of int8: 21M x 768 fits one chip)
       "IVF{n},Flat"        → trained coarse index (index/ivf.py), fp32 cells
       "IVF{n},BF16"        → …bf16 cells
       "IVF{n},SQ8"         → …int8 cells
@@ -426,6 +497,7 @@ def index_factory(dim: int, factory_str: str, block_size: int = DEFAULT_BLOCK,
         "flat": "float32", "ip": "float32",
         "bf16": "bfloat16", "flat16": "bfloat16",
         "sq8": "int8", "sqint8": "int8",
+        "sq4": "int4", "sqint4": "int4",
     }
     if key in flat_dtypes:
         return FlatIPIndex(dim, dtype=flat_dtypes[key], block_size=block_size)

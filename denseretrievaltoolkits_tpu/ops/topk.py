@@ -168,6 +168,46 @@ def _block_topj_kernel_packed_scaled(q_ref, c_ref, sc_ref, out_v_ref,
             packed = jnp.where(packed == m, INT32_MIN, packed)
 
 
+def _block_topj_kernel_packed_sq4(q_ref, c_ref, sc_ref, out_v_ref, out_i_ref,
+                                  *, J: int, block_size: int, n_valid: int,
+                                  id_bits: int, half: int):
+    """int4-corpus packed-selection kernel: the corpus block is nibble-packed
+    [TN, H/2] int8 in the column-half layout (ops/quant.py), so the unpack is
+    two sign-extends and the score is TWO MXU matmuls — no interleave. Per-row
+    dequant scales fuse in-kernel; selection is the packed 2-pass top-J."""
+    b = pl.program_id(1)
+    q = q_ref[:]  # [TQ, H]
+    x = c_ref[:].astype(jnp.int32)  # [TN, H/2] packed
+    lo = ((x << 28) >> 28).astype(q.dtype)   # dims [0, half)
+    hi = ((x << 24) >> 28).astype(q.dtype)   # dims [half, H)
+    s = jax.lax.dot_general(
+        q[:, :half], lo, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + jax.lax.dot_general(
+        q[:, half:], hi, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    s = s * sc_ref[:].reshape(1, -1)
+    Q = s.shape[0]
+    mask = (1 << id_bits) - 1
+    local = jax.lax.broadcasted_iota(jnp.int32, (Q, block_size), 1)
+    bits = jax.lax.bitcast_convert_type(s, jnp.int32)
+    key = jnp.where(bits >= 0, bits, bits ^ 0x7FFFFFFF)
+    packed = (key & ~mask) | (mask - local)
+    packed = jnp.where(local + b * block_size < n_valid, packed, INT32_MIN)
+
+    for j in range(J):
+        m = jnp.max(packed, axis=1, keepdims=True)
+        mq = m[:, 0]
+        out_i_ref[0, :, j] = (mask - (mq & mask)) + b * block_size
+        keyq = mq & ~mask
+        bitsq = jnp.where(keyq >= 0, keyq, keyq ^ 0x7FFFFFFF)
+        val = jax.lax.bitcast_convert_type(bitsq, jnp.float32)
+        out_v_ref[0, :, j] = jnp.where(mq == INT32_MIN, NEG_INF, val)
+        if j + 1 < J:
+            packed = jnp.where(packed == m, INT32_MIN, packed)
+
+
 QUERY_TILE = 256  # queries per grid step; bounds VMEM (s: [TQ, block] fp32)
 
 
@@ -291,6 +331,58 @@ def _pallas_block_topj_packed_scaled(q, corpus, scales, J, block_size, n_valid,
         ),
         interpret=jax.default_backend() != "tpu",
     )(q, corpus, scales.reshape(1, -1))
+
+
+@functools.partial(jax.jit, static_argnames=("J", "block_size", "n_valid", "tq"))
+def _pallas_block_topj_packed_sq4(q, corpus, scales, J, block_size, n_valid,
+                                  tq=None):
+    """Per-block top-J over a nibble-packed int4 corpus [N, H/2] int8."""
+    Q, H = q.shape
+    N = corpus.shape[0]
+    n_blocks = N // block_size
+    TQ = min(Q, tq or QUERY_TILE)
+    n_qtiles = Q // TQ
+    id_bits = max(1, (block_size - 1).bit_length())
+    kernel = functools.partial(
+        _block_topj_kernel_packed_sq4, J=J, block_size=block_size,
+        n_valid=n_valid, id_bits=id_bits, half=H // 2,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(n_qtiles, n_blocks),
+        in_specs=[
+            pl.BlockSpec((TQ, H), lambda qi, b: (qi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_size, H // 2), lambda qi, b: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_size), lambda qi, b: (0, b), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, TQ, J), lambda qi, b: (b, qi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TQ, J), lambda qi, b: (b, qi, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_blocks, Q, J), jnp.float32),
+            jax.ShapeDtypeStruct((n_blocks, Q, J), jnp.int32),
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(q, corpus, scales.reshape(1, -1))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "J", "block_size", "n_valid", "tq"))
+def pallas_topk_serve_sq4(q, corpus, scales, k, J, block_size, n_valid,
+                          tq=None):
+    """int4 serving fast path: packed kernel over a nibble-packed corpus
+    (HALF the HBM of int8 — a 21M x 768 corpus fits one chip) + merge."""
+    vals_b, ids_b = _pallas_block_topj_packed_sq4(
+        q, corpus, scales, J, block_size, n_valid, tq=tq)
+    nb = vals_b.shape[0]
+    Q = vals_b.shape[1]
+    flat_v = jnp.transpose(vals_b, (1, 0, 2)).reshape(Q, nb * J)
+    flat_i = jnp.transpose(ids_b, (1, 0, 2)).reshape(Q, nb * J)
+    kk = min(k, nb * J)
+    top_v, pos = jax.lax.top_k(flat_v, kk)
+    return top_v, jnp.take_along_axis(flat_i, pos, axis=1)
 
 
 @functools.partial(jax.jit, static_argnames=("J", "block_size", "n_valid"))
@@ -530,6 +622,7 @@ def pallas_topk_fast(
     block_size: int = 2048,
     scales: Optional[jax.Array] = None,
     valid: Optional[int] = None,
+    int4: bool = False,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Near-exact serving search: pad, pick (J, tq), run the packed kernel.
 
@@ -556,12 +649,25 @@ def pallas_topk_fast(
 
         s, i = blockwise_topk(
             jnp.asarray(q_reps, jnp.float32), corpus, min(k, n_valid),
-            min(block_size, N), scales=scales, valid=n_valid,
+            min(block_size, N), scales=scales, valid=n_valid, int4=int4,
         )
         return np.asarray(s), np.asarray(i)
 
     pad_n = (-N) % block_size
     corpus_padded = jnp.pad(corpus, ((0, pad_n), (0, 0))) if pad_n else corpus
+    if int4:
+        assert scales is not None, "int4 corpus requires per-row scales"
+        qc = q_reps.astype(jnp.bfloat16)
+        scales_padded = jnp.pad(scales, (0, pad_n)) if pad_n else scales
+        TQ = min(SERVE_TQ, max(8, Q0))
+        pad_q = (-Q0) % TQ
+        if pad_q:
+            qc = jnp.pad(qc, ((0, pad_q), (0, 0)))
+        s, i = pallas_topk_serve_sq4(
+            qc, corpus_padded, scales_padded, min(k, n_valid), J, block_size,
+            n_valid, tq=TQ,
+        )
+        return np.asarray(s[:Q0]), np.asarray(i[:Q0])
     if corpus.dtype == jnp.int8:
         assert scales is not None, "int8 corpus requires per-row scales"
         qc = q_reps.astype(jnp.bfloat16)
