@@ -52,6 +52,10 @@ N_DOCS_INT8 = int(os.environ.get("BENCH_DOCS_INT8", 8_800_000))
 N_QUERIES_INT8 = 256
 INT8_CHUNK = 550_000  # bf16 staging chunk while building the int8 corpus
 
+# int4 flagship scale: the reference's 21M-passage Wikipedia corpus
+# (run.sh:13-14) on ONE chip (~8 GB HBM nibble-packed)
+N_DOCS_INT4 = int(os.environ.get("BENCH_DOCS_INT4", 21_000_000))
+
 # round-1 measured values (BASELINE.md) — the regression denominators
 R1_INT8_QPS = 4959.0
 R1_TRAIN_STEP_MS = 134.0
@@ -210,6 +214,62 @@ def bench_int8(queries: np.ndarray) -> float:
     return qps
 
 
+def bench_int4_21m(queries: np.ndarray) -> float:
+    """Exact-int4 top-100 over the 21M-row nibble-packed corpus on one chip
+    (BASELINE config-5 scale; ~8 GB HBM)."""
+    import jax
+    import jax.numpy as jnp
+
+    from denseretrievaltoolkits_tpu.ops.quant import quantize_int4_device
+    from denseretrievaltoolkits_tpu.ops.topk import pallas_topk_serve_sq4
+
+    block = 2048
+    n = N_DOCS_INT4 + ((-N_DOCS_INT4) % block)
+    values = jnp.zeros((n, DIM // 2), jnp.int8)
+    scales = jnp.ones((n,), jnp.float32)
+
+    @functools.partial(jax.jit, static_argnames=("rows",))
+    def gen_chunk(key, rows):
+        return jax.random.normal(key, (rows, DIM), jnp.float32)
+
+    def place(bv, bs, cv, cs, off):
+        return (jax.lax.dynamic_update_slice(bv, cv, (off, 0)),
+                jax.lax.dynamic_update_slice(bs, cs, (off,)))
+    place = jax.jit(place, donate_argnums=(0, 1))
+
+    key = jax.random.key(2)
+    off = 0
+    while off < n:
+        rows = min(500_000, n - off)
+        key, sub = jax.random.split(key)
+        cv, cs = quantize_int4_device(gen_chunk(sub, rows=rows),
+                                      block_rows=1024)
+        values, scales = place(values, scales, cv, cs, off)
+        off += rows
+    values.block_until_ready()
+
+    rt = _roundtrip()
+    q = jax.device_put(jnp.asarray(queries[:N_QUERIES_INT8], jnp.bfloat16))
+    out = pallas_topk_serve_sq4(q, values, scales, TOPK, 4, block,
+                                N_DOCS_INT4, tq=N_QUERIES_INT8)
+    assert out[1].shape == (N_QUERIES_INT8, TOPK)
+    assert int(out[1].max()) < N_DOCS_INT4
+    iters = 5
+    elapsed = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        for _ in range(iters):
+            out = pallas_topk_serve_sq4(q, values, scales, TOPK, 4, block,
+                                        N_DOCS_INT4, tq=N_QUERIES_INT8)
+        float(jnp.sum(out[0][0, 0]))
+        elapsed = min(elapsed, (time.time() - t0 - rt) / iters)
+    qps = N_QUERIES_INT8 / elapsed
+    print(f"# int4 21M: {elapsed*1e3:.1f} ms / {N_QUERIES_INT8} queries",
+          file=sys.stderr)
+    values.delete(), scales.delete()
+    return qps
+
+
 def _bert_base_model():
     import jax
 
@@ -333,6 +393,9 @@ def main():
                   "qps", lambda: bench_serve(queries), cpu_qps * (orig_n / N_DOCS))
         run_extra(f"query_qps_int8_{N_DOCS_INT8 // 1000}k_docs_top{TOPK}",
                   "qps", lambda: bench_int8(queries), R1_INT8_QPS)
+        run_extra(f"query_qps_int4_{N_DOCS_INT4 // 1000}k_docs_top{TOPK}",
+                  "qps", lambda: bench_int4_21m(queries),
+                  cpu_qps * (orig_n / N_DOCS_INT4))
         run_extra("train_step_ms_bertbase", "ms", bench_train_step,
                   R1_TRAIN_STEP_MS, invert=True)
         run_extra("encode_passages_per_s", "passages/s", bench_encode,
