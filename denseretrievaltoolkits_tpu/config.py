@@ -237,7 +237,8 @@ class TrainingArguments:
     tp_size: int = field(default=1, metadata={"help": "Tensor-parallel mesh size"})
     index_dtype: str = field(
         default="float32",
-        metadata={"help": "HBM index dtype: float32 | bfloat16 | int8"},
+        metadata={"help": "HBM index dtype: float32 | bfloat16 | int8 | int4 "
+                  "(int4 is single-device FlatIPIndex only)"},
     )
     use_pallas: bool = field(
         default=True,

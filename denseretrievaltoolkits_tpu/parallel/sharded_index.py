@@ -30,6 +30,11 @@ class ShardedFlatIndex:
 
     def __init__(self, mesh: Mesh, dim: int, dtype: str = "float32",
                  block_size: int = DEFAULT_BLOCK):
+        if dtype not in ("float32", "bfloat16", "int8"):
+            raise ValueError(
+                f"ShardedFlatIndex dtype {dtype!r} unsupported (int4 is "
+                "single-device FlatIPIndex only — at sharded scale int8 "
+                "already fits: 8 chips hold 170M+ int8 rows)")
         self.mesh = mesh
         self.dim = dim
         self.dtype = dtype
