@@ -145,13 +145,17 @@ class FlatIPIndex:
     API mirror of the reference ``BaseFaissIPRetriever`` (index.py:16-44) with
     intended (scores, indices) search semantics."""
 
-    def __init__(self, dim_or_reps, dtype: str = "float32", block_size: int = DEFAULT_BLOCK):
+    def __init__(self, dim_or_reps, dtype: str = "float32",
+                 block_size: int = DEFAULT_BLOCK, use_pallas: bool = True):
         if isinstance(dim_or_reps, np.ndarray):
             self.dim = int(dim_or_reps.shape[1])
         else:
             self.dim = int(dim_or_reps)
         self.dtype = dtype
         self.block_size = block_size
+        # --use_pallas=False forces the XLA scan path even on TPU (numeric
+        # debugging / apples-to-apples comparisons)
+        self.use_pallas = use_pallas
         self._chunks: List[np.ndarray] = []
         # device-native slabs: [(values, scales_or_None, n_rows)] — corpora
         # encoded on device stay on device (no host round-trip at 8.8M+ scale)
@@ -255,7 +259,8 @@ class FlatIPIndex:
             # the int4-aware exact scan elsewhere (and for mode="exact")
             self._materialize()
             kk = min(k, self._n)
-            if mode != "exact" and jax.default_backend() == "tpu":
+            if mode != "exact" and self.use_pallas \
+                    and jax.default_backend() == "tpu":
                 from ..ops.topk import pallas_topk_fast
 
                 return pallas_topk_fast(
@@ -269,7 +274,8 @@ class FlatIPIndex:
                 scales=self._device_scales, valid=self._n, int4=True,
             )
             return np.asarray(s), np.asarray(i)
-        if mode == "serve" and jax.default_backend() == "tpu" \
+        if mode == "serve" and self.use_pallas \
+                and jax.default_backend() == "tpu" \
                 and not self._device_slabs:
             from ..ops.topk import pallas_topk_fast
 
@@ -303,7 +309,7 @@ class FlatIPIndex:
         self._materialize()
         k = min(k, self._n)
         block = min(self.block_size, max(256, 1 << (self._n - 1).bit_length()))
-        if jax.default_backend() == "tpu":
+        if self.use_pallas and jax.default_backend() == "tpu":
             from ..ops.topk import pallas_topk
 
             return pallas_topk(
@@ -325,7 +331,7 @@ class FlatIPIndex:
         mode="approx" skips the Pallas exactness certificate (serving)."""
         k = min(k, self._n)
         q = jnp.asarray(q_reps, jnp.float32)
-        use_pallas = jax.default_backend() == "tpu"
+        use_pallas = self.use_pallas and jax.default_backend() == "tpu"
         parts_v, parts_i = [], []
         offset = 0
         int4 = self.dtype == "int4"

@@ -29,7 +29,7 @@ class ShardedFlatIndex:
     """Corpus embeddings sharded over the mesh data axis; exact global top-k."""
 
     def __init__(self, mesh: Mesh, dim: int, dtype: str = "float32",
-                 block_size: int = DEFAULT_BLOCK):
+                 block_size: int = DEFAULT_BLOCK, use_pallas: bool = True):
         if dtype not in ("float32", "bfloat16", "int8"):
             raise ValueError(
                 f"ShardedFlatIndex dtype {dtype!r} unsupported (int4 is "
@@ -39,6 +39,7 @@ class ShardedFlatIndex:
         self.dim = dim
         self.dtype = dtype
         self.block_size = block_size
+        self.use_pallas = use_pallas
         self.n_shards = mesh.shape[DATA_AXIS]
         self._chunks: List[np.ndarray] = []
         self._device_chunks: List = []  # device-native (values, scales|None)
@@ -207,7 +208,8 @@ class ShardedFlatIndex:
         block = min(self.block_size, per)
         has_scales = self._scales is not None
         use_pallas = (
-            jax.default_backend() == "tpu" and per % block == 0
+            self.use_pallas and jax.default_backend() == "tpu"
+            and per % block == 0
         )
         certify = mode not in ("approx", "serve")
 

@@ -254,8 +254,10 @@ class Trainer:
             # index shards over ALL devices (flatten the dp×tp mesh)
             flat_mesh = make_mesh(self.mesh.devices.size, 1,
                                   devices=list(self.mesh.devices.flatten()))
-            return ShardedFlatIndex(flat_mesh, dim, dtype=args.index_dtype)
-        return FlatIPIndex(dim, dtype=args.index_dtype)
+            return ShardedFlatIndex(flat_mesh, dim, dtype=args.index_dtype,
+                                    use_pallas=args.use_pallas)
+        return FlatIPIndex(dim, dtype=args.index_dtype,
+                           use_pallas=args.use_pallas)
 
     def _encoding_corpus(self, ep: int):
         """Encode the corpus into the device-resident index WITHOUT a host
