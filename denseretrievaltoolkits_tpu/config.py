@@ -185,7 +185,12 @@ class TrainingArguments:
 
     output_dir: str = field(default="./drt_output")
     local_rank: int = field(default=0)
-    warmup_ratio: float = field(default=0.1)
+    warmup_ratio: float = field(
+        default=0.1,
+        metadata={"help": "Warmup fraction of total steps when a scheduler is "
+                  "set without explicit n_warmup_steps (declared-only in the "
+                  "reference, arguments.py:174; honored here)"},
+    )
     negatives_x_device: bool = field(
         default=True,
         metadata={
@@ -214,7 +219,12 @@ class TrainingArguments:
     test_batch_size: int = field(default=128)
     corpus_batch_size: int = field(default=128)
     max_epochs: int = field(default=5)
-    decimal_place: int = field(default=2)
+    decimal_place: int = field(
+        default=4,
+        metadata={"help": "Decimal places for logged metrics (reference "
+                  "arguments.py:193 declared it unused; metric JSON dumps stay "
+                  "full precision)"},
+    )
     topk: str = field(default="5,10,20")
     retrieve_num: int = field(default=100)
     retrieve_dir: str = field(default="")

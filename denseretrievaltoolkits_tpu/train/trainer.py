@@ -68,6 +68,19 @@ class Trainer:
         self.mesh = mesh
         self.miner = miner  # mine/miner.py DenseMiner (on-device hard negatives)
 
+        # warmup_ratio (reference arguments.py:174, declared-only there):
+        # when a schedule is requested without explicit warmup/max steps,
+        # derive them from the training horizon
+        if training_args.scheduler and train_loader is not None:
+            try:
+                total = max(1, len(train_loader) * training_args.max_epochs)
+                kw = training_args.scheduler_kwargs
+                kw.setdefault("n_warmup_steps",
+                              max(1, int(training_args.warmup_ratio * total)))
+                if training_args.scheduler in ("linear", "cosine"):
+                    kw.setdefault("max_steps", total)
+            except TypeError:
+                pass  # loader without __len__: schedule kwargs must be explicit
         self.optimizer = get_optimizer(training_args, params)
         if mesh is not None:
             from ..parallel.mesh import shard_state
@@ -431,9 +444,10 @@ class Trainer:
                 for key in m_all:
                     m_all[key] += batch_metrics[key]
 
+        dp = max(2, getattr(args, "decimal_place", 4))
         for key in m_all:
             m_all[key] = m_all[key] / max(eval_num, 1)
-            logger.info("%s %.4f", key, m_all[key])
+            logger.info("%s %.*f", key, dp, m_all[key])
         m_all["query_num"] = eval_num
         if jax.process_index() == 0:
             with open(os.path.join(args.cache_train_dir, f"{ep}.0_metrics"), "w",
@@ -567,9 +581,10 @@ class RRTrainer(Trainer):
             batch_metrics = get_metrics(pos_index, self.topk)
             for key in m_all:
                 m_all[key] += batch_metrics[key]
+        dp = max(2, getattr(args, "decimal_place", 4))
         for key in m_all:
             m_all[key] = m_all[key] / max(eval_num, 1)
-            logger.info("%s %.4f", key, m_all[key])
+            logger.info("%s %.*f", key, dp, m_all[key])
         m_all["query_num"] = eval_num
         if jax.process_index() == 0:
             with open(os.path.join(args.cache_train_dir, f"{ep}.0_RR_metrics"),
