@@ -108,3 +108,46 @@ def test_constant():
     s = constant_schedule(0.0, 1e-3, 10)
     np.testing.assert_allclose(float(s(5)), 0.5e-3, rtol=1e-6)
     np.testing.assert_allclose(float(s(100)), 1e-3, rtol=1e-6)
+
+
+def test_trainer_derives_warmup_from_ratio(tmp_path):
+    """warmup_ratio fills n_warmup_steps/max_steps from the training horizon
+    when the scheduler kwargs leave them out (reference arguments.py:174
+    declared the flag and never used it)."""
+    import jax
+    from denseretrievaltoolkits_tpu.config import TrainingArguments
+    from denseretrievaltoolkits_tpu.models.bert import BertConfig
+    from denseretrievaltoolkits_tpu.models.biencoder import DRModel, DRModelSpec
+    from denseretrievaltoolkits_tpu.train.trainer import Trainer
+
+    class _Loader:
+        def __len__(self):
+            return 50
+
+        def __iter__(self):
+            return iter(())
+
+    args = TrainingArguments(
+        output_dir=str(tmp_path / "o"), cache_train_dir=str(tmp_path / "c"),
+        max_epochs=4, scheduler="linear", warmup_ratio=0.1,
+        learning_rate=1e-3, log_every=0,
+    )
+    tiny = BertConfig(vocab_size=64, hidden_size=16, num_hidden_layers=1,
+                      num_attention_heads=2, intermediate_size=32,
+                      max_position_embeddings=16)
+    model = DRModel(DRModelSpec(bert_config=tiny))
+    params = model.init_params(jax.random.key(0))
+    Trainer(args, model, params, train_loader=_Loader())
+    assert args.scheduler_kwargs["n_warmup_steps"] == 20  # 0.1 * 200
+    assert args.scheduler_kwargs["max_steps"] == 200
+
+    # explicit kwargs are never overridden
+    args2 = TrainingArguments(
+        output_dir=str(tmp_path / "o2"), cache_train_dir=str(tmp_path / "c2"),
+        max_epochs=4, scheduler="linear", warmup_ratio=0.1,
+        scheduler_kwargs={"n_warmup_steps": 7, "max_steps": 99},
+        learning_rate=1e-3, log_every=0,
+    )
+    Trainer(args2, model, params, train_loader=_Loader())
+    assert args2.scheduler_kwargs["n_warmup_steps"] == 7
+    assert args2.scheduler_kwargs["max_steps"] == 99
