@@ -91,6 +91,34 @@ def _block_topj_kernel_scaled(q_ref, c_ref, sc_ref, out_v_ref, out_i_ref, *,
 INT32_MIN = -(2**31)
 
 
+def _packed_select(s, b, out_v_ref, out_i_ref, *, J: int, block_size: int,
+                   n_valid: int, id_bits: int):
+    """Shared packed top-J selection: map fp32 scores through the monotonic
+    sortable-int transform, carry the bit-inverted block-local id in the low
+    ``id_bits`` (ties break toward the smaller id), then J iterations of one
+    max-reduce + one masked update (~2 VPU passes each). Scores come back
+    quantized to ~2^id_bits ulps; masked/exhausted slots surface as -inf."""
+    Q = s.shape[0]
+    mask = (1 << id_bits) - 1
+    local = jax.lax.broadcasted_iota(jnp.int32, (Q, block_size), 1)
+    bits = jax.lax.bitcast_convert_type(s, jnp.int32)
+    key = jnp.where(bits >= 0, bits, bits ^ 0x7FFFFFFF)
+    packed = (key & ~mask) | (mask - local)
+    packed = jnp.where(local + b * block_size < n_valid, packed, INT32_MIN)
+
+    for j in range(J):
+        m = jnp.max(packed, axis=1, keepdims=True)  # [Q, 1]
+        mq = m[:, 0]
+        out_i_ref[0, :, j] = (mask - (mq & mask)) + b * block_size
+        keyq = mq & ~mask
+        bitsq = jnp.where(keyq >= 0, keyq, keyq ^ 0x7FFFFFFF)
+        val = jax.lax.bitcast_convert_type(bitsq, jnp.float32)
+        out_v_ref[0, :, j] = jnp.where(mq == INT32_MIN, NEG_INF, val)
+        if j + 1 < J:
+            packed = jnp.where(packed == m, INT32_MIN, packed)
+
+
+
 def _block_topj_kernel_packed(q_ref, c_ref, out_v_ref, out_i_ref, *, J: int,
                               block_size: int, n_valid: int, precision,
                               id_bits: int):
@@ -113,25 +141,8 @@ def _block_topj_kernel_packed(q_ref, c_ref, out_v_ref, out_i_ref, *, J: int,
         preferred_element_type=jnp.float32,
         precision=precision,
     )  # [Q, TN] fp32
-    Q = s.shape[0]
-    mask = (1 << id_bits) - 1
-    local = jax.lax.broadcasted_iota(jnp.int32, (Q, block_size), 1)
-    bits = jax.lax.bitcast_convert_type(s, jnp.int32)
-    key = jnp.where(bits >= 0, bits, bits ^ 0x7FFFFFFF)
-    packed = (key & ~mask) | (mask - local)  # inverted id: max picks min id
-    packed = jnp.where(local + b * block_size < n_valid, packed, INT32_MIN)
-
-    for j in range(J):
-        m = jnp.max(packed, axis=1, keepdims=True)  # [Q, 1]
-        mq = m[:, 0]
-        out_i_ref[0, :, j] = (mask - (mq & mask)) + b * block_size
-        keyq = mq & ~mask
-        bitsq = jnp.where(keyq >= 0, keyq, keyq ^ 0x7FFFFFFF)
-        val = jax.lax.bitcast_convert_type(bitsq, jnp.float32)
-        # exhausted/masked slots (key INT32_MIN) unpack to NaN — pin to -inf
-        out_v_ref[0, :, j] = jnp.where(mq == INT32_MIN, NEG_INF, val)
-        if j + 1 < J:
-            packed = jnp.where(packed == m, INT32_MIN, packed)
+    _packed_select(s, b, out_v_ref, out_i_ref, J=J, block_size=block_size,
+                   n_valid=n_valid, id_bits=id_bits)
 
 
 def _block_topj_kernel_packed_scaled(q_ref, c_ref, sc_ref, out_v_ref,
@@ -148,24 +159,8 @@ def _block_topj_kernel_packed_scaled(q_ref, c_ref, sc_ref, out_v_ref,
         precision=precision,
     )
     s = s * sc_ref[:].reshape(1, -1)
-    Q = s.shape[0]
-    mask = (1 << id_bits) - 1
-    local = jax.lax.broadcasted_iota(jnp.int32, (Q, block_size), 1)
-    bits = jax.lax.bitcast_convert_type(s, jnp.int32)
-    key = jnp.where(bits >= 0, bits, bits ^ 0x7FFFFFFF)
-    packed = (key & ~mask) | (mask - local)
-    packed = jnp.where(local + b * block_size < n_valid, packed, INT32_MIN)
-
-    for j in range(J):
-        m = jnp.max(packed, axis=1, keepdims=True)
-        mq = m[:, 0]
-        out_i_ref[0, :, j] = (mask - (mq & mask)) + b * block_size
-        keyq = mq & ~mask
-        bitsq = jnp.where(keyq >= 0, keyq, keyq ^ 0x7FFFFFFF)
-        val = jax.lax.bitcast_convert_type(bitsq, jnp.float32)
-        out_v_ref[0, :, j] = jnp.where(mq == INT32_MIN, NEG_INF, val)
-        if j + 1 < J:
-            packed = jnp.where(packed == m, INT32_MIN, packed)
+    _packed_select(s, b, out_v_ref, out_i_ref, J=J, block_size=block_size,
+                   n_valid=n_valid, id_bits=id_bits)
 
 
 def _block_topj_kernel_packed_sq4(q_ref, c_ref, sc_ref, out_v_ref, out_i_ref,
@@ -188,24 +183,8 @@ def _block_topj_kernel_packed_sq4(q_ref, c_ref, sc_ref, out_v_ref, out_i_ref,
         preferred_element_type=jnp.float32,
     )
     s = s * sc_ref[:].reshape(1, -1)
-    Q = s.shape[0]
-    mask = (1 << id_bits) - 1
-    local = jax.lax.broadcasted_iota(jnp.int32, (Q, block_size), 1)
-    bits = jax.lax.bitcast_convert_type(s, jnp.int32)
-    key = jnp.where(bits >= 0, bits, bits ^ 0x7FFFFFFF)
-    packed = (key & ~mask) | (mask - local)
-    packed = jnp.where(local + b * block_size < n_valid, packed, INT32_MIN)
-
-    for j in range(J):
-        m = jnp.max(packed, axis=1, keepdims=True)
-        mq = m[:, 0]
-        out_i_ref[0, :, j] = (mask - (mq & mask)) + b * block_size
-        keyq = mq & ~mask
-        bitsq = jnp.where(keyq >= 0, keyq, keyq ^ 0x7FFFFFFF)
-        val = jax.lax.bitcast_convert_type(bitsq, jnp.float32)
-        out_v_ref[0, :, j] = jnp.where(mq == INT32_MIN, NEG_INF, val)
-        if j + 1 < J:
-            packed = jnp.where(packed == m, INT32_MIN, packed)
+    _packed_select(s, b, out_v_ref, out_i_ref, J=J, block_size=block_size,
+                   n_valid=n_valid, id_bits=id_bits)
 
 
 QUERY_TILE = 256  # queries per grid step; bounds VMEM (s: [TQ, block] fp32)
