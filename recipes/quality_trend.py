@@ -130,6 +130,9 @@ def main(argv=None):
     ap.add_argument("--eval", type=int, default=200)
     ap.add_argument("--corpus", type=int, default=20000)
     ap.add_argument("--lr", type=float, default=1e-4)
+    ap.add_argument("--mine", type=int, default=0,
+                    help="mine_per_train cadence: refresh hard negatives from "
+                         "the device index every N epochs (0 = random only)")
     opts = ap.parse_args(argv)
 
     rng = random.Random(0)
@@ -167,6 +170,7 @@ def main(argv=None):
         "topk": "5,10,100",
         "retrieve_num": 100,
         "seed": 0,
+        "mine_per_train": opts.mine,
     }
     args_file = os.path.join(opts.out, "args.json")
     with open(args_file, "w") as fh:
