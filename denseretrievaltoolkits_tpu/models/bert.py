@@ -26,6 +26,7 @@ from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 import numpy as np
 
 Params = Dict[str, Any]
@@ -183,6 +184,11 @@ def _encoder_block(x, layer, mask_bias, config: BertConfig, compute_dtype):
     scores = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
     scores = scores / math.sqrt(hd) + mask_bias
     probs = jax.nn.softmax(scores, axis=-1).astype(compute_dtype)
+    # tag the [B,nh,S,S] tensors so remat="attn" recomputes ONLY these in the
+    # backward pass: they dominate residual memory (stacked over the layer
+    # scan, fp32, and tile-padded 1.7x for S=156) while costing ~10% of the
+    # block's flops to rebuild
+    probs = checkpoint_name(probs, "attn_probs")
     ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v, preferred_element_type=compute_dtype)
     ctx = ctx.reshape(B, S, H)
 
@@ -203,9 +209,13 @@ def bert_encode(
     attention_mask: jax.Array,
     token_type_ids: Optional[jax.Array] = None,
     compute_dtype=jnp.float32,
-    remat: bool = False,
+    remat=False,
 ) -> jax.Array:
-    """Encoder forward. Returns last_hidden_state [B, S, H] in ``compute_dtype``."""
+    """Encoder forward. Returns last_hidden_state [B, S, H] in ``compute_dtype``.
+
+    ``remat``: False | True/"full" (checkpoint whole blocks, ~33% recompute)
+    | "attn" (selective: recompute only the attention score/prob tensors in
+    the backward — most of full remat's memory win at ~10% recompute)."""
     c = config
     B, S = input_ids.shape
     emb = params["embeddings"]
@@ -223,7 +233,13 @@ def bert_encode(
     mask_bias = (1.0 - attention_mask.astype(jnp.float32))[:, None, None, :] * -1e9
 
     block = partial(_encoder_block, config=c, compute_dtype=compute_dtype)
-    if remat:
+    if remat == "attn":
+        block = jax.checkpoint(
+            block,
+            policy=jax.checkpoint_policies.save_anything_except_these_names(
+                "attn_probs"),
+        )
+    elif remat:
         block = jax.checkpoint(block, static_argnums=())
 
     def scan_fn(h, layer):

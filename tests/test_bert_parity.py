@@ -125,4 +125,33 @@ def test_remat_matches(torch_model):
     input_ids, attention_mask = _batch(rng, config)
     a = np.asarray(bert_encode(params, config, input_ids, attention_mask, remat=False))
     b = np.asarray(bert_encode(params, config, input_ids, attention_mask, remat=True))
+    c = np.asarray(bert_encode(params, config, input_ids, attention_mask, remat="attn"))
+    np.testing.assert_allclose(a, c, atol=1e-6)
     np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_attn_remat_grads_match():
+    """remat='attn' (recompute only tagged attention tensors in backward)
+    must produce identical gradients to no-remat."""
+    import jax
+    import jax.numpy as jnp
+    from denseretrievaltoolkits_tpu.models import bert
+
+    config = bert.BertConfig(
+        vocab_size=64, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=64,
+        max_position_embeddings=16)
+    params = bert.init_params(jax.random.key(0), config)
+    rng = np.random.default_rng(0)
+    ids = rng.integers(1, 64, (3, 10)).astype(np.int32)
+    mask = np.ones((3, 10), np.int32)
+
+    def loss(p, remat):
+        h = bert.bert_encode(p, config, ids, mask, remat=remat)
+        return jnp.sum(h * h)
+
+    g0 = jax.grad(lambda p: loss(p, False))(params)
+    g1 = jax.grad(lambda p: loss(p, "attn"))(params)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
