@@ -62,6 +62,23 @@ R1_TRAIN_STEP_MS = 134.0
 R1_ENCODE_PPS = 2799.0
 
 
+def _tpu_reachable(timeout_s: int = 240) -> bool:
+    """Probe the device in a SUBPROCESS under a hard timeout: when the
+    relay/tunnel is wedged, even backend init blocks forever inside gRPC —
+    uninterruptible in-process. A dead probe lets the bench emit a parseable
+    error record instead of hanging the driver."""
+    import subprocess
+
+    code = ("import jax, jax.numpy as jnp; "
+            "print(float(jax.jit(lambda: jnp.sum(jnp.ones((8, 8))))()))")
+    try:
+        proc = subprocess.run([sys.executable, "-c", code],
+                              timeout=timeout_s, capture_output=True)
+        return proc.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def _roundtrip():
     import jax.numpy as jnp
 
@@ -365,6 +382,13 @@ def main():
 
     orig_n = N_DOCS
     cpu_qps = bench_cpu_baseline(corpus_sample, queries)
+    if not _tpu_reachable():
+        print(json.dumps({
+            "metric": f"query_qps_{N_DOCS // 1000}k_docs_top{TOPK}",
+            "value": None, "unit": "qps", "vs_baseline": None,
+            "error": "TPU unreachable: device probe timed out (relay down?)",
+        }))
+        return
     try:
         tpu_qps = bench_tpu(queries)
     except Exception as exc:  # transient compile-relay failures: retry smaller
