@@ -28,7 +28,7 @@ from typing import Any, Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..train.losses import contrastive_loss, stride_targets
+from ..train.losses import contrastive_loss
 from . import bert, linear, t5
 from .pooling import l2_normalize, pool
 

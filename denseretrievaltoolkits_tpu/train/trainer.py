@@ -32,7 +32,7 @@ import optax
 
 from ..data.loaders import pad_to_batch, prefetch
 from ..evaluator.metrics import get_metrics
-from ..evaluator.nq_eval import AnswerMatcher, has_answers
+from ..evaluator.nq_eval import AnswerMatcher
 from ..index.flat import FlatIPIndex
 from .optimizers import get_optimizer
 
