@@ -215,6 +215,15 @@ class Trainer:
                          "s_per_step": (time.time() - t0) / (step_idx + 1)}
                     )
             mean_loss = float(jnp.mean(jnp.stack([jnp.asarray(l) for l in losses])))
+            if not np.isfinite(mean_loss):
+                # failure detection the reference lacked (SURVEY.md §5): a
+                # NaN/inf epoch is unrecoverable by continuing — stop with a
+                # pointer to the resume path instead of training on garbage
+                raise FloatingPointError(
+                    f"non-finite mean loss {mean_loss} at epoch {ep + 1}; "
+                    f"resume from the last checkpoint under "
+                    f"{args.output_dir}/checkpoint with --resume_from "
+                    f"(consider a lower learning_rate or --remat full)")
             logger.info("epoch %d done, mean loss %.4f", ep + 1, mean_loss)
             self._log_metrics({"epoch": ep + 1, "step": self.step,
                                "mean_loss": mean_loss,

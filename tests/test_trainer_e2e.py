@@ -11,6 +11,7 @@ import os
 import random
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -197,3 +198,30 @@ def test_reranker_e2e(trained, setup):
     assert metrics["query_num"] == 8
     assert glob.glob(os.path.join(rr_args.rr_result_dir, "3.0.json"))
     assert 0 <= metrics["MRR@5"] <= 1
+
+
+def test_non_finite_loss_halts(setup):
+    """A NaN loss epoch raises with resume guidance instead of training on."""
+    import dataclasses
+    tmp, tokenizer, data_args, train_args, bert_config = setup
+    model = DRModel(DRModelSpec(bert_config=bert_config))
+    params = model.init_params(jax.random.key(9))
+    args = dataclasses.replace(
+        train_args,
+        output_dir=str(tmp / "nan" / "out"),
+        cache_train_dir=str(tmp / "nan" / "cache"),
+        learning_rate=1e9,  # diverges within one epoch on fp32->nan
+        max_epochs=1, save_per_train=10, eval_per_train=10,
+    )
+    dataset = ExactMatchDataset(data_args, tokenizer)
+    sampler = RandomSampleNegatives(data_args, seed=0)
+    factory = ExactMatchDataloader(data_args, dataset, tokenizer, sampler,
+                                   batch_size=[4, 4, 4])
+    train_dl, _, _ = factory.get_dataloader()
+    trainer = Trainer(args, model, params, train_loader=train_dl)
+    # drive one poisoned step directly: replace params with NaNs mid-flight
+    trainer.state["params"] = jax.tree.map(
+        lambda x: jnp.full_like(x, jnp.nan) if jnp.issubdtype(x.dtype, jnp.floating) else x,
+        trainer.state["params"])
+    with pytest.raises(FloatingPointError, match="resume"):
+        trainer.train()
