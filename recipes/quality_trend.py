@@ -133,6 +133,10 @@ def main(argv=None):
     ap.add_argument("--mine", type=int, default=0,
                     help="mine_per_train cadence: refresh hard negatives from "
                          "the device index every N epochs (0 = random only)")
+    ap.add_argument("--rerank", action="store_true",
+                    help="after the dense run, train + evaluate the cross-"
+                         "encoder reranker over the final retrieval dump "
+                         "(the full two-stage reference pipeline)")
     opts = ap.parse_args(argv)
 
     rng = random.Random(0)
@@ -197,6 +201,40 @@ def main(argv=None):
               f"| {m.get('Recall@10', 0):.4f} | {m.get('Recall@100', 0):.4f} |")
     with open(os.path.join(opts.out, "trend.json"), "w") as fh:
         json.dump({ep: m for ep, m in rows}, fh, indent=2)
+
+    if opts.rerank:
+        # stage 2: cross-encoder reranker over the DENSE run's final dump
+        # (run_reranker.py — the dense->rerank handoff, reference §3.4)
+        import shutil
+
+        rr_cache = os.path.join(opts.out, "rr_cache")
+        os.makedirs(os.path.join(rr_cache, "retrieve"), exist_ok=True)
+        final_dump = os.path.join(cache, "retrieve", "-1.0.json")
+        shutil.copy(final_dump, os.path.join(rr_cache, "retrieve", "-1.0.json"))
+        rr_args = dict(args)
+        rr_args.update({
+            "output_dir": os.path.join(opts.out, "rr_out"),
+            "cache_train_dir": rr_cache,
+            "max_epochs": 1,
+            "loss_fn": "mr",
+            "train_n_passages": 4,
+        })
+        rr_args.pop("mine_per_train", None)
+        rr_file = os.path.join(opts.out, "rr_args.json")
+        with open(rr_file, "w") as fh:
+            json.dump(rr_args, fh, indent=2)
+        from run_reranker import main as rr_main
+
+        rr_main([rr_file])
+        with open(os.path.join(rr_cache, "3.0_RR_metrics")) as fh:
+            rr_m = json.load(fh)
+        dense_m = dict(rows)["-1"] if "-1" in dict(rows) else rows[-1][1]
+        print("\n| stage | MRR@10 | NDCG@10 | Recall@10 |")
+        print("|---|---|---|---|")
+        print(f"| dense (test) | {dense_m.get('MRR@10', 0):.4f} | "
+              f"{dense_m.get('NDCG@10', 0):.4f} | {dense_m.get('Recall@10', 0):.4f} |")
+        print(f"| + reranker | {rr_m.get('MRR@10', 0):.4f} | "
+              f"{rr_m.get('NDCG@10', 0):.4f} | {rr_m.get('Recall@10', 0):.4f} |")
 
 
 if __name__ == "__main__":
