@@ -156,7 +156,8 @@ def _layer_norm(x, scale, bias, eps):
     return y.astype(dt)
 
 
-def _encoder_block(x, layer, mask_bias, config: BertConfig, compute_dtype):
+def _encoder_block(x, layer, mask_bias, config: BertConfig, compute_dtype,
+                   tag_attn: bool = False):
     """One post-LN BERT block. ``x``: [B,S,H]; ``mask_bias``: [B,1,1,S] fp32."""
     c = config
     B, S, H = x.shape
@@ -184,11 +185,13 @@ def _encoder_block(x, layer, mask_bias, config: BertConfig, compute_dtype):
     scores = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
     scores = scores / math.sqrt(hd) + mask_bias
     probs = jax.nn.softmax(scores, axis=-1).astype(compute_dtype)
-    # tag the [B,nh,S,S] tensors so remat="attn" recomputes ONLY these in the
-    # backward pass: they dominate residual memory (stacked over the layer
-    # scan, fp32, and tile-padded 1.7x for S=156) while costing ~10% of the
-    # block's flops to rebuild
-    probs = checkpoint_name(probs, "attn_probs")
+    if tag_attn:
+        # tag the [B,nh,S,S] tensor so remat="attn" recomputes ONLY it in the
+        # backward pass: it dominates residual memory (stacked over the layer
+        # scan, fp32, tile-padded 1.7x for S=156) at ~10% recompute. Tagging
+        # is conditional because the name primitive is not free under
+        # GSPMD+scan at full size (observed an XLA abort when always-on).
+        probs = checkpoint_name(probs, "attn_probs")
     ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v, preferred_element_type=compute_dtype)
     ctx = ctx.reshape(B, S, H)
 
@@ -232,7 +235,8 @@ def bert_encode(
     # additive mask bias, fp32: 0 where attended, -1e9 where padded
     mask_bias = (1.0 - attention_mask.astype(jnp.float32))[:, None, None, :] * -1e9
 
-    block = partial(_encoder_block, config=c, compute_dtype=compute_dtype)
+    block = partial(_encoder_block, config=c, compute_dtype=compute_dtype,
+                    tag_attn=remat == "attn")
     if remat == "attn":
         block = jax.checkpoint(
             block,
