@@ -229,7 +229,27 @@ def test_bertbase_full_size_mesh_step(tmp_path, dp, tp):
     Round-1 gap (VERDICT item 6): all distributed tests used toy configs, so
     TP sharding rules over the full-size tower were never exercised. The
     dp=4xtp=2 case (the one exercising TP rules) runs in the default suite;
-    both cases were verified green this round."""
+    both cases were verified green this round.
+
+    Runs in a FRESH INTERPRETER: after ~160 in-process tests the XLA:CPU
+    client flakily SIGABRTs on this (heaviest) GSPMD compile, while the same
+    test passes in isolation every time — subprocess isolation makes the
+    suite deterministic."""
+    import subprocess
+    import sys
+
+    if os.environ.get("_BB_MESH_INNER") != "1":
+        env = dict(os.environ, _BB_MESH_INNER="1")
+        proc = subprocess.run(
+            [sys.executable, "-m", "pytest", "-q", "-x",
+             f"{__file__}::test_bertbase_full_size_mesh_step[{dp}-{tp}]"],
+            env=env, capture_output=True, text=True, timeout=1500,
+        )
+        assert proc.returncode == 0, (
+            f"isolated run failed (rc={proc.returncode}):\n"
+            f"{proc.stdout[-2000:]}\n{proc.stderr[-2000:]}")
+        return
+
     rng = np.random.default_rng(5)
     model = DRModel(DRModelSpec(bert_config=BertConfig(), dtype="bfloat16"))
     params = model.init_params(jax.random.key(0))
