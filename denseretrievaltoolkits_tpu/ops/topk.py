@@ -426,6 +426,7 @@ def pallas_topk(
     Q0 = q_reps.shape[0]
     N, H = corpus.shape
     n_valid = int(N if valid is None else valid)
+    block_size = safe_block(H, corpus.dtype, block_size)
     if J is None:
         J = max(4, min(k, 8))
     J = min(J, k)
@@ -594,6 +595,21 @@ SERVE_J = 4       # hardware-swept winners on the 1M x 768 bench (block 2048)
 SERVE_TQ = 512
 
 
+def safe_block(dim: int, dtype, requested: int) -> int:
+    """Largest VMEM-safe corpus block for the fused kernels.
+
+    The kernel holds a double-buffered [block, dim] corpus tile plus the
+    [tq, block] fp32 score matrix in VMEM (~16 MB); block 4096 at dim 768
+    fails to compile (hardware-verified), while 2048 bf16/int8 and 1024 fp32
+    are validated. Smaller dims scale the cap up proportionally."""
+    dtype = jnp.dtype(dtype)
+    base = 1024 if dtype == jnp.float32 else 2048
+    scale = 1
+    while dim * scale * 2 <= 768:
+        scale *= 2
+    return max(256, min(requested, base * scale, 4096))
+
+
 def pallas_topk_fast(
     q_reps,
     corpus: jax.Array,
@@ -614,6 +630,7 @@ def pallas_topk_fast(
     Q0 = q_reps.shape[0]
     N, H = corpus.shape
     n_valid = int(N if valid is None else valid)
+    block_size = safe_block(H, corpus.dtype, block_size)
     n_blocks = -(-N // block_size)
     # J sizes the per-block candidate list: the number of true top-k members
     # landing in one block is ~Poisson(k/n_blocks), so mean + 4*sqrt + 4 slots

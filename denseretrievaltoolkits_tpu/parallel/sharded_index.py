@@ -205,7 +205,11 @@ class ShardedFlatIndex:
         mesh = self.mesh
         per = self._rows_per_shard
         n_valid_total = self._n
-        block = min(self.block_size, per)
+        from ..ops.topk import safe_block
+
+        kernel_dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16,
+                        "int8": jnp.int8}[self.dtype]
+        block = safe_block(self.dim, kernel_dtype, min(self.block_size, per))
         has_scales = self._scales is not None
         use_pallas = (
             self.use_pallas and jax.default_backend() == "tpu"

@@ -251,3 +251,16 @@ def test_flat_index_serve_mode_cpu_fallback():
     s, i = idx.search(q, 10, mode="serve")
     ref = np.argsort(-(q @ corpus.T), axis=1)[:, :10]
     np.testing.assert_array_equal(i, ref)
+
+
+def test_safe_block_caps():
+    """VMEM-safe block caps: 4096 at dim 768 fails to compile on hardware, so
+    index-default block sizes must be clamped before reaching the kernels."""
+    from denseretrievaltoolkits_tpu.ops.topk import safe_block
+
+    assert safe_block(768, jnp.bfloat16, 4096) == 2048
+    assert safe_block(768, jnp.int8, 4096) == 2048
+    assert safe_block(768, jnp.float32, 4096) == 1024
+    assert safe_block(128, jnp.float32, 4096) == 4096  # small dims keep 4096
+    assert safe_block(768, jnp.bfloat16, 512) == 512   # never raises a request
+    assert safe_block(32, jnp.float32, 64) == 64
