@@ -607,7 +607,8 @@ def safe_block(dim: int, dtype, requested: int) -> int:
     scale = 1
     while dim * scale * 2 <= 768:
         scale *= 2
-    return max(256, min(requested, base * scale, 4096))
+    cap = max(256, min(base * scale, 4096))
+    return min(requested, cap)  # only ever lowers a request
 
 
 def pallas_topk_fast(
