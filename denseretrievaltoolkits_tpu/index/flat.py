@@ -249,8 +249,9 @@ class FlatIPIndex:
         corpus dtypes (int8 via fused in-kernel dequant) — ~30x faster than
         the lax.scan path, whose per-block lax.top_k sort dominates; elsewhere
         the XLA scan serves.  mode="serve": the packed-selection kernel
-        (pallas_topk_fast) — fastest, no certificate, ~1e-5 per-query miss
-        rate, scores quantized ~1e-4 relative; CPU falls back to exact.
+        (pallas_topk_fast) — fastest, no certificate, recall@100 ~0.9995
+        (measured, 1M x 768 bf16), scores quantized ~1e-4 relative; CPU
+        falls back to exact.
         mode="approx": the TPU's hardware PartialReduce (recall-targeted
         ~0.95) for fp32/bf16 corpora; int8 corpora serve approx via the
         Pallas kernel with the exactness certificate skipped."""

@@ -623,10 +623,11 @@ def pallas_topk_fast(
     """Near-exact serving search: pad, pick (J, tq), run the packed kernel.
 
     The serving twin of :func:`pallas_topk`: no certificate/fallback ladder,
-    packed 2-pass selection, tuned tile sizes. Per-query miss probability at
-    the default density (J=4 per 2048-row block, k=100, 1M docs) is ~1e-3 of
-    queries losing one tail member of the top-k — recall ~0.99999. Scores are
-    quantized to ~1e-4 relative (see _block_topj_kernel_packed)."""
+    packed 2-pass selection, tuned tile sizes. MEASURED at the default
+    density (J=4 per 2048-row block, k=100, 1M x 768 bf16): recall@100
+    0.99947 vs exact, ~5% of queries missing one tail member (bf16 score
+    ties at the k-th boundary dominate the analytic Poisson bound). Scores
+    are quantized to ~1e-4 relative (see _block_topj_kernel_packed)."""
     q_reps = jnp.asarray(q_reps)
     Q0 = q_reps.shape[0]
     N, H = corpus.shape
