@@ -68,6 +68,15 @@ class DataLoader:
             start, stop = self.shard_bounds
             idx = idx[start:stop]
         elif self.shard_num > 1:
+            # equal-length shards (the reference DistributedSampler's padding
+            # semantics, DRT/dataloader/exactmatch_dataloader.py:17-25): pad
+            # with wrap-around rows so every host yields exactly
+            # ceil(n/shard_num) rows and therefore the SAME number of batches.
+            # Under SPMD an unequal count would leave one host dispatching an
+            # extra collective step and deadlock the pod on the last batch.
+            total = -(-n // self.shard_num) * self.shard_num
+            if total > n:
+                idx = np.concatenate([idx, idx[: total - n]])
             idx = idx[self.shard_idx :: self.shard_num]
         return idx
 

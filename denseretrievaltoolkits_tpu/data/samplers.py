@@ -77,20 +77,48 @@ class BM25Negatives:
             self.retriever = BM25Retriever(self.num_negative, vocab_size, seed=seed)
         self._random = RandomSampleNegatives(data_args, seed=seed)
 
+    @staticmethod
+    def _cache_key(corpus, num_negative: int, retriever) -> str:
+        """Content key for the mined-negatives cache.
+
+        The reference cached under one fixed name (``sampler.py:61-65``), so a
+        changed dataset or ``train_n_passages`` silently reloaded stale
+        negatives.  Hash the dataset fingerprint (size + a deterministic
+        sample of queries/positives) and every parameter that changes the
+        mining output, so any change re-mines."""
+        import hashlib
+
+        h = hashlib.sha1()
+        h.update(f"n={len(corpus)};neg={num_negative};".encode())
+        for attr in ("k1", "b", "eps"):
+            h.update(f"{attr}={getattr(retriever, attr, None)};".encode())
+        stride = max(1, len(corpus) // 97)
+        for i in range(0, len(corpus), stride):
+            s = corpus[i]
+            h.update(repr(s.get("query"))[:200].encode())
+            pos = s.get("positives") or []
+            if pos:
+                h.update(repr(pos[0])[:200].encode())
+        return h.hexdigest()[:12]
+
     def load_passages(self, corpus) -> List[dict]:
         """Mine (or load cached) BM25 negatives for every train sample.
 
         Returns the train samples with their ``negatives`` replaced by mined
         BM25 negatives (reference sampler.py:57-99, cache layout
-        ``{cache}/BM25data/bm25negatives``).
+        ``{cache}/BM25data/bm25negatives.<key>`` — keyed by dataset content +
+        mining params so a changed dataset re-mines instead of silently
+        loading stale negatives).
         """
+        corpus = list(corpus)
         out_dir = os.path.join(self.cache_dir or ".", "BM25data")
-        cache_file = os.path.join(out_dir, "bm25negatives")
+        key = self._cache_key(corpus, self.num_negative, self.retriever)
+        cache_name = f"bm25negatives.{key}"
+        cache_file = os.path.join(out_dir, cache_name)
         if os.path.exists(cache_file):
             with open(cache_file, encoding="utf-8") as fh:
                 return [json.loads(line) for line in fh]
 
-        corpus = list(corpus)
         bp, ep = self.retriever.load_passages(corpus)
         data = []
         if hasattr(self.retriever, "search_batch"):
@@ -136,7 +164,7 @@ class BM25Negatives:
                 row["negatives"] = mined
                 data.append(row)
 
-        self.save(data, out_dir, "bm25negatives")
+        self.save(data, out_dir, cache_name)
         return data
 
     def save(self, data, out_dir: str, data_name: str) -> None:

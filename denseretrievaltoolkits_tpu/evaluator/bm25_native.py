@@ -87,6 +87,7 @@ class NativeBM25Retriever:
                  k1: float = 1.2, b: float = 0.75, eps: float = 0.25):
         self._lib = load_lib()
         self._h = self._lib.bm25_create(k1, b, eps)
+        self.k1, self.b, self.eps = k1, b, eps  # exposed for cache keying
         self.topK = topK
         self.passage: List[List[int]] = []
         import random

@@ -33,13 +33,14 @@ def pickle_save(obj, path):
 
 
 def search_queries(retriever, q_reps, p_lookup, depth: int, batch_size: int = 0,
-                   quiet: bool = False):
+                   quiet: bool = False, mode: str = "exact"):
     """Search and translate row ids to docids (intended semantics of the
     reference's shadowed-definition pair, retrieval.py:20-33)."""
     if batch_size > 0:
-        all_scores, all_indices = retriever.batch_search(q_reps, depth, batch_size, quiet)
+        all_scores, all_indices = retriever.batch_search(q_reps, depth, batch_size,
+                                                         quiet, mode=mode)
     else:
-        all_scores, all_indices = retriever.search(q_reps, depth)
+        all_scores, all_indices = retriever.search(q_reps, depth, mode=mode)
     psg_indices = np.array(
         [[str(p_lookup[x]) for x in q_dd] for q_dd in all_indices]
     )
@@ -56,7 +57,8 @@ def write_ranking(corpus_indices, corpus_scores, q_lookup, ranking_save_file: st
 
 def run(query_reps: str, passage_reps: str, save_ranking_to: str,
         depth: int = 1000, batch_size: int = 128, save_text: bool = False,
-        quiet: bool = False, index_dtype: str = "float32"):
+        quiet: bool = False, index_dtype: str = "float32",
+        search_mode: str = "exact"):
     index_files = sorted(glob.glob(passage_reps))
     if not index_files:
         raise FileNotFoundError(f"no passage rep shards match {passage_reps}")
@@ -75,7 +77,7 @@ def run(query_reps: str, passage_reps: str, save_ranking_to: str,
     logger.info("Index search start (%d docs, %d queries, depth %d)",
                 len(retriever), len(q_reps), depth)
     all_scores, psg_indices = search_queries(
-        retriever, q_reps, look_up, depth, batch_size, quiet
+        retriever, q_reps, look_up, depth, batch_size, quiet, mode=search_mode
     )
     logger.info("Index search finished")
 
@@ -101,10 +103,16 @@ def main():
     parser.add_argument("--save_text", action="store_true")
     parser.add_argument("--quiet", action="store_true")
     parser.add_argument("--index_dtype", default="float32",
-                        choices=["float32", "bfloat16", "int8"])
+                        choices=["float32", "bfloat16", "int8", "int4"])
+    parser.add_argument("--search_mode", default="exact",
+                        choices=["exact", "serve", "approx"],
+                        help="exact: certified Pallas/XLA search; serve: packed "
+                        "selection kernel (fastest, recall@100 ~0.9995 measured); "
+                        "approx: hardware approx_max_k")
     args = parser.parse_args()
     run(args.query_reps, args.passage_reps, args.save_ranking_to, args.depth,
-        args.batch_size, args.save_text, args.quiet, args.index_dtype)
+        args.batch_size, args.save_text, args.quiet, args.index_dtype,
+        args.search_mode)
 
 
 if __name__ == "__main__":

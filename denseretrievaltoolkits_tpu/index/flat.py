@@ -256,15 +256,23 @@ class FlatIPIndex:
         ~0.95) for fp32/bf16 corpora; int8 corpora serve approx via the
         Pallas kernel with the exactness certificate skipped."""
         if self.dtype == "int4" and not self._device_slabs:
-            # nibble-packed corpus: the packed-sq4 serving kernel on TPU,
-            # the int4-aware exact scan elsewhere (and for mode="exact")
+            # nibble-packed corpus: the packed-sq4 serving kernel on TPU for
+            # serve/approx; the CERTIFIED sq4 Pallas kernel (exact fp32
+            # scoring + certificate/fallback ladder) for mode="exact"
             self._materialize()
             kk = min(k, self._n)
-            if mode != "exact" and self.use_pallas \
-                    and jax.default_backend() == "tpu":
-                from ..ops.topk import pallas_topk_fast
+            if self.use_pallas and jax.default_backend() == "tpu":
+                if mode != "exact":
+                    from ..ops.topk import pallas_topk_fast
 
-                return pallas_topk_fast(
+                    return pallas_topk_fast(
+                        jnp.asarray(q_reps, jnp.float32), self._device_corpus,
+                        kk, min(self.block_size, self._device_corpus.shape[0]),
+                        scales=self._device_scales, valid=self._n, int4=True,
+                    )
+                from ..ops.topk import pallas_topk
+
+                return pallas_topk(
                     jnp.asarray(q_reps, jnp.float32), self._device_corpus,
                     kk, min(self.block_size, self._device_corpus.shape[0]),
                     scales=self._device_scales, valid=self._n, int4=True,
@@ -346,6 +354,14 @@ class FlatIPIndex:
                         min(self.block_size, values.shape[0]),
                         valid=n, scales=scales, int4=True,
                     )
+                elif use_pallas:
+                    from ..ops.topk import pallas_topk
+
+                    s, i = pallas_topk(
+                        q, values, min(k, n),
+                        min(self.block_size, values.shape[0]),
+                        valid=n, scales=scales, int4=True,
+                    )
                 else:
                     s, i = blockwise_topk(
                         q, values, min(k, n),
@@ -387,12 +403,15 @@ class FlatIPIndex:
         return np.asarray(top_v), np.asarray(top_i)
 
     def batch_search(
-        self, q_reps: np.ndarray, k: int, batch_size: int, quiet: bool = False
+        self, q_reps: np.ndarray, k: int, batch_size: int, quiet: bool = False,
+        mode: str = "exact",
     ) -> Tuple[np.ndarray, np.ndarray]:
-        """Chunked search over many queries (reference index.py:35-44)."""
+        """Chunked search over many queries (reference index.py:35-44).
+        ``mode`` passes through to :meth:`search` so bulk pipelines (miner,
+        offline retrieval CLI) can ride the packed serving kernel."""
         all_scores, all_indices = [], []
         for start in range(0, q_reps.shape[0], batch_size):
-            s, i = self.search(q_reps[start : start + batch_size], k)
+            s, i = self.search(q_reps[start : start + batch_size], k, mode=mode)
             all_scores.append(s)
             all_indices.append(i)
         return np.concatenate(all_scores), np.concatenate(all_indices)

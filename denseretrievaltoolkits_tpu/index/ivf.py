@@ -407,10 +407,11 @@ class IVFFlatIndex:
                               min(4096, vals.shape[0]))
         return np.asarray(s), np.asarray(flat_ids)[np.asarray(i)]
 
-    def batch_search(self, q_reps, k, batch_size, quiet=False):
+    def batch_search(self, q_reps, k, batch_size, quiet=False,
+                     mode: str = "bulk"):
         out_s, out_i = [], []
         for start in range(0, q_reps.shape[0], batch_size):
-            s, i = self.search(q_reps[start : start + batch_size], k)
+            s, i = self.search(q_reps[start : start + batch_size], k, mode=mode)
             out_s.append(s)
             out_i.append(i)
         return np.concatenate(out_s), np.concatenate(out_i)

@@ -134,10 +134,10 @@ class TransformedIndex:
     def search(self, q_reps, k: int = 1000, **kw) -> Tuple[np.ndarray, np.ndarray]:
         return self.inner.search(np.asarray(self.transform.apply(q_reps)), k, **kw)
 
-    def batch_search(self, q_reps, k, batch_size, quiet=False):
+    def batch_search(self, q_reps, k, batch_size, quiet=False, **kw):
         all_s, all_i = [], []
         for start in range(0, q_reps.shape[0], batch_size):
-            s, i = self.search(q_reps[start:start + batch_size], k)
+            s, i = self.search(q_reps[start:start + batch_size], k, **kw)
             all_s.append(s)
             all_i.append(i)
         return np.concatenate(all_s), np.concatenate(all_i)

@@ -187,7 +187,76 @@ def _block_topj_kernel_packed_sq4(q_ref, c_ref, sc_ref, out_v_ref, out_i_ref,
                    n_valid=n_valid, id_bits=id_bits)
 
 
+def _block_topj_kernel_sq4(q_ref, c_ref, sc_ref, out_v_ref, out_i_ref, *,
+                           J: int, block_size: int, n_valid: int, half: int):
+    """int4-corpus EXACT-selection kernel (the certified path's sq4 twin of
+    ``_block_topj_kernel_scaled``): nibble unpack via two sign-extends, fp32
+    HIGHEST matmuls so scores match ``blockwise_topk(int4=True)`` bit-for-bit
+    (the certificate's fallback must agree with the kernel), then J iterative
+    masked maxes with exact fp32 scores."""
+    b = pl.program_id(1)
+    q = q_ref[:]  # [TQ, H] fp32
+    x = c_ref[:].astype(jnp.int32)  # [TN, H/2] packed
+    lo = ((x << 28) >> 28).astype(jnp.float32)   # dims [0, half)
+    hi = ((x << 24) >> 28).astype(jnp.float32)   # dims [half, H)
+    s = jax.lax.dot_general(
+        q[:, :half], lo, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    ) + jax.lax.dot_general(
+        q[:, half:], hi, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    s = s * sc_ref[:].reshape(1, -1)
+    Q = s.shape[0]
+    ids = jax.lax.broadcasted_iota(jnp.int32, (Q, block_size), 1) + b * block_size
+    s = jnp.where(ids < n_valid, s, NEG_INF)
+    for j in range(J):
+        m = jnp.max(s, axis=1, keepdims=True)
+        is_max = s == m
+        cand = jnp.where(is_max, ids, jnp.int32(2**30))
+        amin = jnp.min(cand, axis=1, keepdims=True)
+        out_v_ref[0, :, j] = m[:, 0]
+        out_i_ref[0, :, j] = amin[:, 0]
+        s = jnp.where(ids == amin, NEG_INF, s)
+
+
 QUERY_TILE = 256  # queries per grid step; bounds VMEM (s: [TQ, block] fp32)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("J", "block_size", "n_valid", "tq"))
+def _pallas_block_topj_sq4(q, corpus, scales, J, block_size, n_valid, tq=None):
+    """Per-block EXACT top-J over a nibble-packed int4 corpus [N, H/2] int8."""
+    Q, H = q.shape
+    N = corpus.shape[0]
+    n_blocks = N // block_size
+    TQ = min(Q, tq or QUERY_TILE)
+    n_qtiles = Q // TQ
+    kernel = functools.partial(
+        _block_topj_kernel_sq4, J=J, block_size=block_size,
+        n_valid=n_valid, half=H // 2,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(n_qtiles, n_blocks),
+        in_specs=[
+            pl.BlockSpec((TQ, H), lambda qi, b: (qi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_size, H // 2), lambda qi, b: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_size), lambda qi, b: (0, b), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, TQ, J), lambda qi, b: (b, qi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TQ, J), lambda qi, b: (b, qi, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_blocks, Q, J), jnp.float32),
+            jax.ShapeDtypeStruct((n_blocks, Q, J), jnp.int32),
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(q, corpus, scales.reshape(1, -1))
 
 
 @functools.partial(jax.jit, static_argnames=("J", "block_size", "n_valid", "tq"))
@@ -410,21 +479,26 @@ def pallas_topk(
     valid: Optional[int] = None,
     scales: Optional[jax.Array] = None,
     certify: bool = True,
+    int4: bool = False,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Exact top-k via the fused Pallas kernel + certificate fallback ladder.
 
     ``scales`` [N] activates the int8 path: the kernel casts the int8 block to
     the query dtype for the MXU matmul and multiplies the per-row dequant
-    scales in-kernel.  Flagged queries (a block may hide more than J top-k
-    members) re-run with J escalated 4x, then fall back to the XLA scan.
-    ``certify=False`` skips the certificate + fallback ladder entirely — the
-    recall-targeted serving mode (mode="approx" at the index surface).
-    Returns numpy (scores [Q,k], indices [Q,k]) sorted descending."""
+    scales in-kernel.  ``int4=True``: corpus is nibble-packed [N, H/2] int8
+    (ops/quant.py column-half layout) with per-row ``scales``; the kernel
+    unpacks + scores at fp32 HIGHEST so its scores agree with the
+    ``blockwise_topk(int4=True)`` fallback.  Flagged queries (a block may hide
+    more than J top-k members) re-run with J escalated 4x, then fall back to
+    the XLA scan.  ``certify=False`` skips the certificate + fallback ladder
+    entirely — the recall-targeted serving mode (mode="approx" at the index
+    surface).  Returns numpy (scores [Q,k], indices [Q,k]) sorted descending."""
     from ..index.flat import blockwise_topk
 
     q_reps = jnp.asarray(q_reps)
     Q0 = q_reps.shape[0]
-    N, H = corpus.shape
+    N = corpus.shape[0]
+    H = q_reps.shape[1]  # == 2*corpus cols when int4 (nibble-packed)
     n_valid = int(N if valid is None else valid)
     block_size = safe_block(H, corpus.dtype, block_size)
     if J is None:
@@ -439,13 +513,18 @@ def pallas_topk(
 
         s, i = blockwise_topk(
             jnp.asarray(q_reps, jnp.float32), corpus, min(k, n_valid),
-            min(block_size, N), scales=scales, valid=n_valid,
+            min(block_size, N), scales=scales, valid=n_valid, int4=int4,
         )
         return np.asarray(s), np.asarray(i)
 
     pad_n = (-N) % block_size
     corpus_padded = jnp.pad(corpus, ((0, pad_n), (0, 0))) if pad_n else corpus
-    if corpus.dtype == jnp.int8:
+    if int4:
+        assert scales is not None, "int4 corpus requires per-row scales"
+        compute = corpus_padded  # unpack + dequant happen in-kernel
+        qc = q_reps.astype(jnp.float32)
+        scales_padded = jnp.pad(scales, (0, pad_n)) if pad_n else scales
+    elif corpus.dtype == jnp.int8:
         assert scales is not None, "int8 corpus requires per-row scales"
         compute = corpus_padded  # cast happens in-kernel, fused with dequant
         qc = q_reps.astype(jnp.bfloat16)
@@ -462,6 +541,10 @@ def pallas_topk(
         qc = jnp.pad(qc, ((0, pad_q), (0, 0)))
 
     def run_kernel(q_in, j):
+        if int4:
+            return _pallas_block_topj_sq4(
+                q_in, compute, scales_padded, j, block_size, n_valid
+            )
         if scales_padded is not None:
             return _pallas_block_topj_scaled(
                 q_in, compute, scales_padded, j, block_size, n_valid
@@ -515,6 +598,7 @@ def pallas_topk(
         exact_s, exact_i = blockwise_topk(
             np.asarray(q_reps)[flagged], corpus, kk,
             min(65536, corpus.shape[0]), scales=scales, valid=n_valid,
+            int4=int4,
         )
         top_v[flagged] = np.asarray(exact_s)
         top_i[flagged] = np.asarray(exact_i)

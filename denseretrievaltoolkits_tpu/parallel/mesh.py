@@ -86,6 +86,27 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS))
 
 
+def make_put_batch(mesh: Mesh) -> Callable:
+    """Batch placement onto the mesh's data axis, multi-host aware.
+
+    Single-host: one ``device_put`` per leaf.  Multi-host: each process holds
+    only ITS slice of the global batch (the loaders' strided equal-length
+    shard), so assembly goes through ``make_array_from_process_local_data`` —
+    a metadata-only construction, no cross-host data movement."""
+    bsh = batch_sharding(mesh)
+
+    def put_batch(batch):
+        if jax.process_count() > 1:
+            return jax.tree.map(
+                lambda x: jax.make_array_from_process_local_data(
+                    bsh, np.asarray(x)),
+                batch,
+            )
+        return jax.tree.map(lambda x: jax.device_put(np.asarray(x), bsh), batch)
+
+    return put_batch
+
+
 def shard_state(state: Dict[str, Any], optimizer, mesh: Mesh) -> Dict[str, Any]:
     """Shard params per TP rules, then re-init opt_state from the sharded
     params so its moments inherit the same placement."""
@@ -107,21 +128,10 @@ def shard_steps(
     returned train step expects (and preserves) the sharded layout; batches are
     device_put to the data axis on entry.
     """
-    bsh = batch_sharding(mesh)
     train_jit = jax.jit(train_step, donate_argnums=(0,))
     encq_jit = jax.jit(encode_query)
     encp_jit = jax.jit(encode_passage)
-
-    def put_batch(batch):
-        if jax.process_count() > 1:
-            # each host feeds its slice of the global batch (the loaders'
-            # strided shard); assembly into one global array is metadata-only
-            return jax.tree.map(
-                lambda x: jax.make_array_from_process_local_data(
-                    bsh, np.asarray(x)),
-                batch,
-            )
-        return jax.tree.map(lambda x: jax.device_put(np.asarray(x), bsh), batch)
+    put_batch = make_put_batch(mesh)
 
     def wrapped_train(state, batch):
         return train_jit(state, put_batch(batch))

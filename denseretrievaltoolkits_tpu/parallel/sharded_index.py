@@ -201,7 +201,8 @@ class ShardedFlatIndex:
         self._n = n_global
         self._search_fn = None
 
-    def _build_search(self, k: int, mode: str = "exact"):
+    def _build_search(self, k: int, mode: str = "exact",
+                      tq: Optional[int] = None):
         mesh = self.mesh
         per = self._rows_per_shard
         n_valid_total = self._n
@@ -249,18 +250,19 @@ class ShardedFlatIndex:
             # static row count (no in-kernel masking) and mask here instead
             if mode == "serve" and has_scales:
                 vals_b, ids_b = _pallas_block_topj_packed_scaled(
-                    qb, corpus_rows, scales_rows, J, block, per
+                    qb, corpus_rows, scales_rows, J, block, per, tq=tq
                 )
             elif mode == "serve":
                 vals_b, ids_b = _pallas_block_topj_packed(
-                    qb, corpus_rows, J, block, per
+                    qb, corpus_rows, J, block, per, tq=tq
                 )
             elif has_scales:
                 vals_b, ids_b = _pallas_block_topj_scaled(
                     qb, corpus_rows, scales_rows, J, block, per
                 )
             else:
-                vals_b, ids_b = _pallas_block_topj(qb, corpus_rows, J, block, per)
+                vals_b, ids_b = _pallas_block_topj(qb, corpus_rows, J, block, per,
+                                                   tq=tq)
             nb = vals_b.shape[0]
             Q = q.shape[0]
             row_ids = jnp.transpose(ids_b, (1, 0, 2)).reshape(Q, nb * J)
@@ -326,18 +328,29 @@ class ShardedFlatIndex:
                mode: str = "exact") -> Tuple[np.ndarray, np.ndarray]:
         self._materialize()
         k = min(k, self._n)
-        if self._search_fn is None or getattr(self, "_search_key", None) != (k, mode):
-            self._search_fn = self._build_search(k, mode)
-            self._search_key = (k, mode)
+        # query tiling: the serve path rides the hardware-swept resident tile
+        # (SERVE_TQ=512 bought the single-chip 76k-qps number — ops/topk.py);
+        # queries pad up to a tile multiple so the kernel grid covers them all
+        from ..ops.topk import QUERY_TILE, SERVE_TQ
+
+        Q0 = int(np.asarray(q_reps).shape[0])
+        tq = min(SERVE_TQ if mode == "serve" else QUERY_TILE,
+                 max(8, -(-Q0 // 8) * 8))
+        if self._search_fn is None or getattr(self, "_search_key", None) != (k, mode, tq):
+            self._search_fn = self._build_search(k, mode, tq=tq)
+            self._search_key = (k, mode, tq)
         q = jnp.asarray(q_reps, jnp.float32)
+        pad_q = (-Q0) % tq
+        if pad_q:
+            q = jnp.pad(q, ((0, pad_q), (0, 0)))
         dummy_scales = self._scales if self._scales is not None else jnp.zeros((1,), jnp.float32)
         scores, indices = self._search_fn(q, self._corpus, dummy_scales)
-        return np.asarray(scores), np.asarray(indices)
+        return np.asarray(scores)[:Q0], np.asarray(indices)[:Q0]
 
-    def batch_search(self, q_reps, k, batch_size, quiet=False):
+    def batch_search(self, q_reps, k, batch_size, quiet=False, mode: str = "exact"):
         out_s, out_i = [], []
         for start in range(0, q_reps.shape[0], batch_size):
-            s, i = self.search(q_reps[start : start + batch_size], k)
+            s, i = self.search(q_reps[start : start + batch_size], k, mode=mode)
             out_s.append(s)
             out_i.append(i)
         return np.concatenate(out_s), np.concatenate(out_i)

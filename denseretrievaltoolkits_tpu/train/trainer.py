@@ -466,39 +466,97 @@ class Trainer:
 
     # -- persistence ---------------------------------------------------------
 
+    def _state_to_host(self):
+        """Full host copies of (params, opt_state).
+
+        Single-host: a plain np view per leaf.  Multi-host: TP-sharded leaves
+        span processes, so ``np.asarray`` on a non-addressable array raises —
+        every process joins one ``process_allgather`` (ICI/DCN collective) and
+        each gets the assembled global leaves.  MUST be called by ALL
+        processes (the write itself stays rank-0-only)."""
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            params = multihost_utils.process_allgather(
+                self.state["params"], tiled=True)
+            opt_state = multihost_utils.process_allgather(
+                self.state["opt_state"], tiled=True)
+            return params, opt_state
+        to_np = lambda tree: jax.tree.map(np.asarray, tree)
+        return to_np(self.state["params"]), to_np(self.state["opt_state"])
+
     def save(self, i_epoch: int):
         """Deploy-format save (reference trainer.py:348-356 layout
-        {cache}/result{N}, rank-0-only like the reference) + Orbax resume
-        checkpoint."""
+        {cache}/result{N}) + Orbax resume checkpoint.  All processes join the
+        host gather; process 0 writes (like the reference's rank-0 save)."""
+        args = self.training_args
+        params_host, opt_host = self._state_to_host()
         if jax.process_index() != 0:
             return
-        args = self.training_args
         path = os.path.join(args.cache_train_dir, f"result{i_epoch}")
-        self.model.save(self.state["params"], path)
-        self.save_checkpoint(os.path.join(args.output_dir, "checkpoint"), i_epoch)
+        self.model.save(params_host, path)
+        self.save_checkpoint(os.path.join(args.output_dir, "checkpoint"),
+                             i_epoch, params_host, opt_host)
 
-    def save_checkpoint(self, path: str, epoch: int):
+    def save_checkpoint(self, path: str, epoch: int,
+                        params_host=None, opt_host=None):
         import orbax.checkpoint as ocp
 
+        if params_host is None or opt_host is None:
+            params_host, opt_host = self._state_to_host()
+        if jax.process_index() != 0:
+            return
         path = os.path.abspath(path)
         payload = {
-            "params": jax.tree.map(np.asarray, self.state["params"]),
-            "opt_state": jax.tree.map(np.asarray, self.state["opt_state"]),
+            "params": jax.tree.map(np.asarray, params_host),
+            "opt_state": jax.tree.map(np.asarray, opt_host),
             "meta": {"epoch": np.asarray(epoch), "step": np.asarray(self.step)},
         }
         with ocp.PyTreeCheckpointer() as ckpt:
             ckpt.save(os.path.join(path, f"ep{epoch}"), payload, force=True)
 
+    def _place_like(self, restored_tree, current_tree):
+        """Re-place restored host leaves onto the CURRENT state's shardings.
+
+        On a mesh the live state carries TP/replicated placements from
+        shard_state; a plain ``jnp.asarray`` would come back process-local and
+        break the pjitted step on a pod.  ``make_array_from_callback`` builds
+        each global array from the full host copy (every process restored the
+        same checkpoint), handing each device exactly its shard."""
+
+        def place(x, ref):
+            x = np.asarray(x)
+            sharding = getattr(ref, "sharding", None)
+            if sharding is None:
+                return jnp.asarray(x)
+            if jax.process_count() > 1:
+                return jax.make_array_from_callback(
+                    x.shape, sharding, lambda idx: x[idx])
+            return jax.device_put(x, sharding)
+
+        return jax.tree.map(place, restored_tree, current_tree)
+
     def load(self, filename: str, ckpt_type=None):
-        """Resume params+opt_state+epoch (reference trainer.py:383-389)."""
+        """Resume params+opt_state+epoch (reference trainer.py:383-389).
+
+        Restores against a template of the LIVE state so optax's namedtuple
+        opt_state structure survives the round-trip (a bare restore returns
+        dicts/lists, which the optimizer's ``update`` cannot consume)."""
         import orbax.checkpoint as ocp
 
+        template = {
+            "params": jax.tree.map(
+                lambda x: np.zeros(x.shape, x.dtype), self.state["params"]),
+            "opt_state": jax.tree.map(
+                lambda x: np.zeros(x.shape, x.dtype), self.state["opt_state"]),
+            "meta": {"epoch": np.asarray(0), "step": np.asarray(0)},
+        }
         with ocp.PyTreeCheckpointer() as ckpt:
-            payload = ckpt.restore(os.path.abspath(filename))
-        as_jnp = lambda tree: jax.tree.map(jnp.asarray, tree)
+            payload = ckpt.restore(os.path.abspath(filename), item=template)
         self.state = {
-            "params": as_jnp(payload["params"]),
-            "opt_state": as_jnp(payload["opt_state"]),
+            "params": self._place_like(payload["params"], self.state["params"]),
+            "opt_state": self._place_like(payload["opt_state"],
+                                          self.state["opt_state"]),
         }
         self.start_epoch = int(payload["meta"]["epoch"]) + 1 if ckpt_type is None else 0
         self.step = int(payload["meta"]["step"])
@@ -527,14 +585,14 @@ class RRTrainer(Trainer):
             return self.model.encode(params, batch)
 
         if self.mesh is not None:
-            from ..parallel.mesh import batch_sharding
+            from ..parallel.mesh import make_put_batch
 
-            bsh = batch_sharding(self.mesh)
+            # the multi-host-aware placement the DR path uses (mesh.py):
+            # plain device_put of a process-local array would fail on a pod,
+            # where each host holds only its slice of the global batch
+            put = make_put_batch(self.mesh)
             train_jit = jax.jit(train_step, donate_argnums=(0,))
             score_jit = jax.jit(score)
-
-            def put(batch):
-                return jax.tree.map(lambda x: jax.device_put(np.asarray(x), bsh), batch)
 
             self._train_step = lambda state, batch: train_jit(state, put(batch))
             self._score = lambda params, batch: score_jit(params, put(batch))
@@ -555,35 +613,37 @@ class RRTrainer(Trainer):
         result: Dict[Any, list] = {}
         matcher = AnswerMatcher()  # memoized doc/answer tokenization
         bs = pair_loader.batch_size
-        for qids, batch, answers, docs, dids in pair_loader:
-            padded, valid = pad_to_batch(batch, bs)
-            scores = np.asarray(self._score(self.state["params"], padded))[:valid]
-            for q, a, d, s, did in zip(qids, answers, docs, scores, dids):
-                bucket = result.setdefault(q, ([], [], [], []))
-                # BERT-style scores are [1]; full-T5 scores are [neg, pos]
-                # logits — the relevance score is the LAST element either way
-                # (the reference's s[0] reads the neg logit for T5,
-                # trainer.py:428)
-                bucket[0].append(float(s[-1]))
-                bucket[1].append(int(matcher.match(did, d, a)))
-                bucket[2].append(d)
-                bucket[3].append(did)
-
-        # result jsonl dump (reference trainer.py:432-444 row schema); eval
-        # pairs are replicated across hosts, so process 0 writes for everyone
+        # result jsonl dump (reference trainer.py:432-444 row schema) is
+        # written INSIDE the batch loop, so document text never accumulates:
+        # host memory is O(batch) + O(pairs) small tuples, independent of how
+        # much text the top-100 rerank set carries (the DR eval got the same
+        # streaming treatment; eval pairs are replicated across hosts, so
+        # process 0 writes for everyone).
         rr_path = (os.path.join(args.rr_result_dir, f"{ep}.0.json")
                    if jax.process_index() == 0 else os.devnull)
         with open(rr_path, "w", encoding="utf-8") as fh:
-            for qid, (scores, is_true, ds, dids) in result.items():
-                for s, j, d, did in zip(scores, is_true, ds, dids):
-                    json.dump({"qid": qid, "did": did, "score": s, "match": j,
-                               "document": d}, fh, ensure_ascii=False)
+            for qids, batch, answers, docs, dids in pair_loader:
+                padded, valid = pad_to_batch(batch, bs)
+                scores = np.asarray(self._score(self.state["params"], padded))[:valid]
+                for q, a, d, s, did in zip(qids, answers, docs, scores, dids):
+                    bucket = result.setdefault(q, ([], []))
+                    # BERT-style scores are [1]; full-T5 scores are [neg, pos]
+                    # logits — the relevance score is the LAST element either
+                    # way (the reference's s[0] reads the neg logit for T5,
+                    # trainer.py:428)
+                    score = float(s[-1])
+                    match = int(matcher.match(did, d, a))
+                    bucket[0].append(score)
+                    bucket[1].append(match)
+                    json.dump({"qid": q, "did": did, "score": score,
+                               "match": match, "document": d},
+                              fh, ensure_ascii=False)
                     fh.write("\n")
 
         # merge + per-qid sort + metrics (reference trainer.py:448-482)
         m_all = {f"{m}@{k}": 0.0 for m in ("MRR", "NDCG", "Recall") for k in self.topk}
         eval_num = 0
-        for qid, (scores, is_true, _, _) in result.items():
+        for qid, (scores, is_true) in result.items():
             eval_num += 1
             order = np.argsort(-np.asarray(scores))
             pos_index = np.asarray(is_true)[order][None, :]

@@ -137,7 +137,17 @@ def main(argv=None):
                     help="after the dense run, train + evaluate the cross-"
                          "encoder reranker over the final retrieval dump "
                          "(the full two-stage reference pipeline)")
+    ap.add_argument("--platform", default=None, choices=["cpu", "tpu"],
+                    help="force a JAX backend (this container's sitecustomize "
+                         "latches the axon TPU plugin, so JAX_PLATFORMS=cpu "
+                         "in the environment alone is ignored — this flag "
+                         "calls jax.config.update early)")
     opts = ap.parse_args(argv)
+
+    if opts.platform:
+        import jax
+
+        jax.config.update("jax_platforms", opts.platform)
 
     rng = random.Random(0)
     os.makedirs(opts.out, exist_ok=True)

@@ -22,19 +22,42 @@ def _ident(rows):
     return rows
 
 
-def test_strided_shards_are_disjoint_and_complete():
-    """Train-loader sharding: every example lands on exactly one host."""
+def test_strided_shards_are_complete_and_equal_length():
+    """Train-loader sharding: every example lands on a host, every host gets
+    the SAME row count (DistributedSampler padding semantics — wrap-around
+    rows fill the last shards, reference exactmatch_dataloader.py:17-25)."""
     data = list(range(103))
-    seen = []
+    seen, counts = [], []
     for idx in range(4):
         dl = DataLoader(data, 4, _ident, shuffle=False, shard_num=4, shard_idx=idx)
         rows = [r for batch in dl for r in batch]
         seen.append(set(rows))
+        counts.append(len(rows))
     union = set().union(*seen)
     assert union == set(range(103))
-    for a in range(4):
-        for b in range(a + 1, 4):
-            assert not (seen[a] & seen[b]), f"hosts {a},{b} overlap"
+    # equal per-host row counts; at most shard_num-1 wrap-around duplicates
+    assert len(set(counts)) == 1
+    assert sum(counts) - len(union) < 4
+
+
+def test_shard_batch_counts_equal_under_spmd():
+    """Every shard yields the SAME number of batches for awkward
+    (n, batch, shard) combinations — an unequal count would deadlock a pod on
+    the last collective step (VERDICT r2, missing #1: 103 examples / 2 hosts /
+    batch 4 used to give 13 vs 12 batches)."""
+    for n, bs, shards in [(103, 4, 2), (103, 4, 4), (7, 2, 4), (64, 8, 2),
+                          (65, 8, 8), (9, 3, 2)]:
+        data = list(range(n))
+        for drop_last in (False, True):
+            lens = []
+            for idx in range(shards):
+                dl = DataLoader(data, bs, _ident, shuffle=False,
+                                drop_last=drop_last, shard_num=shards,
+                                shard_idx=idx)
+                n_batches = sum(1 for _ in dl)
+                assert n_batches == len(dl)
+                lens.append(n_batches)
+            assert len(set(lens)) == 1, (n, bs, shards, drop_last, lens)
 
 
 def test_shuffled_strided_shards_are_disjoint():
