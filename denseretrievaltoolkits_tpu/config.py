@@ -259,6 +259,25 @@ class TrainingArguments:
         default=True,
         metadata={"help": "Use the Pallas fused top-k kernel on TPU (falls back to XLA elsewhere)"},
     )
+    index_factory: str = field(
+        default="",
+        metadata={"help": "FAISS-style factory string for the evaluation index "
+                  "(overrides index_dtype): Flat | BF16 | SQ8 | SQ4 | "
+                  "IVF{n},Flat|BF16|SQ8 | PCAR{d},... — trained indexes "
+                  "(IVF/PCAR) train on the encoded corpus during evaluation "
+                  "(reference faiss.index_factory + train(), index.py:47-54). "
+                  "Single-device; empty = flat index at index_dtype"},
+    )
+    nprobe: int = field(
+        default=32,
+        metadata={"help": "IVF cells probed per query when index_factory "
+                  "builds an IVF index"},
+    )
+    index_train_rows: int = field(
+        default=262144,
+        metadata={"help": "Max corpus rows sampled to train a trained "
+                  "(IVF/PCAR) factory index"},
+    )
     resume_from: Optional[str] = field(
         default=None, metadata={"help": "Orbax checkpoint dir to resume from"}
     )

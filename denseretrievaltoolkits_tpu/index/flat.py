@@ -530,6 +530,11 @@ def index_factory(dim: int, factory_str: str, block_size: int = DEFAULT_BLOCK,
     if key.startswith("ivf"):
         head, _, tail = key.partition(",")
         cell_dtype = flat_dtypes.get(tail or "flat")
+        if cell_dtype == "int4":
+            raise ValueError(
+                "IVF cells support Flat/BF16/SQ8; for 4-bit storage use a "
+                "flat SQ4 index (optionally behind PCAR) — the sq4 kernels "
+                "are flat-corpus kernels")
         try:
             nlist = int(head[3:])
         except ValueError:

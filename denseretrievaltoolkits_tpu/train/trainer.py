@@ -269,7 +269,13 @@ class Trainer:
         (each chip owns a corpus shard; candidates merge over the interconnect
         — replaces the reference's disk-mediated index broadcast)."""
         args = self.training_args
+        factory = getattr(args, "index_factory", "")
         if self.mesh is not None and self.mesh.devices.size > 1:
+            if factory:
+                raise ValueError(
+                    "--index_factory builds single-device indexes; on a "
+                    ">1-device mesh use --index_dtype (the ICI-sharded flat "
+                    "index) instead")
             from ..parallel.sharded_index import ShardedFlatIndex
             from ..parallel.mesh import DATA_AXIS, make_mesh
 
@@ -278,6 +284,11 @@ class Trainer:
                                   devices=list(self.mesh.devices.flatten()))
             return ShardedFlatIndex(flat_mesh, dim, dtype=args.index_dtype,
                                     use_pallas=args.use_pallas)
+        if factory:
+            from ..index.flat import index_factory
+
+            return index_factory(dim, factory,
+                                 nprobe=getattr(args, "nprobe", 32))
         return FlatIPIndex(dim, dtype=args.index_dtype,
                            use_pallas=args.use_pallas)
 
@@ -304,12 +315,23 @@ class Trainer:
         mmap = None
         row = 0
         n_local = None  # rows THIS host encodes (== corpus size single-host)
+        needs_training = False
 
         def flush():
-            nonlocal buf, buf_rows
+            nonlocal buf, buf_rows, needs_training
             if not buf:
                 return
             slab = buf[0] if len(buf) == 1 else jnp.concatenate(buf, axis=0)
+            if needs_training:
+                # trained factory index (IVF/PCAR): fit on a strided corpus
+                # sample, then add everything in ONE device-native shot (the
+                # reference's faiss train() + add, index.py:47-54; IVF's
+                # cluster-major layout is built one-shot by design)
+                n_train = min(int(slab.shape[0]),
+                              getattr(args, "index_train_rows", 262144))
+                step = max(1, int(slab.shape[0]) // n_train)
+                self.index.train(slab[::step][:n_train])
+                needs_training = False
             self.index.add_device(slab)
             buf, buf_rows = [], 0
 
@@ -318,6 +340,11 @@ class Trainer:
             out = self._encode_passage(self.state["params"], padded)[:valid]
             if self.index is None:
                 self.index = self._make_index(int(out.shape[1]))
+                needs_training = not getattr(self.index, "is_trained", True)
+                if needs_training:
+                    # a trained index cannot add incrementally before it is
+                    # fit: hold every encoded slab in HBM and flush once
+                    slab_rows = float("inf")
             buf.append(out)
             buf_rows += valid
             if buf_rows >= slab_rows:
@@ -373,7 +400,11 @@ class Trainer:
                                   devices=list(self.mesh.devices.flatten()))
             self.index = ShardedFlatIndex.load(args.index_file + str(ep), flat_mesh)
         else:
-            self.index = FlatIPIndex.load(args.index_file + str(ep))
+            from ..index.io import load_index
+
+            # dispatches on the serialized kind (flat / IVF / PCAR chain),
+            # so factory-built indexes restore too (faiss.read_index role)
+            self.index = load_index(args.index_file + str(ep))
         with open(os.path.join(args.index_order_dir, f"{ep}.docid.txt"),
                   encoding="utf-8") as fh:
             self.idx = json.load(fh)["id"]
@@ -487,25 +518,27 @@ class Trainer:
 
     def save(self, i_epoch: int):
         """Deploy-format save (reference trainer.py:348-356 layout
-        {cache}/result{N}) + Orbax resume checkpoint.  All processes join the
-        host gather; process 0 writes (like the reference's rank-0 save)."""
+        {cache}/result{N}) + Orbax resume checkpoint.  COLLECTIVE on
+        multi-host: every process joins the host gather and the Orbax save
+        (Orbax's save is itself a cross-process barrier; its primary host
+        does the writing).  The deploy-format write stays rank-0-only like
+        the reference."""
         args = self.training_args
         params_host, opt_host = self._state_to_host()
-        if jax.process_index() != 0:
-            return
-        path = os.path.join(args.cache_train_dir, f"result{i_epoch}")
-        self.model.save(params_host, path)
+        if jax.process_index() == 0:
+            path = os.path.join(args.cache_train_dir, f"result{i_epoch}")
+            self.model.save(params_host, path)
         self.save_checkpoint(os.path.join(args.output_dir, "checkpoint"),
                              i_epoch, params_host, opt_host)
 
     def save_checkpoint(self, path: str, epoch: int,
                         params_host=None, opt_host=None):
+        """COLLECTIVE on multi-host — call from every process (Orbax
+        coordinates internally and writes from the primary host)."""
         import orbax.checkpoint as ocp
 
         if params_host is None or opt_host is None:
             params_host, opt_host = self._state_to_host()
-        if jax.process_index() != 0:
-            return
         path = os.path.abspath(path)
         payload = {
             "params": jax.tree.map(np.asarray, params_host),
@@ -527,7 +560,10 @@ class Trainer:
         def place(x, ref):
             x = np.asarray(x)
             sharding = getattr(ref, "sharding", None)
-            if sharding is None:
+            if sharding is None or len(sharding.device_set) <= 1:
+                # single-device/uncommitted leaves (e.g. optimizer step
+                # counters created by optimizer.init outside pjit) stay
+                # uncommitted so jit may co-place them freely
                 return jnp.asarray(x)
             if jax.process_count() > 1:
                 return jax.make_array_from_callback(

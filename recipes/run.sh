@@ -125,4 +125,29 @@ python3 -m denseretrievaltoolkits_tpu.evaluator.retrieval \
     --save_ranking_to run.nq.txt
 }
 
+# Trained-ANN evaluation index: the factory string is trained on the encoded
+# corpus during evaluation (reference faiss.index_factory + train(),
+# DRT/evaluator/index.py:47-54). IVF cells are int8; search_mode=serve probes
+# nprobe cells per query via the cell-major bulk kernel.
+run_random_sampling_ivf() {
+python3 run_random_sampling.py \
+    --model_name_or_path bert-base-uncased \
+    --untie_encoder \
+    --dataset nq \
+    --dataset_name Tevatron/wikipedia-nq \
+    --corpus_name xxazz/nq-corpus \
+    --data_cache_dir "$CACHE" \
+    --cache_train_dir "$CACHE" \
+    --output_dir ./model_nq_ivf \
+    --train_batch_size 16 --eval_batch_size 16 --test_batch_size 32 \
+    --corpus_batch_size 16 \
+    --train_n_passages 2 --positive_passage_no_shuffle \
+    --learning_rate 1e-5 --max_epochs 40 \
+    --q_max_len 32 --p_max_len 156 \
+    --topk 5,10,20,50,100 --retrieve_num 100 \
+    --eval_per_train 40 --save_per_train 10 \
+    --index_factory IVF4096,SQ8 --nprobe 32 \
+    --search_mode serve
+}
+
 "${1:-run_random_sampling}"
