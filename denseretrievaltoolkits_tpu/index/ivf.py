@@ -183,7 +183,8 @@ class IVFFlatIndex:
     def __init__(self, dim: int, nlist: int = 1024, nprobe: int = 32,
                  dtype: str = "float32", capacity_factor: float = 2.0,
                  query_tile: int = 16, train_block: int = 8192,
-                 ovf_frac: float = 0.02, max_capacity_factor: float = 8.0):
+                 ovf_frac: float = 0.02, max_capacity_factor: float = 8.0,
+                 qcap_factor: float = 2.0):
         self.dim = dim
         self.nlist = nlist
         self.nprobe = min(nprobe, nlist)
@@ -191,6 +192,11 @@ class IVFFlatIndex:
         self.capacity_factor = capacity_factor
         self.query_tile = query_tile
         self.train_block = train_block
+        # bulk (cell-major) search: per-cell query capacity = qcap_factor x
+        # the mean probe load B*nprobe/nlist; probes beyond a hot cell's
+        # capacity are dropped and counted in ``last_dropped``
+        self.qcap_factor = qcap_factor
+        self.last_dropped = 0
         # adaptive capacity: grow cells past capacity_factor x mean until the
         # overflow slab holds <= ovf_frac of the rows (skewed cluster sizes —
         # e.g. isotropic data — would otherwise spill half the corpus to the
@@ -266,10 +272,17 @@ class IVFFlatIndex:
             self.centroids, min(8192, max(8, N)))
         counts = np.bincount(np.asarray(assign), minlength=self.nlist)
         mean = max(1.0, N / self.nlist)
-        C = int(-(-(self.capacity_factor * mean) // 8) * 8)
-        c_max = max(C, int(-(-(self.max_capacity_factor * mean) // 8) * 8))
+
+        def round_cap(c: float) -> int:
+            # cell capacities above 512 round to a 512 multiple so the bulk
+            # kernel can tile cells with 512/1024/2048 blocks (C % block == 0)
+            g = 512 if c > 512 else 8
+            return int(-(-c // g) * g)
+
+        C = round_cap(self.capacity_factor * mean)
+        c_max = max(C, round_cap(self.max_capacity_factor * mean))
         while C < c_max and np.maximum(counts - C, 0).sum() > self.ovf_frac * N:
-            C += 8
+            C = round_cap(C + (512 if C >= 512 else 8))
         n_ovf = int((counts - np.minimum(counts, C)).sum())
         starts = np.zeros(self.nlist, np.int32)
         np.cumsum(counts[:-1], out=starts[1:])
@@ -361,17 +374,69 @@ class IVFFlatIndex:
 
         return fn, tile
 
+    def _pick_block(self) -> int:
+        """Cell-block size for the bulk kernel: the largest VMEM-safe block
+        dividing the cell capacity C (add_device rounds C to a 512 multiple
+        above 512, so one of these always divides)."""
+        C = int(self._values.shape[1])
+        caps = (1024,) if self.dtype == "float32" else (2048, 1024)
+        for b in caps + (512,):
+            if C >= b and C % b == 0:
+                return b
+        return C
+
+    def search_bulk(self, q_reps: np.ndarray, k: int = 100,
+                    nprobe: Optional[int] = None
+                    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Cell-major bulk search (ops/ivf_bulk.py): MXU-form probe scoring
+        for query batches — the serving path that makes IVF beat the exact
+        kernels (VERDICT r2 next-round #1).  Scores are packed-selection
+        quantized (~1e-4 relative) like the flat serve kernel; hot-cell probe
+        drops are counted in ``self.last_dropped``."""
+        if self._values is None:
+            raise RuntimeError("IVFFlatIndex.search before add()")
+        from ..ops.ivf_bulk import ivf_bulk_search, serve_j
+
+        k = min(k, self._n)
+        nprobe = self.nprobe if nprobe is None else min(nprobe, self.nlist)
+        q = np.asarray(q_reps, np.float32)
+        B0 = q.shape[0]
+        pad = (-B0) % 8
+        if pad:
+            q = np.concatenate([q, np.zeros((pad, self.dim), np.float32)])
+        B = q.shape[0]
+        C = int(self._values.shape[1])
+        block = self._pick_block()
+        J = serve_j(k, block, C)
+        lam = B * nprobe / self.nlist
+        Qcap = int(-(-max(8.0, self.qcap_factor * lam) // 8) * 8)
+        Qcap = min(Qcap, int(-(-B * nprobe // 8) * 8))
+        tv, doc, dropped = ivf_bulk_search(
+            jnp.asarray(q), self.centroids, self._values, self._row_ids,
+            self._scales, self._ovf_values, self._ovf_scales, self._ovf_ids,
+            k=k, nprobe=nprobe, Qcap=Qcap, J=J, block=block,
+            nlist=self.nlist, C=C)
+        self.last_dropped = int(dropped)
+        return np.asarray(tv)[:B0], np.asarray(doc)[:B0]
+
     def search(self, q_reps: np.ndarray, k: int = 100,
-               mode: str = "approx",
+               mode: str = "bulk",
                nprobe: Optional[int] = None) -> Tuple[np.ndarray, np.ndarray]:
-        """Centroid-pruned top-k. ``mode="exact"`` falls back to a flat scan
-        over the reconstructed corpus (for parity checks)."""
+        """Centroid-pruned top-k.
+
+        ``mode="bulk"`` (default; also "serve"): the cell-major MXU kernel —
+        the bulk-throughput path.  ``mode="probe"`` (alias "approx"): the
+        per-query-tile gathered einsum — exact fp32 probe scores, better at
+        tiny latency-sensitive batches.  ``mode="exact"``: flat scan over the
+        reconstructed corpus (parity checks)."""
         if self._values is None:
             raise RuntimeError("IVFFlatIndex.search before add()")
         k = min(k, self._n)
         q = np.asarray(q_reps, np.float32)
         if mode == "exact":
             return self._search_exact(q, k)
+        if mode in ("bulk", "serve"):
+            return self.search_bulk(q, k, nprobe=nprobe)
         nprobe = self.nprobe if nprobe is None else min(nprobe, self.nlist)
         key = (k, nprobe)
         if self._search_fn is None or self._search_key != key:

@@ -54,7 +54,10 @@ def test_ivf_full_probe_is_exact(ivf_setup):
     """nprobe == nlist visits every cell: must equal the flat exact search."""
     corpus, queries, index, exact = ivf_setup
     s_ref, i_ref = exact.search(queries, 5)
-    s_got, i_got = index.search(queries, 5, nprobe=index.nlist)
+    # probe mode: exact fp32 probe scores, so the ranking matches bit-wise
+    # (bulk mode's packed selection may reorder within its tie quantum —
+    # covered set-wise in test_ivf_bulk.py)
+    s_got, i_got = index.search(queries, 5, nprobe=index.nlist, mode="probe")
     np.testing.assert_array_equal(i_got, i_ref)
     np.testing.assert_allclose(s_got, s_ref, rtol=1e-4, atol=1e-4)
 
@@ -83,7 +86,7 @@ def test_ivf_overflow_slab_preserves_rows():
     exact = FlatIPIndex(16)
     exact.add(corpus)
     _, i_ref = exact.search(corpus[:8], 5)
-    _, i_got = idx.search(corpus[:8], 5, nprobe=16)
+    _, i_got = idx.search(corpus[:8], 5, nprobe=16, mode="probe")
     np.testing.assert_array_equal(i_got, i_ref)
 
 
@@ -144,8 +147,8 @@ def test_add_device_matches_add():
     b.centroids = a.centroids
     b.add_device(jax.device_put(jnp.asarray(corpus)))
 
-    sa, ia = a.search(q, 10, nprobe=8)
-    sb, ib = b.search(q, 10, nprobe=8)
+    sa, ia = a.search(q, 10, nprobe=8, mode="probe")
+    sb, ib = b.search(q, 10, nprobe=8, mode="probe")
     np.testing.assert_array_equal(ia, ib)
     np.testing.assert_allclose(sa, sb, rtol=1e-5, atol=1e-5)
     # full probe = exact

@@ -1,0 +1,132 @@
+"""Cell-major bulk IVF search (ops/ivf_bulk.py): parity, recall, telemetry.
+
+VERDICT r2 next-round #1: restructure IVF probe scoring to MXU form.  These
+tests pin the bulk path's semantics against the exact flat scan and the
+legacy per-query probe path on CPU (kernels run in interpret mode)."""
+
+import numpy as np
+import pytest
+
+from denseretrievaltoolkits_tpu.index.flat import FlatIPIndex
+from denseretrievaltoolkits_tpu.index.ivf import IVFFlatIndex
+from denseretrievaltoolkits_tpu.ops.ivf_bulk import serve_j
+
+
+def _clustered(rng, n_clusters=24, per=96, dim=32, spread=0.12):
+    centers = rng.normal(size=(n_clusters, dim)).astype(np.float32)
+    return np.concatenate(
+        [c + spread * rng.normal(size=(per, dim)).astype(np.float32)
+         for c in centers])
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rng = np.random.default_rng(7)
+    corpus = _clustered(rng)  # 2304 rows
+    queries = corpus[rng.choice(len(corpus), 64, replace=False)] \
+        + 0.05 * rng.normal(size=(64, 32)).astype(np.float32)
+    exact = FlatIPIndex(32)
+    exact.add(corpus)
+    return corpus, queries, exact
+
+
+@pytest.mark.parametrize("dtype", ["float32", "bfloat16", "int8"])
+def test_bulk_recall_matches_probe_path(setup, dtype):
+    corpus, queries, exact = setup
+    idx = IVFFlatIndex(32, nlist=24, nprobe=8, dtype=dtype)
+    idx.train(corpus, iters=6)
+    idx.add(corpus)
+    k = 10
+    _, ref = exact.search(queries, k)
+    _, probe = idx.search(queries, k, mode="probe")
+    _, bulk = idx.search(queries, k, mode="bulk")
+    r_probe = np.mean([len(set(probe[i]) & set(ref[i])) / k
+                       for i in range(len(queries))])
+    r_bulk = np.mean([len(set(bulk[i]) & set(ref[i])) / k
+                      for i in range(len(queries))])
+    assert r_bulk >= r_probe - 0.02, (r_bulk, r_probe)
+    assert r_bulk >= 0.9, r_bulk
+    assert idx.last_dropped == 0
+
+
+def test_bulk_full_probe_equals_exact(setup):
+    """nprobe == nlist visits every row: bulk ranking must match the flat
+    scan (scores agree to the packed-selection quantum)."""
+    corpus, queries, exact = setup
+    idx = IVFFlatIndex(32, nlist=16, nprobe=16)
+    idx.train(corpus, iters=6)
+    idx.add(corpus)
+    s_ref, i_ref = exact.search(queries, 5)
+    s_got, i_got = idx.search(queries, 5, mode="bulk", nprobe=16)
+    # packed selection quantizes scores (~2^id_bits ulps): the member set may
+    # differ ONLY by substitutions whose true score ties the k-th boundary
+    # within the quantum (the measured flat-serve behavior, ops/topk.py)
+    for r in range(len(queries)):
+        extra = set(i_got[r]) - set(i_ref[r])
+        for doc in extra:
+            true = float(queries[r] @ exact._chunks[0][doc])
+            assert abs(true - s_ref[r][-1]) <= 1e-3 * abs(s_ref[r][-1]), (
+                r, doc, true, s_ref[r][-1])
+    np.testing.assert_allclose(np.sort(s_got, axis=1), np.sort(s_ref, axis=1),
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_bulk_counts_dropped_probes(setup):
+    """A tiny Qcap must surface hot-cell drops in last_dropped, not silently
+    degrade: qcap_factor≈0 forces Qcap=8 under a heavy per-cell load."""
+    corpus, queries, exact = setup
+    idx = IVFFlatIndex(32, nlist=4, nprobe=4, qcap_factor=0.01)
+    idx.train(corpus, iters=4)
+    idx.add(corpus)
+    idx.search(queries, 5, mode="bulk")  # load = 64*4/4 = 64 >> Qcap=8
+    assert idx.last_dropped > 0
+
+
+def test_bulk_overflow_slab_merged():
+    """Rows spilled to the overflow slab stay reachable in bulk mode."""
+    rng = np.random.default_rng(3)
+    corpus = rng.normal(size=(512, 16)).astype(np.float32)
+    corpus[:400] = corpus[:400] * 0.05 + np.ones(16, np.float32)
+    idx = IVFFlatIndex(16, nlist=16, nprobe=16, capacity_factor=1.0)
+    idx.train(corpus, iters=5)
+    idx.add(corpus)
+    assert idx._ovf_ids is not None and idx._ovf_ids.shape[0] > 0
+    exact = FlatIPIndex(16)
+    exact.add(corpus)
+    _, i_ref = exact.search(corpus[:8], 5)
+    _, i_got = idx.search(corpus[:8], 5, mode="bulk", nprobe=16)
+    np.testing.assert_array_equal(i_got, i_ref)
+
+
+def test_bulk_small_batch_and_ragged_sizes(setup):
+    """Arbitrary (non-multiple-of-8) batch sizes pad internally."""
+    corpus, queries, exact = setup
+    idx = IVFFlatIndex(32, nlist=16, nprobe=8)
+    idx.train(corpus, iters=4)
+    idx.add(corpus)
+    for b in (1, 3, 8, 13):
+        s, i = idx.search(queries[:b], 7, mode="bulk")
+        assert s.shape == (b, 7) and i.shape == (b, 7)
+        assert (np.diff(s, axis=1) <= 1e-6).all()  # sorted descending
+
+
+def test_serve_j_density():
+    # single-block cell must be able to carry a full top-k
+    assert serve_j(100, 128, 128) == 100
+    # many blocks: Poisson density, well under k
+    j = serve_j(100, 1024, 17408)
+    assert 8 <= j < 30
+    # nb*J always covers k when C >= k
+    for C, block in [(1024, 512), (2048, 1024), (4096, 1024), (512, 512)]:
+        j = serve_j(100, block, C)
+        assert (C // block) * j >= min(100, C)
+
+
+def test_batch_search_default_mode_is_bulk(setup):
+    corpus, queries, exact = setup
+    idx = IVFFlatIndex(32, nlist=16, nprobe=8)
+    idx.train(corpus, iters=4)
+    idx.add(corpus)
+    s1, i1 = idx.batch_search(queries, 10, batch_size=24)
+    s2, i2 = idx.search(queries[:24], 10, mode="bulk")
+    np.testing.assert_array_equal(i1[:24], i2)
