@@ -99,6 +99,88 @@ def make_dataset(out, rng, n_train, n_eval, n_corpus, n_neg=4):
     return data_dir, corpus_path
 
 
+def make_topical_dataset(out, rng, n_train, n_eval, n_corpus, n_neg=4,
+                         n_topics=64):
+    """Clustered-topic corpus where HARD negatives are required (VERDICT r2
+    next-round #5): every topic has a dedicated vocabulary, and a query's
+    true competition is the ~n_corpus/n_topics same-topic passages that do
+    NOT carry its answer.
+
+    Random (cross-topic) in-batch negatives are separable by topic vocabulary
+    alone, so the contrastive softmax saturates early and the answer-token
+    feature gets almost no gradient — the model ranks the whole topic high
+    but cannot order within it, and MRR@10 stalls.  BM25/dense-mined
+    negatives are same-topic by construction (highest lexical / embedding
+    overlap), so they force within-topic discrimination — the property
+    hard-negative mining exists for (reference run_BM25_negative.py:53-55,
+    ANCE-style refresh in mine/).
+    """
+    words = _words()
+    n_topic_words = 24
+    topic_vocab = [
+        words[t * n_topic_words:(t + 1) * n_topic_words]
+        for t in range(n_topics)
+    ]  # dedicated, disjoint per topic
+    shared = words[n_topics * n_topic_words: N_WORDS - 512]
+    answer_words = words[N_WORDS - 512:]
+    data_dir = os.path.join(out, "data")
+    os.makedirs(data_dir, exist_ok=True)
+
+    def passage_text(topic):
+        toks = [rng.choice(topic_vocab[topic]) for _ in range(12)] + \
+               [rng.choice(shared) for _ in range(12)]
+        rng.shuffle(toks)
+        return " ".join(toks)
+
+    corpus_rows = [
+        {"docid": f"d{i}", "title": rng.choice(topic_vocab[i % n_topics]),
+         "text": passage_text(i % n_topics)}
+        for i in range(n_corpus)
+    ]
+
+    def make_split(n, start):
+        rows = []
+        for j in range(n):
+            i = (start + j) % n_corpus
+            topic = i % n_topics
+            answer = rng.choice(answer_words)
+            toks = corpus_rows[i]["text"].split()
+            toks.insert(rng.randrange(len(toks) + 1), answer)
+            corpus_rows[i]["text"] = " ".join(toks)
+            pos = {"docid": f"d{i}", "title": corpus_rows[i]["title"],
+                   "text": corpus_rows[i]["text"]}
+            negs = []
+            for _ in range(n_neg):  # initial negatives: random cross-topic
+                k = rng.randrange(n_corpus)
+                negs.append({"docid": f"d{k}", "title": corpus_rows[k]["title"],
+                             "text": corpus_rows[k]["text"]})
+            query = " ".join(
+                [rng.choice(topic_vocab[topic]) for _ in range(8)] + [answer])
+            rows.append({
+                "query_id": f"q{start + j}",
+                "query": query,
+                "answers": [answer],
+                "positive_passages": [pos],
+                "negative_passages": negs,
+            })
+        return rows
+
+    splits = {
+        "train": make_split(n_train, 0),
+        "dev": make_split(n_eval, n_train),
+        "test": make_split(n_eval, n_train + n_eval),
+    }
+    for name, rows in splits.items():
+        with open(os.path.join(data_dir, f"{name}.jsonl"), "w") as fh:
+            for r in rows:
+                fh.write(json.dumps(r) + "\n")
+    corpus_path = os.path.join(out, "corpus.jsonl")
+    with open(corpus_path, "w") as fh:
+        for r in corpus_rows:
+            fh.write(json.dumps(r) + "\n")
+    return data_dir, corpus_path
+
+
 def make_model_dir(out):
     """Architecture-only model dir (bert_config.json, no weights.npz):
     DRModel.build random-inits from it — the offline-container path."""
@@ -137,6 +219,20 @@ def main(argv=None):
                     help="after the dense run, train + evaluate the cross-"
                          "encoder reranker over the final retrieval dump "
                          "(the full two-stage reference pipeline)")
+    ap.add_argument("--workload", default="planted",
+                    choices=["planted", "topical"],
+                    help="planted: the r2 curve workload (answer tokens in "
+                         "otherwise-isotropic noise). topical: clustered "
+                         "topic vocabularies where random negatives saturate "
+                         "and hard (BM25/mined) negatives are required for "
+                         "within-topic ranking")
+    ap.add_argument("--sampler", default="random", choices=["random", "bm25"],
+                    help="random: run_random_sampling (in-batch random "
+                         "negatives; combine with --mine for dense mining). "
+                         "bm25: run_BM25_negative (offline BM25-mined hard "
+                         "negatives)")
+    ap.add_argument("--search_mode", default=None,
+                    help="trainer eval search mode (exact|serve|approx)")
     ap.add_argument("--platform", default=None, choices=["cpu", "tpu"],
                     help="force a JAX backend (this container's sitecustomize "
                          "latches the axon TPU plugin, so JAX_PLATFORMS=cpu "
@@ -151,7 +247,8 @@ def main(argv=None):
 
     rng = random.Random(0)
     os.makedirs(opts.out, exist_ok=True)
-    data_dir, corpus_path = make_dataset(
+    gen = make_dataset if opts.workload == "planted" else make_topical_dataset
+    data_dir, corpus_path = gen(
         opts.out, rng, opts.train, opts.eval, opts.corpus
     )
     model_dir = make_model_dir(opts.out)
@@ -186,11 +283,16 @@ def main(argv=None):
         "seed": 0,
         "mine_per_train": opts.mine,
     }
+    if opts.search_mode:
+        args["search_mode"] = opts.search_mode
     args_file = os.path.join(opts.out, "args.json")
     with open(args_file, "w") as fh:
         json.dump(args, fh, indent=2)
 
-    from run_random_sampling import main as run_main
+    if opts.sampler == "bm25":
+        from run_BM25_negative import main as run_main
+    else:
+        from run_random_sampling import main as run_main
 
     run_main([args_file])
 
