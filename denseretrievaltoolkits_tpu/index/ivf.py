@@ -253,6 +253,127 @@ class IVFFlatIndex:
         exact slab."""
         self.add_device(jnp.asarray(np.asarray(reps, np.float32)))
 
+    def _capacity(self, counts: np.ndarray, N: int) -> int:
+        """Fixed per-cell capacity: capacity_factor x mean, grown until the
+        overflow slab holds <= ovf_frac of the rows (bounded by
+        max_capacity_factor).  Capacities above 512 round to 512 multiples so
+        the bulk kernel can tile cells with 512/1024/2048 blocks."""
+        mean = max(1.0, N / self.nlist)
+
+        def round_cap(c: float) -> int:
+            g = 512 if c > 512 else 8
+            return int(-(-c // g) * g)
+
+        C = round_cap(self.capacity_factor * mean)
+        c_max = max(C, round_cap(self.max_capacity_factor * mean))
+        while C < c_max and np.maximum(counts - C, 0).sum() > self.ovf_frac * N:
+            C = round_cap(C + (512 if C >= 512 else 8))
+        return C
+
+    def add_chunks(self, chunk_fn, n_rows: int,
+                   chunk_rows: int = 500_000) -> None:
+        """Incremental two-pass build for corpora too large to coexist with
+        the cell buffer in HBM (the one-shot ``add_device`` peaks at input
+        reps + capacity_factor x corpus bytes; this path peaks at the cell
+        buffer + ONE chunk).
+
+        ``chunk_fn(start, rows)`` must deterministically return the corpus
+        rows ``[start, start+rows)`` as a FRESH device array [rows, dim] — it
+        is called once per chunk per pass (pass 1 assigns, pass 2 quantizes +
+        scatters) and each returned array is CONSUMED (deleted) to bound HBM.
+        Host work is O(N) int32 vectors (the assignment and the destination
+        map), never row data."""
+        if not self.is_trained:
+            raise RuntimeError("IVFFlatIndex.add_chunks before train()")
+        if self._values is not None:
+            raise RuntimeError("IVFFlatIndex build is one-shot")
+        N = int(n_rows)
+
+        # pass 1: nearest-centroid assignment, chunk at a time
+        assign_all = np.empty(N, np.int32)
+        for start in range(0, N, chunk_rows):
+            rows = min(chunk_rows, N - start)
+            chunk = jnp.asarray(chunk_fn(start, rows))
+            a = _assign_device(
+                chunk.astype(jnp.float32) if chunk.dtype == jnp.bfloat16
+                else chunk,
+                self.centroids, min(8192, max(8, rows)))
+            assign_all[start:start + rows] = np.asarray(a)
+            chunk.delete()
+        counts = np.bincount(assign_all, minlength=self.nlist)
+        C = self._capacity(counts, N)
+        starts = np.zeros(self.nlist, np.int64)
+        np.cumsum(counts[:-1], out=starts[1:])
+
+        # host destination map: cluster-major slot per row (or overflow)
+        order = np.argsort(assign_all, kind="stable")
+        sa = assign_all[order]
+        pos = np.arange(N, dtype=np.int64) - starts[sa]
+        in_cell = pos < C
+        dest_sorted = np.where(in_cell, sa.astype(np.int64) * C + pos, -1)
+        dest = np.empty(N, np.int64)
+        dest[order] = dest_sorted
+        row_ids_flat = np.full(self.nlist * C, -1, np.int32)
+        valid = dest_sorted >= 0
+        row_ids_flat[dest_sorted[valid]] = order[valid].astype(np.int32)
+
+        # pass 2: quantize/cast + scatter each chunk into the cell buffer
+        int8 = self.dtype == "int8"
+        cell_dtype = (jnp.int8 if int8 else
+                      jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32)
+        values = jnp.zeros((self.nlist, C, self.dim), cell_dtype)
+        scales = jnp.ones((self.nlist, C), jnp.float32) if int8 else None
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def place(buf, rows_q, ci, pi):
+            return buf.at[ci, pi].set(rows_q, mode="drop")
+
+        ovf_parts_v, ovf_parts_s, ovf_parts_i = [], [], []
+        if int8:
+            from ..ops.quant import quantize_int8_device
+        for start in range(0, N, chunk_rows):
+            rows = min(chunk_rows, N - start)
+            chunk = jnp.asarray(chunk_fn(start, rows))
+            if int8:
+                qv, qs = quantize_int8_device(
+                    chunk.astype(jnp.float32) if chunk.dtype == jnp.bfloat16
+                    else chunk,
+                    block_rows=min(1024, rows))
+            else:
+                qv, qs = chunk.astype(cell_dtype), None
+            if qv is not chunk:  # astype is a no-op when dtypes match
+                chunk.delete()
+            d = dest[start:start + rows]
+            oob = d < 0
+            ci = jnp.asarray(np.where(oob, self.nlist, d // C).astype(np.int32))
+            pi = jnp.asarray(np.where(oob, 0, d % C).astype(np.int32))
+            values = place(values, qv, ci, pi)
+            if qs is not None:
+                scales = scales.at[ci, pi].set(qs, mode="drop")
+            if oob.any():
+                local = np.nonzero(oob)[0].astype(np.int32)
+                sel = jnp.asarray(local)
+                ovf_parts_v.append(np.asarray(qv[sel]))
+                ovf_parts_i.append(start + local)  # ids in CHUNK order,
+                # matching the value parts' concatenation order
+                if qs is not None:
+                    ovf_parts_s.append(np.asarray(qs[sel]))
+            qv.delete()
+            if qs is not None:
+                qs.delete()
+        self._values = values
+        self._scales = scales
+        self._row_ids = jnp.asarray(row_ids_flat.reshape(self.nlist, C))
+        n_ovf = int((~valid).sum())
+        if n_ovf:
+            self._ovf_ids = jnp.asarray(
+                np.concatenate(ovf_parts_i).astype(np.int32))
+            self._ovf_values = jnp.asarray(np.concatenate(ovf_parts_v))
+            self._ovf_scales = (jnp.asarray(np.concatenate(ovf_parts_s))
+                                if ovf_parts_s else None)
+        self._n = N
+        self._search_fn = None
+
     def add_device(self, reps) -> None:
         """Device-native build: bucket device-resident encoder output without
         any host staging. Only the [N] int32 assignment vector is pulled to
@@ -271,18 +392,7 @@ class IVFFlatIndex:
             reps.astype(jnp.float32) if reps.dtype == jnp.bfloat16 else reps,
             self.centroids, min(8192, max(8, N)))
         counts = np.bincount(np.asarray(assign), minlength=self.nlist)
-        mean = max(1.0, N / self.nlist)
-
-        def round_cap(c: float) -> int:
-            # cell capacities above 512 round to a 512 multiple so the bulk
-            # kernel can tile cells with 512/1024/2048 blocks (C % block == 0)
-            g = 512 if c > 512 else 8
-            return int(-(-c // g) * g)
-
-        C = round_cap(self.capacity_factor * mean)
-        c_max = max(C, round_cap(self.max_capacity_factor * mean))
-        while C < c_max and np.maximum(counts - C, 0).sum() > self.ovf_frac * N:
-            C = round_cap(C + (512 if C >= 512 else 8))
+        C = self._capacity(counts, N)
         n_ovf = int((counts - np.minimum(counts, C)).sum())
         starts = np.zeros(self.nlist, np.int32)
         np.cumsum(counts[:-1], out=starts[1:])

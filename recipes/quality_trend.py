@@ -233,6 +233,10 @@ def main(argv=None):
                          "negatives)")
     ap.add_argument("--search_mode", default=None,
                     help="trainer eval search mode (exact|serve|approx)")
+    ap.add_argument("--n_passages", type=int, default=2,
+                    help="train_n_passages: 1 positive + n-1 negatives per "
+                         "query (the canonical reference recipes use 2 for "
+                         "random and 8 for BM25 negatives, run.sh:56-145)")
     ap.add_argument("--platform", default=None, choices=["cpu", "tpu"],
                     help="force a JAX backend (this container's sitecustomize "
                          "latches the axon TPU plugin, so JAX_PLATFORMS=cpu "
@@ -249,7 +253,8 @@ def main(argv=None):
     os.makedirs(opts.out, exist_ok=True)
     gen = make_dataset if opts.workload == "planted" else make_topical_dataset
     data_dir, corpus_path = gen(
-        opts.out, rng, opts.train, opts.eval, opts.corpus
+        opts.out, rng, opts.train, opts.eval, opts.corpus,
+        n_neg=max(4, opts.n_passages - 1),
     )
     model_dir = make_model_dir(opts.out)
     cache = os.path.join(opts.out, "cache")
@@ -260,7 +265,7 @@ def main(argv=None):
         "dataset": "nq",
         "data_dir": data_dir,
         "corpus_path": corpus_path,
-        "train_n_passages": 2,
+        "train_n_passages": opts.n_passages,
         "q_max_len": 16,
         "p_max_len": 32,
         "data_cache_dir": os.path.join(opts.out, "hfcache"),

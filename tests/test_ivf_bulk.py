@@ -122,6 +122,50 @@ def test_serve_j_density():
         assert (C // block) * j >= min(100, C)
 
 
+@pytest.mark.parametrize("dtype", ["float32", "int8"])
+def test_add_chunks_matches_add_device(setup, dtype):
+    """The two-pass chunked build must produce the same searchable index as
+    the one-shot device build (same capacity logic, same stored rows; within-
+    cell slot order may differ, which search results are invariant to)."""
+    corpus, queries, exact = setup
+    a = IVFFlatIndex(32, nlist=16, nprobe=8, dtype=dtype)
+    a.train(corpus[:512], iters=4)
+    a.add(corpus)
+    b = IVFFlatIndex(32, nlist=16, nprobe=8, dtype=dtype)
+    b.centroids = a.centroids
+    b.add_chunks(lambda s, r: corpus[s:s + r], len(corpus), chunk_rows=500)
+    assert len(b) == len(corpus)
+    assert b._values.shape == a._values.shape
+    # identical stored-row sets per cell
+    ra = np.asarray(a._row_ids)
+    rb = np.asarray(b._row_ids)
+    for c in range(16):
+        assert set(ra[c][ra[c] >= 0]) == set(rb[c][rb[c] >= 0]), c
+    sa, ia = a.search(queries[:16], 10, mode="bulk")
+    sb, ib = b.search(queries[:16], 10, mode="bulk")
+    np.testing.assert_array_equal(ia, ib)
+    np.testing.assert_allclose(sa, sb, rtol=1e-5, atol=1e-5)
+
+
+def test_add_chunks_overflow_matches(setup):
+    """Chunked overflow rows keep (id, vector) pairs aligned across chunks."""
+    rng = np.random.default_rng(5)
+    corpus = rng.normal(size=(512, 16)).astype(np.float32)
+    corpus[:400] = corpus[:400] * 0.05 + np.ones(16, np.float32)
+    idx = IVFFlatIndex(16, nlist=16, nprobe=16, capacity_factor=1.0)
+    idx.train(corpus, iters=5)
+    idx.add_chunks(lambda s, r: corpus[s:s + r], 512, chunk_rows=100)
+    assert idx._ovf_ids is not None and int(idx._ovf_ids.shape[0]) > 0
+    ovf_ids = np.asarray(idx._ovf_ids)
+    ovf_vals = np.asarray(idx._ovf_values, np.float32)
+    np.testing.assert_allclose(ovf_vals, corpus[ovf_ids], rtol=1e-6)
+    exact = FlatIPIndex(16)
+    exact.add(corpus)
+    _, i_ref = exact.search(corpus[:8], 5)
+    _, i_got = idx.search(corpus[:8], 5, mode="probe", nprobe=16)
+    np.testing.assert_array_equal(i_got, i_ref)
+
+
 def test_batch_search_default_mode_is_bulk(setup):
     corpus, queries, exact = setup
     idx = IVFFlatIndex(32, nlist=16, nprobe=8)
