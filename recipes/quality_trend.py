@@ -100,7 +100,7 @@ def make_dataset(out, rng, n_train, n_eval, n_corpus, n_neg=4):
 
 
 def make_topical_dataset(out, rng, n_train, n_eval, n_corpus, n_neg=4,
-                         n_topics=64):
+                         n_topics=128):
     """Clustered-topic corpus where HARD negatives are required (VERDICT r2
     next-round #5): every topic has a dedicated vocabulary, and a query's
     true competition is the ~n_corpus/n_topics same-topic passages that do
