@@ -213,6 +213,7 @@ class IVFFlatIndex:
         self._n = 0
         self.docid: List = []
         self._search_fn = None
+        self._bulk_state = None
 
     def __len__(self):
         return self._n
@@ -243,6 +244,7 @@ class IVFFlatIndex:
         self.centroids = _split_heavy_cells(
             reps_d, centroids, self.nlist, block, seed=seed)
         self._search_fn = None
+        self._bulk_state = None
 
     # -- population -------------------------------------------------------------
 
@@ -373,6 +375,7 @@ class IVFFlatIndex:
                                 if ovf_parts_s else None)
         self._n = N
         self._search_fn = None
+        self._bulk_state = None
 
     def add_device(self, reps) -> None:
         """Device-native build: bucket device-resident encoder output without
@@ -425,6 +428,7 @@ class IVFFlatIndex:
             self._ovf_scales = ovf_scales
         self._n = N
         self._search_fn = None
+        self._bulk_state = None
 
     # -- search ------------------------------------------------------------------
 
@@ -488,12 +492,69 @@ class IVFFlatIndex:
         """Cell-block size for the bulk kernel: the largest VMEM-safe block
         dividing the cell capacity C (add_device rounds C to a 512 multiple
         above 512, so one of these always divides)."""
+        return self._bulk_tiles(256, 100)[0]
+
+    def _bulk_tiles(self, Qcap: int, k: int) -> Tuple[int, int]:
+        """(block, J) for the bulk kernel under a joint VMEM budget: the
+        kernel holds [Qcap, block] fp32 scores + an int32 packed copy + the
+        double-buffered operand tiles, so Qcap x block is capped at 256k
+        elements (hardware-verified: 512x2048 with J~49 blows the 16 MB
+        scoped-vmem limit)."""
+        from ..ops.ivf_bulk import serve_j
+
         C = int(self._values.shape[1])
-        caps = (1024,) if self.dtype == "float32" else (2048, 1024)
-        for b in caps + (512,):
-            if C >= b and C % b == 0:
-                return b
-        return C
+        caps = (1024, 512) if self.dtype == "float32" else (2048, 1024, 512)
+        for b in caps:
+            if C >= b and C % b == 0 and max(8, Qcap) * b <= 262144:
+                return b, serve_j(k, b, C)
+        b = 512 if C >= 512 and C % 512 == 0 else C
+        return b, serve_j(k, b, C)
+
+    SIDE_BLOCK = 512  # side-scan kernel block (and slab padding granule)
+
+    def _side_slab(self, hot_ids: np.ndarray):
+        """Dense side-scan slab = overflow rows + the rows of hot cells,
+        padded to a block multiple for the flat packed kernel.  Hot cells are
+        excluded from probing (see search_bulk) and instead scanned exactly
+        by every query — IP-metric probing concentrates all queries on a few
+        large-norm centroids, which is precisely the shared-operand dense
+        scan's best case."""
+        parts_v, parts_s, parts_i = [], [], []
+        if self._ovf_values is not None:
+            parts_v.append(self._ovf_values)
+            parts_i.append(self._ovf_ids)
+            if self._ovf_scales is not None:
+                parts_s.append(self._ovf_scales)
+        if hot_ids.size:
+            hv = self._values[jnp.asarray(hot_ids)].reshape(-1, self.dim)
+            hi = self._row_ids[jnp.asarray(hot_ids)].reshape(-1)
+            parts_v.append(hv)
+            parts_i.append(hi)
+            if self._scales is not None:
+                parts_s.append(self._scales[jnp.asarray(hot_ids)].reshape(-1))
+        if not parts_v:
+            return None, None, None, 0
+        sv = jnp.concatenate(parts_v) if len(parts_v) > 1 else parts_v[0]
+        si = jnp.concatenate(parts_i) if len(parts_i) > 1 else parts_i[0]
+        ss = (jnp.concatenate(parts_s) if len(parts_s) > 1 else parts_s[0]) \
+            if parts_s else None
+        # empty capacity slots in hot cells carry row_id -1 / zero vectors:
+        # give them -inf by zeroing... they are masked by the packed kernel's
+        # position bound only, so move them OUT by sorting valid rows first
+        valid = np.asarray(si) >= 0
+        order = np.argsort(~valid, kind="stable")
+        sv = sv[jnp.asarray(order)]
+        si = si[jnp.asarray(order)]
+        if ss is not None:
+            ss = ss[jnp.asarray(order)]
+        n_valid = int(valid.sum())
+        pad = (-sv.shape[0]) % self.SIDE_BLOCK
+        if pad:
+            sv = jnp.pad(sv, ((0, pad), (0, 0)))
+            si = jnp.pad(si, (0, pad))
+            if ss is not None:
+                ss = jnp.pad(ss, (0, pad))
+        return sv, ss, si, n_valid
 
     def search_bulk(self, q_reps: np.ndarray, k: int = 100,
                     nprobe: Optional[int] = None
@@ -501,8 +562,14 @@ class IVFFlatIndex:
         """Cell-major bulk search (ops/ivf_bulk.py): MXU-form probe scoring
         for query batches — the serving path that makes IVF beat the exact
         kernels (VERDICT r2 next-round #1).  Scores are packed-selection
-        quantized (~1e-4 relative) like the flat serve kernel; hot-cell probe
-        drops are counted in ``self.last_dropped``."""
+        quantized (~1e-4 relative) like the flat serve kernel.
+
+        Self-tuning: the first batch teaches the index (a) its HOT cells —
+        cells whose probe load exceeds any reasonable per-cell query capacity
+        (an intrinsic property of IP probing: large-norm centroids attract
+        every query) get moved to the dense side-scan and masked from
+        probing — and (b) the per-cell query capacity Qcap.  Both are cached;
+        steady-state serving re-runs nothing."""
         if self._values is None:
             raise RuntimeError("IVFFlatIndex.search before add()")
         from ..ops.ivf_bulk import ivf_bulk_search, serve_j
@@ -511,22 +578,61 @@ class IVFFlatIndex:
         nprobe = self.nprobe if nprobe is None else min(nprobe, self.nlist)
         q = np.asarray(q_reps, np.float32)
         B0 = q.shape[0]
-        pad = (-B0) % 8
+        pad = (-B0) % (256 if B0 > 256 else 8)
         if pad:
             q = np.concatenate([q, np.zeros((pad, self.dim), np.float32)])
         B = q.shape[0]
         C = int(self._values.shape[1])
-        block = self._pick_block()
-        J = serve_j(k, block, C)
         lam = B * nprobe / self.nlist
-        Qcap = int(-(-max(8.0, self.qcap_factor * lam) // 8) * 8)
-        Qcap = min(Qcap, int(-(-B * nprobe // 8) * 8))
-        tv, doc, dropped = ivf_bulk_search(
-            jnp.asarray(q), self.centroids, self._values, self._row_ids,
-            self._scales, self._ovf_values, self._ovf_scales, self._ovf_ids,
-            k=k, nprobe=nprobe, Qcap=Qcap, J=J, block=block,
-            nlist=self.nlist, C=C)
-        self.last_dropped = int(dropped)
+        qcap_cap = min(int(-(-B * nprobe // 8) * 8),
+                       max(64, int(-(-8.0 * lam // 8) * 8)),
+                       512)  # [Qcap, block] VMEM budget (see _bulk_tiles)
+        state = getattr(self, "_bulk_state", None)
+        if state is None or state["key"] != (nprobe,):
+            hot = np.zeros((0,), np.int64)
+            side = self._side_slab(hot)
+            state = {"key": (nprobe,), "hot": hot, "side": side,
+                     "qcap": None}
+        Qcap = state["qcap"]
+        if Qcap is None:
+            Qcap = min(qcap_cap,
+                       int(-(-max(8.0, self.qcap_factor * lam) // 8) * 8))
+
+        while True:
+            block, J = self._bulk_tiles(Qcap, k)
+            sv, ss, si, side_valid = state["side"]
+            hp = None
+            if state["hot"].size:
+                hp = jnp.zeros((self.nlist,), jnp.float32).at[
+                    jnp.asarray(state["hot"])].set(-jnp.inf)
+            sb = self.SIDE_BLOCK
+            side_J = serve_j(k, sb, max(sb, side_valid)) if side_valid else 4
+            tv, doc, dropped, counts = ivf_bulk_search(
+                jnp.asarray(q), self.centroids, self._values, self._row_ids,
+                self._scales, sv, ss, si,
+                k=k, nprobe=nprobe, Qcap=Qcap, J=J, block=block,
+                nlist=self.nlist, C=C, hot_penalty=hp,
+                side_valid=side_valid, side_J=side_J, side_block=sb)
+            self.last_dropped = int(dropped)
+            if self.last_dropped <= max(8, int(0.001 * B * nprobe)):
+                break
+            counts_np = np.asarray(counts)
+            overloaded = np.where(counts_np > qcap_cap)[0]
+            new_hot = np.setdiff1d(overloaded, state["hot"])
+            max_hot = max(1, self.nlist // 16)
+            if new_hot.size and state["hot"].size < max_hot:
+                # move the most-overloaded cells to the dense side-scan
+                new_hot = new_hot[np.argsort(-counts_np[new_hot])]
+                room = max_hot - state["hot"].size
+                state["hot"] = np.concatenate(
+                    [state["hot"], new_hot[:room]]).astype(np.int64)
+                state["side"] = self._side_slab(state["hot"])
+                continue
+            if Qcap >= qcap_cap:
+                break  # graceful drops (rank-priority slotting) remain
+            Qcap = min(qcap_cap, Qcap * 2)
+        state["qcap"] = Qcap
+        self._bulk_state = state
         return np.asarray(tv)[:B0], np.asarray(doc)[:B0]
 
     def search(self, q_reps: np.ndarray, k: int = 100,

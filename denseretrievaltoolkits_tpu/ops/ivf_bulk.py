@@ -88,19 +88,23 @@ def _ivf_cell_topj(qslab, values, row_ids, scales, J: int, block: int):
     nb = C // block
     id_bits = max(1, (block - 1).bit_length())
     common = dict(J=J, block=block, nb=nb, id_bits=id_bits)
+    # 2D per-block vectors (row_ids, scales) flatten to [1, nlist*C]: Mosaic
+    # requires a 2D block's second-to-last dim to divide 8 or equal the array
+    # dim — a leading 1 satisfies it (same trick as the flat kernels' scales)
     in_specs = [
         pl.BlockSpec((1, Qcap, dim), lambda c, b: (c, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, block, dim), lambda c, b: (c, b, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, block), lambda c, b: (c, b), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block), lambda c, b: (0, c * nb + b),
+                     memory_space=pltpu.VMEM),
     ]
-    args = [qslab, values, row_ids]
+    args = [qslab, values, row_ids.reshape(1, -1)]
     if scales is not None:
         kernel = functools.partial(_cell_topj_kernel_scaled, **common)
-        in_specs.append(pl.BlockSpec((1, block), lambda c, b: (c, b),
+        in_specs.append(pl.BlockSpec((1, block), lambda c, b: (0, c * nb + b),
                                      memory_space=pltpu.VMEM))
-        args.append(scales)
+        args.append(scales.reshape(1, -1))
     else:
         kernel = functools.partial(_cell_topj_kernel, **common)
     return pl.pallas_call(
@@ -136,31 +140,51 @@ def serve_j(k: int, block: int, C: int) -> int:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "nprobe", "Qcap", "J", "block", "nlist", "C"))
+    static_argnames=("k", "nprobe", "Qcap", "J", "block", "nlist", "C",
+                     "side_valid", "side_J", "side_block"))
 def ivf_bulk_search(q, centroids, values, row_ids, scales,
-                    ovf_values, ovf_scales, ovf_ids,
+                    side_values, side_scales, side_ids,
                     k: int, nprobe: int, Qcap: int, J: int, block: int,
-                    nlist: int, C: int):
+                    nlist: int, C: int,
+                    hot_penalty=None, side_valid: int = 0,
+                    side_J: int = 4, side_block: int = 1024):
     """Fully-jitted cell-major bulk search.
 
     q [B, dim] fp32; values [nlist, C, dim] (bf16/fp32/int8 + scales);
-    row_ids [nlist, C] int32 (-1 = empty slot).  Returns (scores [B, k],
-    doc_rows [B, k] int32, n_dropped scalar) — n_dropped counts probe pairs
-    beyond a hot cell's Qcap (telemetry; those probes contribute nothing)."""
+    row_ids [nlist, C] int32 (-1 = empty slot).
+
+    ``side_*``: the dense SIDE-SCAN slab — overflow rows plus the rows of
+    "hot" cells (IP-metric probing concentrates every query on large-norm
+    centroids, so a few cells attract far more probes than any per-cell
+    query capacity can hold; those cells are excluded from probing via
+    ``hot_penalty`` [nlist] and instead scanned exactly by EVERY query with
+    the flat packed kernel — a shared-operand matmul, which is exactly what
+    a cell probed by everyone wants to be).
+
+    Returns (scores [B, k], doc_rows [B, k] int32, n_dropped scalar,
+    probe_counts [nlist] int32) — n_dropped counts probe pairs beyond Qcap
+    (the telemetry the caller's Qcap/hot-set auto-tuning consumes)."""
     B, dim = q.shape
     P = B * nprobe
 
     # 1) probe (one MXU matmul) — inner-product cell ranking, faiss IVF-IP
     cell_scores = jnp.dot(q, centroids.T, preferred_element_type=jnp.float32)
+    if hot_penalty is not None:
+        cell_scores = cell_scores + hot_penalty[None, :]
     _, cells = jax.lax.top_k(cell_scores, nprobe)             # [B, nprobe]
 
-    # 2) invert to cell-major: sort pairs by cell, slot them into Qtab
+    # 2) invert to cell-major: sort pairs by (cell, probe rank) and slot them
+    # into Qtab.  Rank-major order inside each cell means a hot cell's Qcap
+    # slots fill with the pairs for which it is the TOP-ranked probe first —
+    # capacity drops land on low-ranked (least important) probes, so recall
+    # degrades gracefully under query-locality hot spots.
     pair_cell = cells.reshape(-1)
     pair_q = jnp.repeat(jnp.arange(B, dtype=jnp.int32), nprobe)
+    pair_rank = jnp.tile(jnp.arange(nprobe, dtype=jnp.int32), B)
     counts = jnp.zeros((nlist,), jnp.int32).at[pair_cell].add(1)
     starts = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1]])
-    order = jnp.argsort(pair_cell)                            # stable
+    order = jnp.argsort(pair_cell * nprobe + pair_rank)       # stable
     sc = pair_cell[order]
     slot = jnp.arange(P, dtype=jnp.int32) - starts[sc]
     qidx = pair_q[order]
@@ -197,17 +221,27 @@ def ivf_bulk_search(q, centroids, values, row_ids, scales,
     ti = jnp.take_along_axis(pi, tpos, axis=1)
     doc = row_ids.reshape(-1)[ti]
 
-    # 5) overflow slab: scanned exactly by every query, merged at its own k
-    if ovf_values is not None and ovf_values.shape[0]:
-        so = jnp.dot(qc, ovf_values.astype(qc.dtype).T,
-                     preferred_element_type=jnp.float32)
-        if ovf_scales is not None:
-            so = so * ovf_scales[None, :]
-        k2 = min(k, so.shape[1])
-        so_top, so_pos = jax.lax.top_k(so, k2)
-        so_doc = jnp.take(ovf_ids, so_pos)
+    # 5) dense side-scan (overflow rows + hot cells): the flat packed kernel
+    # over the slab — every query scores it, candidates merge at its own k
+    if side_valid > 0:
+        from .topk import (_pallas_block_topj_packed,
+                           _pallas_block_topj_packed_scaled)
+
+        if side_scales is not None:
+            sv_b, si_b = _pallas_block_topj_packed_scaled(
+                qc, side_values, side_scales, side_J, side_block, side_valid)
+        else:
+            sv_b, si_b = _pallas_block_topj_packed(
+                qc, side_values, side_J, side_block, side_valid)
+        nbs = sv_b.shape[0]
+        flat_v = jnp.transpose(sv_b, (1, 0, 2)).reshape(B, nbs * side_J)
+        flat_i = jnp.transpose(si_b, (1, 0, 2)).reshape(B, nbs * side_J)
+        k2 = min(k, nbs * side_J, side_valid)
+        so_top, so_pos = jax.lax.top_k(flat_v, k2)
+        so_doc = jnp.take(side_ids,
+                          jnp.take_along_axis(flat_i, so_pos, axis=1))
         all_v = jnp.concatenate([tv, so_top], axis=1)
         all_d = jnp.concatenate([doc, so_doc], axis=1)
         tv, pos2 = jax.lax.top_k(all_v, min(k, all_v.shape[1]))
         doc = jnp.take_along_axis(all_d, pos2, axis=1)
-    return tv, doc, n_dropped
+    return tv, doc, n_dropped, counts

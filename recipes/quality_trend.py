@@ -100,7 +100,7 @@ def make_dataset(out, rng, n_train, n_eval, n_corpus, n_neg=4):
 
 
 def make_topical_dataset(out, rng, n_train, n_eval, n_corpus, n_neg=4,
-                         n_topics=128):
+                         n_topics=256):
     """Clustered-topic corpus where HARD negatives are required (VERDICT r2
     next-round #5): every topic has a dedicated vocabulary, and a query's
     true competition is the ~n_corpus/n_topics same-topic passages that do
@@ -251,6 +251,10 @@ def main(argv=None):
 
     rng = random.Random(0)
     os.makedirs(opts.out, exist_ok=True)
+    if opts.workload == "topical":
+        # room for 256 DISJOINT 24-word topic vocabularies + answers + noise;
+        # the planted workload keeps the r2-curve vocabulary for continuity
+        globals()["N_WORDS"] = 8192
     gen = make_dataset if opts.workload == "planted" else make_topical_dataset
     data_dir, corpus_path = gen(
         opts.out, rng, opts.train, opts.eval, opts.corpus,

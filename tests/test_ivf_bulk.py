@@ -71,15 +71,48 @@ def test_bulk_full_probe_equals_exact(setup):
                                rtol=1e-3, atol=1e-3)
 
 
-def test_bulk_counts_dropped_probes(setup):
-    """A tiny Qcap must surface hot-cell drops in last_dropped, not silently
-    degrade: qcap_factor≈0 forces Qcap=8 under a heavy per-cell load."""
+def test_bulk_self_tunes_under_hot_load(setup):
+    """Starting from a tiny Qcap under full-probe load, the auto-tuner must
+    converge (hot cells move to the dense side-scan and/or Qcap grows) to
+    negligible drops WITHOUT losing recall."""
     corpus, queries, exact = setup
     idx = IVFFlatIndex(32, nlist=4, nprobe=4, qcap_factor=0.01)
     idx.train(corpus, iters=4)
     idx.add(corpus)
-    idx.search(queries, 5, mode="bulk")  # load = 64*4/4 = 64 >> Qcap=8
-    assert idx.last_dropped > 0
+    s, i = idx.search(queries, 5, mode="bulk")  # load = 64*4/4 = 64 >> Qcap=8
+    state = idx._bulk_state
+    assert state["qcap"] > 8 or state["hot"].size > 0
+    assert idx.last_dropped <= max(8, int(0.001 * 64 * 4))
+    # full probe after tuning: members match exact search (set-wise)
+    _, i_ref = exact.search(queries, 5)
+    hits = np.mean([len(set(i[r]) & set(i_ref[r])) / 5
+                    for r in range(len(queries))])
+    assert hits >= 0.95
+    # steady state: a second identical batch re-tunes nothing
+    idx.search(queries, 5, mode="bulk")
+    assert idx._bulk_state["qcap"] == state["qcap"]
+
+
+def test_bulk_hot_cells_stay_reachable(setup):
+    """Rows of a cell moved to the dense side-scan must remain retrievable
+    (they are scanned exactly, never probed)."""
+    corpus, queries, exact = setup
+    idx = IVFFlatIndex(32, nlist=16, nprobe=8, qcap_factor=0.25)
+    idx.train(corpus, iters=5)
+    idx.add(corpus)
+    idx.search(queries, 10, mode="bulk")  # tune
+    # force-hot one cell and verify recall holds
+    state = idx._bulk_state
+    state["hot"] = np.array([3], np.int64)
+    state["side"] = idx._side_slab(state["hot"])
+    s, i = idx.search(queries, 10, mode="bulk")
+    _, i_ref = exact.search(queries, 10)
+    rec = np.mean([len(set(i[r]) & set(i_ref[r])) / 10
+                   for r in range(len(queries))])
+    _, i_probe = idx.search(queries, 10, mode="probe")
+    rec_probe = np.mean([len(set(i_probe[r]) & set(i_ref[r])) / 10
+                         for r in range(len(queries))])
+    assert rec >= rec_probe - 0.02, (rec, rec_probe)
 
 
 def test_bulk_overflow_slab_merged():
