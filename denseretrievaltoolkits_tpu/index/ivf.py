@@ -506,9 +506,16 @@ class IVFFlatIndex:
         caps = (1024, 512) if self.dtype == "float32" else (2048, 1024, 512)
         for b in caps:
             if C >= b and C % b == 0 and max(8, Qcap) * b <= 262144:
-                return b, serve_j(k, b, C)
-        b = 512 if C >= 512 and C % 512 == 0 else C
-        return b, serve_j(k, b, C)
+                break
+        else:
+            b = 512 if C >= 512 and C % 512 == 0 else C
+        J = serve_j(k, b, C)
+        if getattr(self, "bulk_j", None):
+            # experimentation override: selection cost is J sequential VPU
+            # reductions per grid step, so J is the bulk path's main
+            # recall/throughput dial beyond nprobe
+            J = min(self.bulk_j, k, b)
+        return b, J
 
     SIDE_BLOCK = 512  # side-scan kernel block (and slab padding granule)
 
@@ -584,8 +591,12 @@ class IVFFlatIndex:
         B = q.shape[0]
         C = int(self._values.shape[1])
         lam = B * nprobe / self.nlist
+        # Qcap is PADDING: every cell's matmul is Qcap wide, so the per-query
+        # compute multiplies by Qcap/lam.  Cap it at 4x the mean load and
+        # densify anything hotter instead (hot cells cost one shared-operand
+        # scan; Qcap padding costs every cell).
         qcap_cap = min(int(-(-B * nprobe // 8) * 8),
-                       max(64, int(-(-8.0 * lam // 8) * 8)),
+                       max(64, int(-(-4.0 * lam // 8) * 8)),
                        512)  # [Qcap, block] VMEM budget (see _bulk_tiles)
         state = getattr(self, "_bulk_state", None)
         if state is None or state["key"] != (nprobe,):
@@ -617,7 +628,8 @@ class IVFFlatIndex:
             if self.last_dropped <= max(8, int(0.001 * B * nprobe)):
                 break
             counts_np = np.asarray(counts)
-            overloaded = np.where(counts_np > qcap_cap)[0]
+            hot_thresh = max(2.0 * lam, float(Qcap))
+            overloaded = np.where(counts_np > hot_thresh)[0]
             new_hot = np.setdiff1d(overloaded, state["hot"])
             max_hot = max(1, self.nlist // 16)
             if new_hot.size and state["hot"].size < max_hot:
