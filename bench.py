@@ -331,10 +331,13 @@ def bench_ivf_int8(queries: np.ndarray) -> float:
     from denseretrievaltoolkits_tpu.ops.ivf_bulk import ivf_bulk_search, serve_j
 
     centers = _make_centers()
-    nlist, nprobe = 1024, 8
+    # nlist=256 keeps ~16 mixture components per cell: cell-size variance
+    # (and hence the fixed-capacity padding) shrinks as 1/sqrt(comps/cell),
+    # and the cell buffer must fit HBM at capacity_factor x corpus bytes
+    nlist, nprobe = 256, 8
     idx = IVFFlatIndex(DIM, nlist=nlist, nprobe=nprobe, dtype="int8",
-                       capacity_factor=1.5, max_capacity_factor=2.0,
-                       ovf_frac=0.005)
+                       capacity_factor=1.5, max_capacity_factor=1.75,
+                       ovf_frac=0.01)
     t0 = time.time()
     sample = _clustered_chunk(centers, 2 * 10**9, 262144)
     idx.train(sample, iters=8)

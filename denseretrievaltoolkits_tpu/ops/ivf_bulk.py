@@ -112,14 +112,17 @@ def _ivf_cell_topj(qslab, values, row_ids, scales, J: int, block: int):
         grid=(nlist, nb),
         in_specs=in_specs,
         out_specs=(
-            pl.BlockSpec((1, Qcap, J), lambda c, b: (c * nb + b, 0, 0),
+            # [nb_total, J, Qcap]: J in the second-to-last dim pads only to 8
+            # (J in the lane dim padded to 128 — a 20x+ HBM/write blowup at
+            # production shapes, hardware-observed)
+            pl.BlockSpec((1, J, Qcap), lambda c, b: (c * nb + b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Qcap, J), lambda c, b: (c * nb + b, 0, 0),
+            pl.BlockSpec((1, J, Qcap), lambda c, b: (c * nb + b, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((nlist * nb, Qcap, J), jnp.float32),
-            jax.ShapeDtypeStruct((nlist * nb, Qcap, J), jnp.int32),
+            jax.ShapeDtypeStruct((nlist * nb, J, Qcap), jnp.float32),
+            jax.ShapeDtypeStruct((nlist * nb, J, Qcap), jnp.int32),
         ),
         interpret=jax.default_backend() != "tpu",
     )(*args)
@@ -199,10 +202,10 @@ def ivf_bulk_search(q, centroids, values, row_ids, scales,
     qslab = qc[qtab].reshape(nlist, Qcap, dim)
     vals_b, ids_b = _ivf_cell_topj(qslab, values, row_ids, scales, J, block)
 
-    # 4a) per-(cell,slot): merge the cell's blocks
+    # 4a) per-(cell,slot): merge the cell's blocks ([nb_total, J, Qcap] out)
     nb = C // block
-    v = vals_b.reshape(nlist, nb, Qcap, J).transpose(0, 2, 1, 3)
-    i = ids_b.reshape(nlist, nb, Qcap, J).transpose(0, 2, 1, 3)
+    v = vals_b.reshape(nlist, nb, J, Qcap).transpose(0, 3, 1, 2)
+    i = ids_b.reshape(nlist, nb, J, Qcap).transpose(0, 3, 1, 2)
     kp = min(k, nb * J)
     cv, cpos = jax.lax.top_k(v.reshape(nlist * Qcap, nb * J), kp)
     ci = jnp.take_along_axis(i.reshape(nlist * Qcap, nb * J), cpos, axis=1)
@@ -234,8 +237,8 @@ def ivf_bulk_search(q, centroids, values, row_ids, scales,
             sv_b, si_b = _pallas_block_topj_packed(
                 qc, side_values, side_J, side_block, side_valid)
         nbs = sv_b.shape[0]
-        flat_v = jnp.transpose(sv_b, (1, 0, 2)).reshape(B, nbs * side_J)
-        flat_i = jnp.transpose(si_b, (1, 0, 2)).reshape(B, nbs * side_J)
+        flat_v = jnp.transpose(sv_b, (2, 0, 1)).reshape(B, nbs * side_J)
+        flat_i = jnp.transpose(si_b, (2, 0, 1)).reshape(B, nbs * side_J)
         k2 = min(k, nbs * side_J, side_valid)
         so_top, so_pos = jax.lax.top_k(flat_v, k2)
         so_doc = jnp.take(side_ids,

@@ -57,8 +57,8 @@ def _block_topj_kernel(q_ref, c_ref, out_v_ref, out_i_ref, *, J: int, block_size
         is_max = s == m
         cand = jnp.where(is_max, ids, jnp.int32(2**30))
         amin = jnp.min(cand, axis=1, keepdims=True)  # first argmax [Q, 1]
-        out_v_ref[0, :, j] = m[:, 0]
-        out_i_ref[0, :, j] = amin[:, 0]
+        out_v_ref[0, j, :] = m[:, 0]
+        out_i_ref[0, j, :] = amin[:, 0]
         s = jnp.where(ids == amin, NEG_INF, s)
 
 
@@ -83,8 +83,8 @@ def _block_topj_kernel_scaled(q_ref, c_ref, sc_ref, out_v_ref, out_i_ref, *,
         is_max = s == m
         cand = jnp.where(is_max, ids, jnp.int32(2**30))
         amin = jnp.min(cand, axis=1, keepdims=True)
-        out_v_ref[0, :, j] = m[:, 0]
-        out_i_ref[0, :, j] = amin[:, 0]
+        out_v_ref[0, j, :] = m[:, 0]
+        out_i_ref[0, j, :] = amin[:, 0]
         s = jnp.where(ids == amin, NEG_INF, s)
 
 
@@ -109,11 +109,11 @@ def _packed_select(s, b, out_v_ref, out_i_ref, *, J: int, block_size: int,
     for j in range(J):
         m = jnp.max(packed, axis=1, keepdims=True)  # [Q, 1]
         mq = m[:, 0]
-        out_i_ref[0, :, j] = (mask - (mq & mask)) + b * block_size
+        out_i_ref[0, j, :] = (mask - (mq & mask)) + b * block_size
         keyq = mq & ~mask
         bitsq = jnp.where(keyq >= 0, keyq, keyq ^ 0x7FFFFFFF)
         val = jax.lax.bitcast_convert_type(bitsq, jnp.float32)
-        out_v_ref[0, :, j] = jnp.where(mq == INT32_MIN, NEG_INF, val)
+        out_v_ref[0, j, :] = jnp.where(mq == INT32_MIN, NEG_INF, val)
         if j + 1 < J:
             packed = jnp.where(packed == m, INT32_MIN, packed)
 
@@ -217,8 +217,8 @@ def _block_topj_kernel_sq4(q_ref, c_ref, sc_ref, out_v_ref, out_i_ref, *,
         is_max = s == m
         cand = jnp.where(is_max, ids, jnp.int32(2**30))
         amin = jnp.min(cand, axis=1, keepdims=True)
-        out_v_ref[0, :, j] = m[:, 0]
-        out_i_ref[0, :, j] = amin[:, 0]
+        out_v_ref[0, j, :] = m[:, 0]
+        out_i_ref[0, j, :] = amin[:, 0]
         s = jnp.where(ids == amin, NEG_INF, s)
 
 
@@ -248,12 +248,12 @@ def _pallas_block_topj_sq4(q, corpus, scales, J, block_size, n_valid, tq=None):
             pl.BlockSpec((1, block_size), lambda qi, b: (0, b), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, TQ, J), lambda qi, b: (b, qi, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TQ, J), lambda qi, b: (b, qi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, J, TQ), lambda qi, b: (b, 0, qi), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, J, TQ), lambda qi, b: (b, 0, qi), memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((n_blocks, Q, J), jnp.float32),
-            jax.ShapeDtypeStruct((n_blocks, Q, J), jnp.int32),
+            jax.ShapeDtypeStruct((n_blocks, J, Q), jnp.float32),
+            jax.ShapeDtypeStruct((n_blocks, J, Q), jnp.int32),
         ),
         interpret=jax.default_backend() != "tpu",
     )(q, corpus, scales.reshape(1, -1))
@@ -294,12 +294,12 @@ def _pallas_block_topj(q: jax.Array, corpus: jax.Array, J: int, block_size: int,
             pl.BlockSpec((block_size, H), lambda qi, b: (b, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, TQ, J), lambda qi, b: (b, qi, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TQ, J), lambda qi, b: (b, qi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, J, TQ), lambda qi, b: (b, 0, qi), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, J, TQ), lambda qi, b: (b, 0, qi), memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((n_blocks, Q, J), jnp.float32),
-            jax.ShapeDtypeStruct((n_blocks, Q, J), jnp.int32),
+            jax.ShapeDtypeStruct((n_blocks, J, Q), jnp.float32),
+            jax.ShapeDtypeStruct((n_blocks, J, Q), jnp.int32),
         ),
         interpret=jax.default_backend() != "tpu",
     )(q, corpus)
@@ -331,12 +331,12 @@ def _pallas_block_topj_packed(q, corpus, J, block_size, n_valid, tq=None):
             pl.BlockSpec((block_size, H), lambda qi, b: (b, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, TQ, J), lambda qi, b: (b, qi, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TQ, J), lambda qi, b: (b, qi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, J, TQ), lambda qi, b: (b, 0, qi), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, J, TQ), lambda qi, b: (b, 0, qi), memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((n_blocks, Q, J), jnp.float32),
-            jax.ShapeDtypeStruct((n_blocks, Q, J), jnp.int32),
+            jax.ShapeDtypeStruct((n_blocks, J, Q), jnp.float32),
+            jax.ShapeDtypeStruct((n_blocks, J, Q), jnp.int32),
         ),
         interpret=jax.default_backend() != "tpu",
     )(q, corpus)
@@ -370,12 +370,12 @@ def _pallas_block_topj_packed_scaled(q, corpus, scales, J, block_size, n_valid,
             pl.BlockSpec((1, block_size), lambda qi, b: (0, b), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, TQ, J), lambda qi, b: (b, qi, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TQ, J), lambda qi, b: (b, qi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, J, TQ), lambda qi, b: (b, 0, qi), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, J, TQ), lambda qi, b: (b, 0, qi), memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((n_blocks, Q, J), jnp.float32),
-            jax.ShapeDtypeStruct((n_blocks, Q, J), jnp.int32),
+            jax.ShapeDtypeStruct((n_blocks, J, Q), jnp.float32),
+            jax.ShapeDtypeStruct((n_blocks, J, Q), jnp.int32),
         ),
         interpret=jax.default_backend() != "tpu",
     )(q, corpus, scales.reshape(1, -1))
@@ -405,12 +405,12 @@ def _pallas_block_topj_packed_sq4(q, corpus, scales, J, block_size, n_valid,
             pl.BlockSpec((1, block_size), lambda qi, b: (0, b), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, TQ, J), lambda qi, b: (b, qi, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TQ, J), lambda qi, b: (b, qi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, J, TQ), lambda qi, b: (b, 0, qi), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, J, TQ), lambda qi, b: (b, 0, qi), memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((n_blocks, Q, J), jnp.float32),
-            jax.ShapeDtypeStruct((n_blocks, Q, J), jnp.int32),
+            jax.ShapeDtypeStruct((n_blocks, J, Q), jnp.float32),
+            jax.ShapeDtypeStruct((n_blocks, J, Q), jnp.int32),
         ),
         interpret=jax.default_backend() != "tpu",
     )(q, corpus, scales.reshape(1, -1))
@@ -425,9 +425,9 @@ def pallas_topk_serve_sq4(q, corpus, scales, k, J, block_size, n_valid,
     vals_b, ids_b = _pallas_block_topj_packed_sq4(
         q, corpus, scales, J, block_size, n_valid, tq=tq)
     nb = vals_b.shape[0]
-    Q = vals_b.shape[1]
-    flat_v = jnp.transpose(vals_b, (1, 0, 2)).reshape(Q, nb * J)
-    flat_i = jnp.transpose(ids_b, (1, 0, 2)).reshape(Q, nb * J)
+    Q = vals_b.shape[2]
+    flat_v = jnp.transpose(vals_b, (2, 0, 1)).reshape(Q, nb * J)
+    flat_i = jnp.transpose(ids_b, (2, 0, 1)).reshape(Q, nb * J)
     kk = min(k, nb * J)
     top_v, pos = jax.lax.top_k(flat_v, kk)
     return top_v, jnp.take_along_axis(flat_i, pos, axis=1)
@@ -459,12 +459,12 @@ def _pallas_block_topj_scaled(q, corpus, scales, J, block_size, n_valid):
             pl.BlockSpec((1, block_size), lambda qi, b: (0, b), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, TQ, J), lambda qi, b: (b, qi, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TQ, J), lambda qi, b: (b, qi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, J, TQ), lambda qi, b: (b, 0, qi), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, J, TQ), lambda qi, b: (b, 0, qi), memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((n_blocks, Q, J), jnp.float32),
-            jax.ShapeDtypeStruct((n_blocks, Q, J), jnp.int32),
+            jax.ShapeDtypeStruct((n_blocks, J, Q), jnp.float32),
+            jax.ShapeDtypeStruct((n_blocks, J, Q), jnp.int32),
         ),
         interpret=jax.default_backend() != "tpu",
     )(q, corpus, scales.reshape(1, -1))
@@ -553,8 +553,8 @@ def pallas_topk(
 
     def one_pass(q_in, j):
         vals_b, ids_b = run_kernel(q_in, j)
-        vals = jnp.transpose(vals_b, (1, 0, 2))[:Q0]  # [Q, n_blocks, J]
-        ids = jnp.transpose(ids_b, (1, 0, 2))[:Q0]
+        vals = jnp.transpose(vals_b, (2, 0, 1))[:Q0]  # [Q, n_blocks, J]
+        ids = jnp.transpose(ids_b, (2, 0, 1))[:Q0]
         nb = vals.shape[1]
         flat_v = vals.reshape(Q0, nb * j)
         flat_i = ids.reshape(Q0, nb * j)
@@ -579,8 +579,8 @@ def pallas_topk(
         if pad_s:
             q_sub = jnp.pad(q_sub, ((0, pad_s), (0, 0)))
         v2_b, i2_b = run_kernel(q_sub, min(4 * J, k))
-        v2 = jnp.transpose(v2_b, (1, 0, 2))[: len(flagged_idx)]
-        i2 = jnp.transpose(i2_b, (1, 0, 2))[: len(flagged_idx)]
+        v2 = jnp.transpose(v2_b, (2, 0, 1))[: len(flagged_idx)]
+        i2 = jnp.transpose(i2_b, (2, 0, 1))[: len(flagged_idx)]
         nb = v2.shape[1]
         j2 = v2.shape[2]
         fv = v2.reshape(len(flagged_idx), nb * j2)
@@ -613,9 +613,9 @@ def pallas_topk_jit(q, corpus, k, J, block_size, n_valid, tq=None):
     exactness certificate is required."""
     vals_b, ids_b = _pallas_block_topj(q, corpus, J, block_size, n_valid, tq=tq)
     nb = vals_b.shape[0]
-    Q = vals_b.shape[1]
-    flat_v = jnp.transpose(vals_b, (1, 0, 2)).reshape(Q, nb * J)
-    flat_i = jnp.transpose(ids_b, (1, 0, 2)).reshape(Q, nb * J)
+    Q = vals_b.shape[2]
+    flat_v = jnp.transpose(vals_b, (2, 0, 1)).reshape(Q, nb * J)
+    flat_i = jnp.transpose(ids_b, (2, 0, 1)).reshape(Q, nb * J)
     kk = min(k, nb * J)
     top_v, pos = jax.lax.top_k(flat_v, kk)
     return top_v, jnp.take_along_axis(flat_i, pos, axis=1)
@@ -631,9 +631,9 @@ def pallas_topk_serve(q, corpus, k, J, block_size, n_valid, tq=None):
     vals_b, ids_b = _pallas_block_topj_packed(q, corpus, J, block_size,
                                               n_valid, tq=tq)
     nb = vals_b.shape[0]
-    Q = vals_b.shape[1]
-    flat_v = jnp.transpose(vals_b, (1, 0, 2)).reshape(Q, nb * J)
-    flat_i = jnp.transpose(ids_b, (1, 0, 2)).reshape(Q, nb * J)
+    Q = vals_b.shape[2]
+    flat_v = jnp.transpose(vals_b, (2, 0, 1)).reshape(Q, nb * J)
+    flat_i = jnp.transpose(ids_b, (2, 0, 1)).reshape(Q, nb * J)
     kk = min(k, nb * J)
     top_v, pos = jax.lax.top_k(flat_v, kk)
     return top_v, jnp.take_along_axis(flat_i, pos, axis=1)
@@ -648,9 +648,9 @@ def pallas_topk_serve_scaled(q, corpus, scales, k, J, block_size, n_valid,
     vals_b, ids_b = _pallas_block_topj_packed_scaled(
         q, corpus, scales, J, block_size, n_valid, tq=tq)
     nb = vals_b.shape[0]
-    Q = vals_b.shape[1]
-    flat_v = jnp.transpose(vals_b, (1, 0, 2)).reshape(Q, nb * J)
-    flat_i = jnp.transpose(ids_b, (1, 0, 2)).reshape(Q, nb * J)
+    Q = vals_b.shape[2]
+    flat_v = jnp.transpose(vals_b, (2, 0, 1)).reshape(Q, nb * J)
+    flat_i = jnp.transpose(ids_b, (2, 0, 1)).reshape(Q, nb * J)
     kk = min(k, nb * J)
     top_v, pos = jax.lax.top_k(flat_v, kk)
     return top_v, jnp.take_along_axis(flat_i, pos, axis=1)
@@ -667,9 +667,9 @@ def pallas_topk_jit_scaled(q, corpus, scales, k, J, block_size, n_valid,
     ``index_factory``, DRT/evaluator/index.py:47-54)."""
     vals_b, ids_b = _pallas_block_topj_scaled(q, corpus, scales, J, block_size, n_valid)
     nb = vals_b.shape[0]
-    Q = vals_b.shape[1]
-    flat_v = jnp.transpose(vals_b, (1, 0, 2)).reshape(Q, nb * J)
-    flat_i = jnp.transpose(ids_b, (1, 0, 2)).reshape(Q, nb * J)
+    Q = vals_b.shape[2]
+    flat_v = jnp.transpose(vals_b, (2, 0, 1)).reshape(Q, nb * J)
+    flat_i = jnp.transpose(ids_b, (2, 0, 1)).reshape(Q, nb * J)
     kk = min(k, nb * J)
     top_v, pos = jax.lax.top_k(flat_v, kk)
     return top_v, jnp.take_along_axis(flat_i, pos, axis=1)

@@ -265,8 +265,8 @@ class ShardedFlatIndex:
                                                    tq=tq)
             nb = vals_b.shape[0]
             Q = q.shape[0]
-            row_ids = jnp.transpose(ids_b, (1, 0, 2)).reshape(Q, nb * J)
-            flat_v = jnp.transpose(vals_b, (1, 0, 2)).reshape(Q, nb * J)
+            row_ids = jnp.transpose(ids_b, (2, 0, 1)).reshape(Q, nb * J)
+            flat_v = jnp.transpose(vals_b, (2, 0, 1)).reshape(Q, nb * J)
             flat_v = jnp.where(row_ids < local_valid, flat_v, -jnp.inf)
             kk = min(k, nb * J)
             top_v, pos = jax.lax.top_k(flat_v, kk)

@@ -13,14 +13,16 @@ def test_block_topj_matches_numpy():
     corpus = rng.normal(size=(512, 128)).astype(np.float32)
     q = rng.normal(size=(8, 128)).astype(np.float32)
     vals, ids = _pallas_block_topj(jnp.asarray(q), jnp.asarray(corpus), 4, 256, 512)
+    # raw per-block layout is [n_blocks, J, Q] (J in the sublane dim — the
+    # lane dim would pad J to 128 and blow up HBM writes 20x+)
     vals, ids = np.asarray(vals), np.asarray(ids)
     full = q @ corpus.T
     for b in range(2):
         blk = full[:, b * 256 : (b + 1) * 256]
         ref_idx = np.argsort(-blk, axis=1)[:, :4] + b * 256
-        np.testing.assert_array_equal(ids[b], ref_idx)
+        np.testing.assert_array_equal(ids[b], ref_idx.T)
         ref_val = -np.sort(-blk, axis=1)[:, :4]
-        np.testing.assert_allclose(vals[b], ref_val, atol=1e-4)
+        np.testing.assert_allclose(vals[b], ref_val.T, atol=1e-4)
 
 
 def test_block_topj_masks_padding():
