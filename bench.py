@@ -327,17 +327,20 @@ def bench_ivf_int8(queries: np.ndarray) -> float:
     import jax
     import jax.numpy as jnp
 
-    from denseretrievaltoolkits_tpu.index.ivf import IVFFlatIndex
-    from denseretrievaltoolkits_tpu.ops.ivf_bulk import ivf_bulk_search, serve_j
+    from denseretrievaltoolkits_tpu.index.ivf import IVFRaggedIndex
+    from denseretrievaltoolkits_tpu.ops.ivf_bulk import ivf_ragged_search, serve_j
 
     centers = _make_centers()
-    # nlist=256 keeps ~16 mixture components per cell: cell-size variance
-    # (and hence the fixed-capacity padding) shrinks as 1/sqrt(comps/cell),
-    # and the cell buffer must fit HBM at capacity_factor x corpus bytes
-    nlist, nprobe = 256, 8
-    idx = IVFFlatIndex(DIM, nlist=nlist, nprobe=nprobe, dtype="int8",
-                       capacity_factor=1.5, max_capacity_factor=1.75,
-                       ovf_frac=0.01)
+    # ragged block-indirect layout: per-probe rows ~ N/nlist with ~3% block
+    # padding and NO overflow slab (the fixed-capacity layout padded 60%+ or
+    # spilled 20% of this corpus into the always-scanned slab at nlist=1024;
+    # hardware-measured)
+    nlist = int(os.environ.get("BENCH_IVF_NLIST", 1024))
+    nprobe = int(os.environ.get("BENCH_IVF_NPROBE", 8))
+    idx = IVFRaggedIndex(DIM, nlist=nlist, nprobe=nprobe, dtype="int8",
+                         block=512)
+    if os.environ.get("BENCH_IVF_J"):
+        idx.bulk_j = int(os.environ["BENCH_IVF_J"])
     t0 = time.time()
     sample = _clustered_chunk(centers, 2 * 10**9, 262144)
     idx.train(sample, iters=8)
@@ -349,10 +352,10 @@ def bench_ivf_int8(queries: np.ndarray) -> float:
                    N_DOCS_INT8, chunk_rows=500_000)
     jax.block_until_ready(idx._values)
     build_s = time.time() - t0
-    C = int(idx._values.shape[1])
-    n_ovf = 0 if idx._ovf_ids is None else int(idx._ovf_ids.shape[0])
-    print(f"# ivf8.8M: train {train_s:.0f}s build {build_s:.0f}s C={C} "
-          f"ovf={n_ovf}", file=sys.stderr)
+    nb_total = int(idx._block_cell.shape[0])
+    print(f"# ivf8.8M: train {train_s:.0f}s build {build_s:.0f}s "
+          f"blocks={nb_total} nb_max={idx._nb_max} "
+          f"pad={nb_total * idx.block / N_DOCS_INT8 - 1:.3f}", file=sys.stderr)
 
     B = 2048
     q_np = _IVF_STATE.get("queries")
@@ -377,7 +380,11 @@ def bench_ivf_int8(queries: np.ndarray) -> float:
     # steady-state timing: the jitted search with the learned configuration,
     # queue-drain pattern (per-call search_bulk syncs to host)
     q = jax.device_put(jnp.asarray(q_np[:B], jnp.float32))
-    block, J = idx._bulk_tiles(state["qcap"], TOPK)
+    block = idx.block
+    mean_rows = max(block, int(idx._n / max(1, nlist)))
+    J = serve_j(TOPK, block, mean_rows)
+    if getattr(idx, "bulk_j", None):
+        J = min(idx.bulk_j, TOPK, block)
     sv, ss, si, side_valid = state["side"]
     hp = None
     if state["hot"].size:
@@ -386,12 +393,13 @@ def bench_ivf_int8(queries: np.ndarray) -> float:
     sb = idx.SIDE_BLOCK
     side_J = serve_j(TOPK, sb, max(sb, side_valid)) if side_valid else 4
     kw = dict(k=TOPK, nprobe=nprobe, Qcap=state["qcap"], J=J, block=block,
-              nlist=nlist, C=C, hot_penalty=hp, side_valid=side_valid,
-              side_J=side_J, side_block=sb)
+              nlist=nlist, nb_max=idx._nb_max, hot_penalty=hp,
+              side_valid=side_valid, side_J=side_J, side_block=sb)
 
     def run():
-        return ivf_bulk_search(q, idx.centroids, idx._values, idx._row_ids,
-                               idx._scales, sv, ss, si, **kw)
+        return ivf_ragged_search(q, idx.centroids, idx._values, idx._row_ids,
+                                 idx._scales, idx._block_cell,
+                                 idx._block_start, sv, ss, si, **kw)
 
     rt = _roundtrip()
     out = run()
@@ -410,7 +418,7 @@ def bench_ivf_int8(queries: np.ndarray) -> float:
     print(f"# ivf8.8M: {elapsed*1e3:.1f} ms / {B} queries, recall@100 "
           f"{recall:.4f}, dropped {dropped}", file=sys.stderr)
     for a in (idx._values, idx._scales, idx._row_ids, idx.centroids,
-              idx._ovf_values, idx._ovf_scales, idx._ovf_ids):
+              idx._block_cell, idx._block_start):
         if a is not None:
             a.delete()
     return qps

@@ -527,6 +527,20 @@ def index_factory(dim: int, factory_str: str, block_size: int = DEFAULT_BLOCK,
     }
     if key in flat_dtypes:
         return FlatIPIndex(dim, dtype=flat_dtypes[key], block_size=block_size)
+    if key.startswith("ivfr"):
+        # ragged block-indirect IVF: the bulk-serving layout (no capacity
+        # padding / overflow slab; see index/ivf.py:IVFRaggedIndex)
+        head, _, tail = key.partition(",")
+        cell_dtype = flat_dtypes.get(tail or "sq8")
+        try:
+            nlist = int(head[4:])
+        except ValueError:
+            nlist = 0
+        if nlist > 0 and cell_dtype in ("float32", "bfloat16", "int8"):
+            from .ivf import IVFRaggedIndex
+
+            return IVFRaggedIndex(dim, nlist=nlist, nprobe=nprobe,
+                                  dtype=cell_dtype)
     if key.startswith("ivf"):
         head, _, tail = key.partition(",")
         cell_dtype = flat_dtypes.get(tail or "flat")

@@ -751,3 +751,298 @@ class IVFFlatIndex:
         idx._n = meta["n"]
         idx.docid = meta.get("docid", [])
         return idx
+
+
+class IVFRaggedIndex(IVFFlatIndex):
+    """Ragged block-indirect IVF: the bulk-serving layout.
+
+    The fixed-capacity layout (parent class) wastes ``capacity_factor - 1``
+    of the corpus in padding and spills cluster skew into an always-scanned
+    overflow slab — at 4 mixture components per cell that reached 20% of an
+    8.8M corpus (hardware-measured).  Here rows sort by cell and each cell's
+    segment pads only to a ``block`` multiple (~block/2 rows average waste
+    per cell, ~3% at production shapes); the bulk kernel walks the padded
+    block list with scalar-prefetched grid indirection
+    (``ops/ivf_bulk.py:_ivf_ragged_topj``), so there is no capacity cap and
+    no overflow slab at all.
+
+    Shares training (device k-means + split-rebalance) and the bulk-search
+    driver semantics (Qcap/hot-cell self-tuning) with the parent; the probe
+    (legacy per-query) mode is not provided — use ``mode="bulk"`` (default)
+    or ``mode="exact"``.
+    """
+
+    def __init__(self, dim: int, nlist: int = 1024, nprobe: int = 32,
+                 dtype: str = "int8", block: int = 512,
+                 train_block: int = 8192, qcap_factor: float = 2.0):
+        super().__init__(dim, nlist=nlist, nprobe=nprobe, dtype=dtype,
+                         train_block=train_block, qcap_factor=qcap_factor)
+        self.block = block
+        self._block_cell = None   # [nb_total] int32: owning cell per block
+        self._block_start = None  # [nlist+1] int32: cell block ranges
+        self._nb_max = 0
+
+    # -- population ----------------------------------------------------------
+
+    def add_device(self, reps) -> None:
+        reps = jnp.asarray(reps)
+        n = int(reps.shape[0])
+
+        def chunk(s, r):
+            part = reps[s:s + r]
+            # full-range slices may alias `reps`; add_chunks CONSUMES chunks
+            return jnp.array(part, copy=True) if part is reps else part
+
+        self.add_chunks(chunk, n, chunk_rows=max(1, min(500_000, n)))
+
+    def add_chunks(self, chunk_fn, n_rows: int,
+                   chunk_rows: int = 500_000) -> None:
+        """Two-pass ragged build (see IVFFlatIndex.add_chunks for the chunk
+        contract).  Every row lands in its cell's contiguous block range —
+        no capacity cap, no overflow."""
+        if not self.is_trained:
+            raise RuntimeError("IVFRaggedIndex.add_chunks before train()")
+        if self._values is not None:
+            raise RuntimeError("IVFRaggedIndex build is one-shot")
+        N = int(n_rows)
+        block = self.block
+
+        assign_all = np.empty(N, np.int32)
+        for start in range(0, N, chunk_rows):
+            rows = min(chunk_rows, N - start)
+            chunk = jnp.asarray(chunk_fn(start, rows))
+            a = _assign_device(
+                chunk.astype(jnp.float32) if chunk.dtype == jnp.bfloat16
+                else chunk,
+                self.centroids, min(8192, max(8, rows)))
+            assign_all[start:start + rows] = np.asarray(a)
+            chunk.delete()
+        counts = np.bincount(assign_all, minlength=self.nlist)
+        blocks_c = -(-counts // block)  # 0 blocks for empty cells
+        block_start = np.zeros(self.nlist + 1, np.int64)
+        np.cumsum(blocks_c, out=block_start[1:])
+        nb_total = int(block_start[-1])
+        self._nb_max = int(max(1, blocks_c.max()))
+
+        order = np.argsort(assign_all, kind="stable")
+        sa = assign_all[order]
+        row_start = block_start[:-1] * block  # row offset of each cell
+        cum = np.zeros(self.nlist + 1, np.int64)
+        np.cumsum(counts, out=cum[1:])
+        pos = np.arange(N, dtype=np.int64) - cum[sa]
+        dest_sorted = row_start[sa] + pos
+        dest = np.empty(N, np.int64)
+        dest[order] = dest_sorted
+        row_ids_flat = np.full(nb_total * block, -1, np.int32)
+        row_ids_flat[dest_sorted] = order.astype(np.int32)
+
+        int8 = self.dtype == "int8"
+        cell_dtype = (jnp.int8 if int8 else
+                      jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32)
+        values = jnp.zeros((nb_total * block, self.dim), cell_dtype)
+        scales = jnp.ones((nb_total * block,), jnp.float32) if int8 else None
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def place(buf, rows_q, d):
+            return buf.at[d].set(rows_q, mode="drop")
+
+        if int8:
+            from ..ops.quant import quantize_int8_device
+        for start in range(0, N, chunk_rows):
+            rows = min(chunk_rows, N - start)
+            chunk = jnp.asarray(chunk_fn(start, rows))
+            if int8:
+                qv, qs = quantize_int8_device(
+                    chunk.astype(jnp.float32) if chunk.dtype == jnp.bfloat16
+                    else chunk,
+                    block_rows=min(1024, rows))
+            else:
+                qv, qs = chunk.astype(cell_dtype), None
+            if qv is not chunk:
+                chunk.delete()
+            d = jnp.asarray(dest[start:start + rows].astype(np.int32))
+            values = place(values, qv, d)
+            if qs is not None:
+                scales = scales.at[d].set(qs, mode="drop")
+            qv.delete()
+            if qs is not None:
+                qs.delete()
+        self._values = values            # [nb_total*block, dim] padded-flat
+        self._scales = scales
+        self._row_ids = jnp.asarray(row_ids_flat)
+        self._block_cell = jnp.asarray(
+            np.repeat(np.arange(self.nlist, dtype=np.int32), blocks_c))
+        self._block_start = jnp.asarray(block_start.astype(np.int32))
+        self._n = N
+        self._search_fn = None
+        self._bulk_state = None
+
+    # -- search --------------------------------------------------------------
+
+    def _side_slab(self, hot_ids: np.ndarray):
+        """Hot cells' ACTUAL rows (block-range slices — no capacity padding
+        inflates the slab), padded to the side kernel's block multiple."""
+        if not hot_ids.size:
+            return None, None, None, 0
+        bs = np.asarray(self._block_start)
+        parts_v, parts_s, parts_i = [], [], []
+        for c in hot_ids:
+            r0, r1 = int(bs[c]) * self.block, int(bs[c + 1]) * self.block
+            if r1 > r0:
+                parts_v.append(self._values[r0:r1])
+                parts_i.append(self._row_ids[r0:r1])
+                if self._scales is not None:
+                    parts_s.append(self._scales[r0:r1])
+        if not parts_v:
+            return None, None, None, 0
+        sv = jnp.concatenate(parts_v) if len(parts_v) > 1 else parts_v[0]
+        si = jnp.concatenate(parts_i) if len(parts_i) > 1 else parts_i[0]
+        ss = (jnp.concatenate(parts_s) if len(parts_s) > 1 else parts_s[0]) \
+            if parts_s else None
+        valid = np.asarray(si) >= 0
+        order = np.argsort(~valid, kind="stable")
+        sv, si = sv[jnp.asarray(order)], si[jnp.asarray(order)]
+        if ss is not None:
+            ss = ss[jnp.asarray(order)]
+        n_valid = int(valid.sum())
+        pad = (-sv.shape[0]) % self.SIDE_BLOCK
+        if pad:
+            sv = jnp.pad(sv, ((0, pad), (0, 0)))
+            si = jnp.pad(si, (0, pad))
+            if ss is not None:
+                ss = jnp.pad(ss, (0, pad))
+        return sv, ss, si, n_valid
+
+    def search_bulk(self, q_reps: np.ndarray, k: int = 100,
+                    nprobe: Optional[int] = None
+                    ) -> Tuple[np.ndarray, np.ndarray]:
+        if self._values is None:
+            raise RuntimeError("IVFRaggedIndex.search before add()")
+        from ..ops.ivf_bulk import ivf_ragged_search, serve_j
+
+        k = min(k, self._n)
+        nprobe = self.nprobe if nprobe is None else min(nprobe, self.nlist)
+        q = np.asarray(q_reps, np.float32)
+        B0 = q.shape[0]
+        pad = (-B0) % (256 if B0 > 256 else 8)
+        if pad:
+            q = np.concatenate([q, np.zeros((pad, self.dim), np.float32)])
+        B = q.shape[0]
+        block = self.block
+        lam = B * nprobe / self.nlist
+        qcap_cap = min(int(-(-B * nprobe // 8) * 8),
+                       max(64, int(-(-4.0 * lam // 8) * 8)),
+                       262144 // block)
+        # J: per-block density for a MEAN-sized cell; small cells have fewer
+        # candidate slots by construction (they also hold fewer neighbors)
+        mean_rows = max(block, int(self._n / max(1, self.nlist)))
+        J = serve_j(k, block, mean_rows)
+        if getattr(self, "bulk_j", None):
+            J = min(self.bulk_j, k, block)
+        state = getattr(self, "_bulk_state", None)
+        if state is None or state["key"] != (nprobe,):
+            hot = np.zeros((0,), np.int64)
+            state = {"key": (nprobe,), "hot": hot,
+                     "side": self._side_slab(hot), "qcap": None}
+        Qcap = state["qcap"]
+        if Qcap is None:
+            Qcap = min(qcap_cap,
+                       int(-(-max(8.0, self.qcap_factor * lam) // 8) * 8))
+
+        while True:
+            sv, ss, si, side_valid = state["side"]
+            hp = None
+            if state["hot"].size:
+                hp = jnp.zeros((self.nlist,), jnp.float32).at[
+                    jnp.asarray(state["hot"])].set(-jnp.inf)
+            sb = self.SIDE_BLOCK
+            side_J = serve_j(k, sb, max(sb, side_valid)) if side_valid else 4
+            tv, doc, dropped, counts = ivf_ragged_search(
+                jnp.asarray(q), self.centroids, self._values, self._row_ids,
+                self._scales, self._block_cell, self._block_start,
+                sv, ss, si,
+                k=k, nprobe=nprobe, Qcap=Qcap, J=J, block=block,
+                nlist=self.nlist, nb_max=self._nb_max, hot_penalty=hp,
+                side_valid=side_valid, side_J=side_J, side_block=sb)
+            self.last_dropped = int(dropped)
+            if self.last_dropped <= max(8, int(0.001 * B * nprobe)):
+                break
+            counts_np = np.asarray(counts)
+            hot_thresh = max(2.0 * lam, float(Qcap))
+            overloaded = np.where(counts_np > hot_thresh)[0]
+            new_hot = np.setdiff1d(overloaded, state["hot"])
+            max_hot = max(1, self.nlist // 16)
+            if new_hot.size and state["hot"].size < max_hot:
+                new_hot = new_hot[np.argsort(-counts_np[new_hot])]
+                room = max_hot - state["hot"].size
+                state["hot"] = np.concatenate(
+                    [state["hot"], new_hot[:room]]).astype(np.int64)
+                state["side"] = self._side_slab(state["hot"])
+                continue
+            if Qcap >= qcap_cap:
+                break
+            Qcap = min(qcap_cap, Qcap * 2)
+        state["qcap"] = Qcap
+        self._bulk_state = state
+        return np.asarray(tv)[:B0], np.asarray(doc)[:B0]
+
+    def search(self, q_reps: np.ndarray, k: int = 100,
+               mode: str = "bulk",
+               nprobe: Optional[int] = None) -> Tuple[np.ndarray, np.ndarray]:
+        if self._values is None:
+            raise RuntimeError("IVFRaggedIndex.search before add()")
+        k = min(k, self._n)
+        q = np.asarray(q_reps, np.float32)
+        if mode == "exact":
+            return self._search_exact(q, k)
+        return self.search_bulk(q, k, nprobe=nprobe)
+
+    def _search_exact(self, q: np.ndarray, k: int):
+        """Flat scan over every stored row (parity checks)."""
+        mask = np.asarray(self._row_ids) >= 0
+        flat_ids = np.asarray(self._row_ids)[mask]
+        vals = np.asarray(self._values, np.float32)[mask]
+        if self._scales is not None:
+            vals = vals * np.asarray(self._scales)[mask][:, None]
+        s, i = blockwise_topk(jnp.asarray(q), jnp.asarray(vals), k,
+                              min(4096, vals.shape[0]))
+        return np.asarray(s), np.asarray(flat_ids)[np.asarray(i)]
+
+    # -- persistence ---------------------------------------------------------
+
+    def save(self, path: str) -> None:
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        payload = {
+            "centroids": np.asarray(self.centroids, np.float32),
+            "values": np.asarray(self._values),
+            "row_ids": np.asarray(self._row_ids),
+            "block_cell": np.asarray(self._block_cell),
+            "block_start": np.asarray(self._block_start),
+        }
+        if self._scales is not None:
+            payload["scales"] = np.asarray(self._scales)
+        np.savez(path + ".npz", **payload)
+        with open(path + ".meta.json", "w") as fh:
+            json.dump({"kind": "ivfr", "dim": self.dim, "nlist": self.nlist,
+                       "nprobe": self.nprobe, "dtype": self.dtype,
+                       "block": self.block, "nb_max": self._nb_max,
+                       "n": self._n, "docid": self.docid}, fh)
+
+    @classmethod
+    def load(cls, path: str) -> "IVFRaggedIndex":
+        with open(path + ".meta.json") as fh:
+            meta = json.load(fh)
+        idx = cls(meta["dim"], nlist=meta["nlist"], nprobe=meta["nprobe"],
+                  dtype=meta["dtype"], block=meta["block"])
+        with np.load(path + ".npz") as z:
+            idx.centroids = jnp.asarray(z["centroids"])
+            idx._values = jnp.asarray(z["values"])
+            idx._row_ids = jnp.asarray(z["row_ids"])
+            idx._block_cell = jnp.asarray(z["block_cell"])
+            idx._block_start = jnp.asarray(z["block_start"])
+            if "scales" in z:
+                idx._scales = jnp.asarray(z["scales"])
+        idx._nb_max = meta["nb_max"]
+        idx._n = meta["n"]
+        idx.docid = meta.get("docid", [])
+        return idx

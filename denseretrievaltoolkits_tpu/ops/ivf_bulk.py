@@ -128,6 +128,93 @@ def _ivf_cell_topj(qslab, values, row_ids, scales, J: int, block: int):
     )(*args)
 
 
+def _ragged_kernel(cellof_ref, qs_ref, c_ref, rid_ref, out_v_ref, out_i_ref,
+                   *, J: int, block: int, id_bits: int):
+    """One RAGGED block step (bf16/fp32 cells): the grid walks the padded-
+    flat block list; ``cellof_ref`` (scalar-prefetched) tells the index maps
+    which cell's query tile to keep resident.  Ids are flat positions in the
+    padded layout."""
+    b = pl.program_id(0)
+    q = qs_ref[0]                      # [Qcap, dim]
+    c = c_ref[:]                       # [block, dim]
+    s = jax.lax.dot_general(
+        q, c.astype(q.dtype), dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    rid = rid_ref[0].reshape(1, -1)
+    s = jnp.where(rid >= 0, s, NEG_INF)  # segment-tail padding
+    _packed_select(s, b, out_v_ref, out_i_ref, J=J, block_size=block,
+                   n_valid=2**31 - 1, id_bits=id_bits)
+
+
+def _ragged_kernel_scaled(cellof_ref, qs_ref, c_ref, rid_ref, sc_ref,
+                          out_v_ref, out_i_ref, *, J: int, block: int,
+                          id_bits: int):
+    """int8-cell ragged variant: fused dequant scales."""
+    b = pl.program_id(0)
+    q = qs_ref[0]
+    c = c_ref[:]
+    s = jax.lax.dot_general(
+        q, c.astype(q.dtype), dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    s = s * sc_ref[0].reshape(1, -1)
+    rid = rid_ref[0].reshape(1, -1)
+    s = jnp.where(rid >= 0, s, NEG_INF)
+    _packed_select(s, b, out_v_ref, out_i_ref, J=J, block_size=block,
+                   n_valid=2**31 - 1, id_bits=id_bits)
+
+
+@functools.partial(jax.jit, static_argnames=("J", "block"))
+def _ivf_ragged_topj(block_cell, qslab, values, row_ids, scales,
+                     J: int, block: int):
+    """Ragged cell scoring: grid (nb_total,) over the padded-flat block list
+    ([nb_total*block, dim] values, cells occupying contiguous block ranges).
+    ``block_cell`` [nb_total] int32 is scalar-prefetched so the Qslab index
+    map can follow the cell of each block — TPU gather-by-grid-indirection.
+    Returns (vals, ids) [nb_total, J, Qcap], ids flat in the padded layout."""
+    nlist, Qcap, dim = qslab.shape
+    nb_total = block_cell.shape[0]
+    id_bits = max(1, (block - 1).bit_length())
+    common = dict(J=J, block=block, id_bits=id_bits)
+    in_specs = [
+        pl.BlockSpec((1, Qcap, dim), lambda b, cellof: (cellof[b], 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((block, dim), lambda b, cellof: (b, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block), lambda b, cellof: (0, b),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [qslab, values, row_ids.reshape(1, -1)]
+    if scales is not None:
+        kernel = functools.partial(_ragged_kernel_scaled, **common)
+        in_specs.append(pl.BlockSpec((1, block), lambda b, cellof: (0, b),
+                                     memory_space=pltpu.VMEM))
+        args.append(scales.reshape(1, -1))
+    else:
+        kernel = functools.partial(_ragged_kernel, **common)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb_total,),
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec((1, J, Qcap), lambda b, cellof: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, J, Qcap), lambda b, cellof: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((nb_total, J, Qcap), jnp.float32),
+            jax.ShapeDtypeStruct((nb_total, J, Qcap), jnp.int32),
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(block_cell, *args)
+
+
 def serve_j(k: int, block: int, C: int) -> int:
     """Per-block candidate density: a query's top-k members inside ONE probed
     cell spread ~uniformly over the cell's blocks (within-cell row order is
@@ -224,27 +311,121 @@ def ivf_bulk_search(q, centroids, values, row_ids, scales,
     ti = jnp.take_along_axis(pi, tpos, axis=1)
     doc = row_ids.reshape(-1)[ti]
 
-    # 5) dense side-scan (overflow rows + hot cells): the flat packed kernel
-    # over the slab — every query scores it, candidates merge at its own k
-    if side_valid > 0:
-        from .topk import (_pallas_block_topj_packed,
-                           _pallas_block_topj_packed_scaled)
+    # 5) dense side-scan (overflow rows + hot cells)
+    tv, doc = _side_scan(qc, tv, doc, side_values, side_scales, side_ids,
+                         k, side_valid, side_J, side_block)
+    return tv, doc, n_dropped, counts
 
-        if side_scales is not None:
-            sv_b, si_b = _pallas_block_topj_packed_scaled(
-                qc, side_values, side_scales, side_J, side_block, side_valid)
-        else:
-            sv_b, si_b = _pallas_block_topj_packed(
-                qc, side_values, side_J, side_block, side_valid)
-        nbs = sv_b.shape[0]
-        flat_v = jnp.transpose(sv_b, (2, 0, 1)).reshape(B, nbs * side_J)
-        flat_i = jnp.transpose(si_b, (2, 0, 1)).reshape(B, nbs * side_J)
-        k2 = min(k, nbs * side_J, side_valid)
-        so_top, so_pos = jax.lax.top_k(flat_v, k2)
-        so_doc = jnp.take(side_ids,
-                          jnp.take_along_axis(flat_i, so_pos, axis=1))
-        all_v = jnp.concatenate([tv, so_top], axis=1)
-        all_d = jnp.concatenate([doc, so_doc], axis=1)
-        tv, pos2 = jax.lax.top_k(all_v, min(k, all_v.shape[1]))
-        doc = jnp.take_along_axis(all_d, pos2, axis=1)
+
+def _side_scan(qc, tv, doc, side_values, side_scales, side_ids,
+               k: int, side_valid: int, side_J: int, side_block: int):
+    """Dense side-scan slab (overflow rows + hot cells): the flat packed
+    kernel over the slab — every query scores it, candidates merge at the
+    slab's own k."""
+    if side_valid <= 0:
+        return tv, doc
+    from .topk import (_pallas_block_topj_packed,
+                       _pallas_block_topj_packed_scaled)
+
+    B = qc.shape[0]
+    if side_scales is not None:
+        sv_b, si_b = _pallas_block_topj_packed_scaled(
+            qc, side_values, side_scales, side_J, side_block, side_valid)
+    else:
+        sv_b, si_b = _pallas_block_topj_packed(
+            qc, side_values, side_J, side_block, side_valid)
+    nbs = sv_b.shape[0]
+    flat_v = jnp.transpose(sv_b, (2, 0, 1)).reshape(B, nbs * side_J)
+    flat_i = jnp.transpose(si_b, (2, 0, 1)).reshape(B, nbs * side_J)
+    k2 = min(k, nbs * side_J, side_valid)
+    so_top, so_pos = jax.lax.top_k(flat_v, k2)
+    so_doc = jnp.take(side_ids, jnp.take_along_axis(flat_i, so_pos, axis=1))
+    all_v = jnp.concatenate([tv, so_top], axis=1)
+    all_d = jnp.concatenate([doc, so_doc], axis=1)
+    tv, pos2 = jax.lax.top_k(all_v, min(k, all_v.shape[1]))
+    doc = jnp.take_along_axis(all_d, pos2, axis=1)
+    return tv, doc
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "nprobe", "Qcap", "J", "block", "nlist", "nb_max",
+                     "side_valid", "side_J", "side_block"))
+def ivf_ragged_search(q, centroids, values, row_ids, scales,
+                      block_cell, block_start,
+                      side_values, side_scales, side_ids,
+                      k: int, nprobe: int, Qcap: int, J: int, block: int,
+                      nlist: int, nb_max: int,
+                      hot_penalty=None, side_valid: int = 0,
+                      side_J: int = 4, side_block: int = 512):
+    """Cell-major bulk search over the RAGGED block-indirect layout.
+
+    ``values`` [nb_total*block, dim]: rows sorted by cell, each cell padded
+    only to a block multiple (~block/2 rows average waste per cell — the
+    fixed-capacity layout wastes capacity_factor-1 x the corpus and spills
+    skew into an always-scanned overflow slab; at 4 mixture components per
+    cell that was 20%+ of the corpus).  ``block_cell`` [nb_total] maps each
+    block to its cell (scalar-prefetched grid indirection);
+    ``block_start`` [nlist+1] gives each cell's block range; ``nb_max`` is
+    the largest per-cell block count (static pad for the candidate gather).
+
+    Same probe/invert/Qcap/hot-cell semantics as :func:`ivf_bulk_search`;
+    returns the same (scores, doc_rows, n_dropped, probe_counts)."""
+    B, dim = q.shape
+    P = B * nprobe
+
+    cell_scores = jnp.dot(q, centroids.T, preferred_element_type=jnp.float32)
+    if hot_penalty is not None:
+        cell_scores = cell_scores + hot_penalty[None, :]
+    _, cells = jax.lax.top_k(cell_scores, nprobe)
+
+    # invert to cell-major (rank-major slotting; see ivf_bulk_search)
+    pair_cell = cells.reshape(-1)
+    pair_q = jnp.repeat(jnp.arange(B, dtype=jnp.int32), nprobe)
+    pair_rank = jnp.tile(jnp.arange(nprobe, dtype=jnp.int32), B)
+    counts = jnp.zeros((nlist,), jnp.int32).at[pair_cell].add(1)
+    starts = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1]])
+    order = jnp.argsort(pair_cell * nprobe + pair_rank)
+    sc = pair_cell[order]
+    slot = jnp.arange(P, dtype=jnp.int32) - starts[sc]
+    qidx = pair_q[order]
+    in_cap = slot < Qcap
+    dest = jnp.where(in_cap, sc * Qcap + slot, nlist * Qcap)
+    qtab = jnp.zeros((nlist * Qcap,), jnp.int32).at[dest].set(
+        qidx, mode="drop")
+    n_dropped = jnp.sum(~in_cap)
+
+    qc = q.astype(jnp.bfloat16 if values.dtype != jnp.float32 else jnp.float32)
+    qslab = qc[qtab].reshape(nlist, Qcap, dim)
+    vals_b, ids_b = _ivf_ragged_topj(block_cell, qslab, values, row_ids,
+                                     scales, J, block)  # [nb_total, J, Qcap]
+
+    # per-pair candidate gather over the pair's cell block RANGE
+    nb_total = vals_b.shape[0]
+    prange = block_start[sc][:, None] + jnp.arange(nb_max,
+                                                   dtype=jnp.int32)[None, :]
+    bvalid = prange < block_start[sc + 1][:, None]          # [P, nb_max]
+    prc = jnp.clip(prange, 0, nb_total - 1)
+    slot_c = jnp.clip(slot, 0, Qcap - 1)
+    jidx = jnp.arange(J, dtype=jnp.int32)
+    pv = vals_b[prc[:, :, None], jidx[None, None, :], slot_c[:, None, None]]
+    pi = ids_b[prc[:, :, None], jidx[None, None, :], slot_c[:, None, None]]
+    keep = bvalid[:, :, None] & in_cap[:, None, None]
+    pv = jnp.where(keep, pv, -jnp.inf).reshape(P, nb_max * J)
+    pi = pi.reshape(P, nb_max * J)
+    kp = min(k, nb_max * J)
+    cv, cpos = jax.lax.top_k(pv, kp)
+    ci = jnp.take_along_axis(pi, cpos, axis=1)
+
+    inv = jnp.argsort(order)
+    pv2 = cv[inv].reshape(B, nprobe * kp)
+    pi2 = ci[inv].reshape(B, nprobe * kp)
+    kk = min(k, nprobe * kp)
+    tv, tpos = jax.lax.top_k(pv2, kk)
+    ti = jnp.take_along_axis(pi2, tpos, axis=1)
+    doc = row_ids.reshape(-1)[ti]
+
+    tv, doc = _side_scan(qc, tv, doc, side_values, side_scales, side_ids,
+                         k, side_valid, side_J, side_block)
     return tv, doc, n_dropped, counts
