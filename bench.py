@@ -335,10 +335,10 @@ def bench_ivf_int8(queries: np.ndarray) -> float:
     # padding and NO overflow slab (the fixed-capacity layout padded 60%+ or
     # spilled 20% of this corpus into the always-scanned slab at nlist=1024;
     # hardware-measured)
-    nlist = int(os.environ.get("BENCH_IVF_NLIST", 1024))
+    nlist = int(os.environ.get("BENCH_IVF_NLIST", 256))
     nprobe = int(os.environ.get("BENCH_IVF_NPROBE", 8))
     idx = IVFRaggedIndex(DIM, nlist=nlist, nprobe=nprobe, dtype="int8",
-                         block=512)
+                         block=int(os.environ.get("BENCH_IVF_BLOCK", 2048)))
     if os.environ.get("BENCH_IVF_J"):
         idx.bulk_j = int(os.environ["BENCH_IVF_J"])
     t0 = time.time()

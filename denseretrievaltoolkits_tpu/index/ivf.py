@@ -197,6 +197,10 @@ class IVFFlatIndex:
         # capacity are dropped and counted in ``last_dropped``
         self.qcap_factor = qcap_factor
         self.last_dropped = 0
+        # hot-cell densification budget for the bulk tuner (None = nlist/16):
+        # overloaded cells move to the densely-scanned side slab instead of
+        # dropping probe pairs; raising this trades side-scan FLOPs for recall
+        self.max_hot: Optional[int] = None
         # adaptive capacity: grow cells past capacity_factor x mean until the
         # overflow slab holds <= ovf_frac of the rows (skewed cluster sizes —
         # e.g. isotropic data — would otherwise spill half the corpus to the
@@ -631,7 +635,8 @@ class IVFFlatIndex:
             hot_thresh = max(2.0 * lam, float(Qcap))
             overloaded = np.where(counts_np > hot_thresh)[0]
             new_hot = np.setdiff1d(overloaded, state["hot"])
-            max_hot = max(1, self.nlist // 16)
+            max_hot = self.max_hot if self.max_hot is not None \
+                else max(1, self.nlist // 16)
             if new_hot.size and state["hot"].size < max_hot:
                 # move the most-overloaded cells to the dense side-scan
                 new_hot = new_hot[np.argsort(-counts_np[new_hot])]
@@ -971,7 +976,8 @@ class IVFRaggedIndex(IVFFlatIndex):
             hot_thresh = max(2.0 * lam, float(Qcap))
             overloaded = np.where(counts_np > hot_thresh)[0]
             new_hot = np.setdiff1d(overloaded, state["hot"])
-            max_hot = max(1, self.nlist // 16)
+            max_hot = self.max_hot if self.max_hot is not None \
+                else max(1, self.nlist // 16)
             if new_hot.size and state["hot"].size < max_hot:
                 new_hot = new_hot[np.argsort(-counts_np[new_hot])]
                 room = max_hot - state["hot"].size

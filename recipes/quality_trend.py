@@ -100,35 +100,49 @@ def make_dataset(out, rng, n_train, n_eval, n_corpus, n_neg=4):
 
 
 def make_topical_dataset(out, rng, n_train, n_eval, n_corpus, n_neg=4,
-                         n_topics=256):
+                         n_topics=1024):
     """Clustered-topic corpus where HARD negatives are required (VERDICT r2
     next-round #5): every topic has a dedicated vocabulary, and a query's
     true competition is the ~n_corpus/n_topics same-topic passages that do
-    NOT carry its answer.
+    NOT carry its entity token.
 
-    Random (cross-topic) in-batch negatives are separable by topic vocabulary
-    alone, so the contrastive softmax saturates early and the answer-token
-    feature gets almost no gradient — the model ranks the whole topic high
-    but cannot order within it, and MRR@10 stalls.  BM25/dense-mined
-    negatives are same-topic by construction (highest lexical / embedding
-    overlap), so they force within-topic discrimination — the property
-    hard-negative mining exists for (reference run_BM25_negative.py:53-55,
-    ANCE-style refresh in mine/).
+    Two design points make random negatives genuinely insufficient (the
+    first cut of this workload missed both, and random WON — the failed
+    curves are recorded in BASELINE.md):
+
+    1. The entity (answer) token is UNIQUE per query.  When answer words
+       were shared across ~4 queries, other queries' in-batch positives
+       carried colliding answers, so plain in-batch training already put
+       gradient on the entity feature.
+    2. 1024 topics, not 256.  At 256 topics a 32-query batch has ~1.9
+       same-topic collisions — random in-batch sampling accidentally
+       supplies the hard negatives it is supposed to lack.  At 1024 the
+       collision rate is ~0.5/batch.
+
+    Cross-topic (random) negatives are separable by topic vocabulary alone,
+    so the contrastive softmax saturates and the entity feature stops
+    improving: Recall@100 goes to ~1 (the whole topic ranks high) while
+    MRR@10 stalls at ~1/(corpus/topics).  BM25/dense-mined negatives are
+    same-topic by construction (highest lexical / embedding overlap), so
+    they force within-topic discrimination — the property hard-negative
+    mining exists for (reference run_BM25_negative.py:53-55, ANCE-style
+    refresh in mine/).
     """
     words = _words()
-    n_topic_words = 24
+    n_topic_words = 8
     topic_vocab = [
         words[t * n_topic_words:(t + 1) * n_topic_words]
         for t in range(n_topics)
     ]  # dedicated, disjoint per topic
-    shared = words[n_topics * n_topic_words: N_WORDS - 512]
-    answer_words = words[N_WORDS - 512:]
+    n_entities = n_train + 2 * n_eval
+    shared = words[n_topics * n_topic_words: N_WORDS - n_entities]
+    answer_words = words[N_WORDS - n_entities:]
     data_dir = os.path.join(out, "data")
     os.makedirs(data_dir, exist_ok=True)
 
     def passage_text(topic):
-        toks = [rng.choice(topic_vocab[topic]) for _ in range(12)] + \
-               [rng.choice(shared) for _ in range(12)]
+        toks = [rng.choice(topic_vocab[topic]) for _ in range(10)] + \
+               [rng.choice(shared) for _ in range(10)]
         rng.shuffle(toks)
         return " ".join(toks)
 
@@ -143,7 +157,7 @@ def make_topical_dataset(out, rng, n_train, n_eval, n_corpus, n_neg=4,
         for j in range(n):
             i = (start + j) % n_corpus
             topic = i % n_topics
-            answer = rng.choice(answer_words)
+            answer = answer_words[start + j]  # unique per query (point 1)
             toks = corpus_rows[i]["text"].split()
             toks.insert(rng.randrange(len(toks) + 1), answer)
             corpus_rows[i]["text"] = " ".join(toks)
@@ -155,7 +169,7 @@ def make_topical_dataset(out, rng, n_train, n_eval, n_corpus, n_neg=4,
                 negs.append({"docid": f"d{k}", "title": corpus_rows[k]["title"],
                              "text": corpus_rows[k]["text"]})
             query = " ".join(
-                [rng.choice(topic_vocab[topic]) for _ in range(8)] + [answer])
+                [rng.choice(topic_vocab[topic]) for _ in range(5)] + [answer])
             rows.append({
                 "query_id": f"q{start + j}",
                 "query": query,
@@ -242,6 +256,10 @@ def main(argv=None):
                          "latches the axon TPU plugin, so JAX_PLATFORMS=cpu "
                          "in the environment alone is ignored — this flag "
                          "calls jax.config.update early)")
+    ap.add_argument("--topics", type=int, default=1024,
+                    help="topical workload: number of disjoint topic "
+                         "vocabularies (collision rate of same-topic pairs "
+                         "inside a 32-query batch ~ 496/topics)")
     opts = ap.parse_args(argv)
 
     if opts.platform:
@@ -252,14 +270,20 @@ def main(argv=None):
     rng = random.Random(0)
     os.makedirs(opts.out, exist_ok=True)
     if opts.workload == "topical":
-        # room for 256 DISJOINT 24-word topic vocabularies + answers + noise;
-        # the planted workload keeps the r2-curve vocabulary for continuity
-        globals()["N_WORDS"] = 8192
-    gen = make_dataset if opts.workload == "planted" else make_topical_dataset
-    data_dir, corpus_path = gen(
-        opts.out, rng, opts.train, opts.eval, opts.corpus,
-        n_neg=max(4, opts.n_passages - 1),
-    )
+        # room for `topics` DISJOINT 8-word topic vocabularies + one unique
+        # entity word per query + >=1024 shared noise words; the planted
+        # workload keeps the r2-curve vocabulary for continuity
+        n_entities = opts.train + 2 * opts.eval
+        globals()["N_WORDS"] = opts.topics * 8 + n_entities + 1024
+        data_dir, corpus_path = make_topical_dataset(
+            opts.out, rng, opts.train, opts.eval, opts.corpus,
+            n_neg=max(4, opts.n_passages - 1), n_topics=opts.topics,
+        )
+    else:
+        data_dir, corpus_path = make_dataset(
+            opts.out, rng, opts.train, opts.eval, opts.corpus,
+            n_neg=max(4, opts.n_passages - 1),
+        )
     model_dir = make_model_dir(opts.out)
     cache = os.path.join(opts.out, "cache")
 
