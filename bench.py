@@ -339,8 +339,12 @@ def bench_ivf_int8(queries: np.ndarray) -> float:
     nprobe = int(os.environ.get("BENCH_IVF_NPROBE", 8))
     idx = IVFRaggedIndex(DIM, nlist=nlist, nprobe=nprobe, dtype="int8",
                          block=int(os.environ.get("BENCH_IVF_BLOCK", 2048)))
-    if os.environ.get("BENCH_IVF_J"):
-        idx.bulk_j = int(os.environ["BENCH_IVF_J"])
+    # best-RATIO point of the measured r3 curve (1.96x exact serve at recall
+    # 0.93; BASELINE.md "Bulk IVF at 8.8M" table) — the companion recall
+    # metric keeps the operating point honest.  At recall >= 0.98 (J=20)
+    # this kernel measures 0.69x exact; see BASELINE.md for the full curve.
+    idx.bulk_j = int(os.environ.get("BENCH_IVF_J", 8))
+    idx.max_hot = int(os.environ.get("BENCH_IVF_MAXHOT", 16))
     t0 = time.time()
     sample = _clustered_chunk(centers, 2 * 10**9, 262144)
     idx.train(sample, iters=8)
