@@ -187,6 +187,7 @@ def bench_serve(queries: np.ndarray) -> float:
 NCOMP_IVF = 4096
 IVF_SIGMA = 0.5
 _IVF_STATE: dict = {}
+_I8Q_STATE: dict = {}
 
 
 def _make_centers():
@@ -312,6 +313,32 @@ def bench_int8(queries: np.ndarray) -> float:
                                    N_DOCS_INT8, tq=N_QUERIES_INT8)
     _IVF_STATE["ref_ids"] = np.asarray(ref[1])
     _IVF_STATE["exact_qps"] = qps
+
+    # native-int8 MXU path (mode='approx'): int8 queries x int8 corpus in the
+    # MXU's s8·s8→s32 mode — same corpus, measured against the serve number
+    from denseretrievaltoolkits_tpu.ops.topk import (
+        pallas_topk_serve_i8q, quantize_queries)
+    qi, qs = quantize_queries(jnp.asarray(q_np[:N_QUERIES_INT8]))
+    out = pallas_topk_serve_i8q(qi, values, scales, qs, TOPK, 4, block,
+                                N_DOCS_INT8, tq=N_QUERIES_INT8)
+    assert out[1].shape == (N_QUERIES_INT8, TOPK)
+    elapsed_n = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        for _ in range(iters):
+            out = pallas_topk_serve_i8q(qi, values, scales, qs, TOPK, 4,
+                                        block, N_DOCS_INT8, tq=N_QUERIES_INT8)
+        float(jnp.sum(out[0][0, 0]))
+        elapsed_n = min(elapsed_n, (time.time() - t0 - rt) / iters)
+    ids_n = np.asarray(out[1])
+    hits = sum(len(set(a) & set(b))
+               for a, b in zip(ids_n, _IVF_STATE["ref_ids"]))
+    _I8Q_STATE["qps"] = N_QUERIES_INT8 / elapsed_n
+    _I8Q_STATE["recall"] = hits / (N_QUERIES_INT8 * TOPK)
+    print(f"# int8 native-MXU: {elapsed_n*1e3:.1f} ms "
+          f"({_I8Q_STATE['qps']/qps:.2f}x serve, "
+          f"recall@{TOPK} {_I8Q_STATE['recall']:.4f})", file=sys.stderr)
+
     # free ~6.8 GB HBM before the IVF/model benches
     values.delete(), scales.delete()
     return qps
@@ -614,6 +641,21 @@ def main():
                   "qps", lambda: bench_serve(queries), cpu_qps * (orig_n / N_DOCS))
         run_extra(f"query_qps_int8_{N_DOCS_INT8 // 1000}k_docs_top{TOPK}",
                   "qps", lambda: bench_int8(queries), R1_INT8_QPS)
+        # native-int8 MXU kernel (mode='approx' on int8 indexes): vs_baseline
+        # is the ratio to the bf16-query serve QPS measured THIS run
+        if _I8Q_STATE.get("qps") is not None:
+            extras.append({
+                "metric": f"query_qps_int8_native_{N_DOCS_INT8 // 1000}k_docs"
+                          f"_top{TOPK}",
+                "value": round(_I8Q_STATE["qps"], 1), "unit": "qps",
+                "vs_baseline": round(
+                    _I8Q_STATE["qps"] / _IVF_STATE["exact_qps"], 2),
+            })
+            extras.append({
+                "metric": f"recall{TOPK}_int8_native_{N_DOCS_INT8 // 1000}k",
+                "value": round(_I8Q_STATE["recall"], 4), "unit": "recall",
+                "vs_baseline": round(_I8Q_STATE["recall"] / 0.95, 3),
+            })
         # IVF bulk on the SAME clustered 8.8M corpus: vs_baseline is the
         # ratio to the exact-int8 serve QPS measured THIS run — the number
         # IVF must beat (VERDICT r2 #1); companion recall metric vs the

@@ -253,8 +253,9 @@ class FlatIPIndex:
         (measured, 1M x 768 bf16), scores quantized ~1e-4 relative; CPU
         falls back to exact.
         mode="approx": the TPU's hardware PartialReduce (recall-targeted
-        ~0.95) for fp32/bf16 corpora; int8 corpora serve approx via the
-        Pallas kernel with the exactness certificate skipped."""
+        ~0.95) for fp32/bf16 corpora; int8/int4 corpora run the NATIVE-int8
+        MXU kernel (s8·s8→s32, queries quantized on the fly) — 1.41x the
+        serve kernel at recall@100 ~0.986 (measured, 2M x 768 v5e)."""
         if self.dtype == "int4" and not self._device_slabs:
             # nibble-packed corpus: the packed-sq4 serving kernel on TPU for
             # serve/approx; the CERTIFIED sq4 Pallas kernel (exact fp32
@@ -265,10 +266,13 @@ class FlatIPIndex:
                 if mode != "exact":
                     from ..ops.topk import pallas_topk_fast
 
+                    # approx: native-int8 MXU kernel (1.41x serve, recall
+                    # ~0.986 — query quantization near-tie swaps)
                     return pallas_topk_fast(
                         jnp.asarray(q_reps, jnp.float32), self._device_corpus,
                         kk, min(self.block_size, self._device_corpus.shape[0]),
                         scales=self._device_scales, valid=self._n, int4=True,
+                        i8_native=(mode == "approx"),
                     )
                 from ..ops.topk import pallas_topk
 
@@ -304,13 +308,15 @@ class FlatIPIndex:
                                    self._device_corpus, min(k, self._n))
                 return np.asarray(s), np.asarray(i)
             if jax.default_backend() == "tpu":
-                from ..ops.topk import pallas_topk
+                from ..ops.topk import pallas_topk_fast
 
-                return pallas_topk(
+                # int8 approx: native-int8 MXU kernel (s8·s8→s32) — 1.41x the
+                # serve kernel, recall@100 ~0.986 (query quantization)
+                return pallas_topk_fast(
                     jnp.asarray(q_reps, jnp.float32), self._device_corpus,
                     min(k, self._n),
                     min(self.block_size, self._device_corpus.shape[0]),
-                    scales=self._device_scales, certify=False,
+                    scales=self._device_scales, i8_native=True,
                 )
             # CPU int8: no hardware approx path — exact scan serves
         if self._device_slabs:
@@ -353,6 +359,7 @@ class FlatIPIndex:
                         q, values, min(k, n),
                         min(self.block_size, values.shape[0]),
                         valid=n, scales=scales, int4=True,
+                        i8_native=(mode == "approx"),
                     )
                 elif use_pallas:
                     from ..ops.topk import pallas_topk
@@ -376,6 +383,16 @@ class FlatIPIndex:
                     q, values, min(k, n),
                     min(self.block_size, values.shape[0]),
                     valid=n, scales=scales,
+                )
+                s, i = jnp.asarray(s), jnp.asarray(i)
+            elif use_pallas and mode == "approx" and scales is not None:
+                # int8 slab approx: native-int8 MXU kernel
+                from ..ops.topk import pallas_topk_fast
+
+                s, i = pallas_topk_fast(
+                    q, values, min(k, n),
+                    min(self.block_size, values.shape[0]),
+                    valid=n, scales=scales, i8_native=True,
                 )
                 s, i = jnp.asarray(s), jnp.asarray(i)
             elif use_pallas:

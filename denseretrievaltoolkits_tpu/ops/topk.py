@@ -187,6 +187,53 @@ def _block_topj_kernel_packed_sq4(q_ref, c_ref, sc_ref, out_v_ref, out_i_ref,
                    n_valid=n_valid, id_bits=id_bits)
 
 
+def _block_topj_kernel_packed_i8q(q_ref, c_ref, sc_ref, qs_ref, out_v_ref,
+                                  out_i_ref, *, J: int, block_size: int,
+                                  n_valid: int, id_bits: int):
+    """Native-int8 serve kernel: int8 queries x int8 corpus through the MXU's
+    s8·s8→s32 mode (~394 TOPS on v5e vs ~197 TFLOP/s bf16 — measured 1.41x
+    end-to-end over the cast-to-bf16 twin at 2M x 768). Scores dequantize as
+    s32 · corpus_scale[row] · query_scale[q]; selection is the packed 2-pass
+    top-J. Query quantization is symmetric per-row (done by the caller), so
+    this trades ~1 extra quantization of the QUERY side for the matmul rate —
+    recall impact is measured in BASELINE.md, certified paths are unaffected."""
+    b = pl.program_id(1)
+    q = q_ref[:]                    # [TQ, H] int8
+    c = c_ref[:]                    # [TN, H] int8
+    s32 = jax.lax.dot_general(
+        q, c, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    s = s32.astype(jnp.float32) * sc_ref[:].reshape(1, -1) \
+        * qs_ref[:].reshape(-1, 1)
+    _packed_select(s, b, out_v_ref, out_i_ref, J=J, block_size=block_size,
+                   n_valid=n_valid, id_bits=id_bits)
+
+
+def _block_topj_kernel_packed_sq4_i8q(q_ref, c_ref, sc_ref, qs_ref, out_v_ref,
+                                      out_i_ref, *, J: int, block_size: int,
+                                      n_valid: int, id_bits: int, half: int):
+    """Native-int8 twin of the sq4 serve kernel: nibbles sign-extend to int8
+    (not bf16), both half-dim matmuls run in the MXU's s8·s8→s32 mode, and the
+    two s32 partials add before one dequant multiply."""
+    b = pl.program_id(1)
+    q = q_ref[:]                    # [TQ, H] int8
+    x = c_ref[:].astype(jnp.int32)  # [TN, H/2] packed
+    lo = ((x << 28) >> 28).astype(jnp.int8)   # dims [0, half)
+    hi = ((x << 24) >> 28).astype(jnp.int8)   # dims [half, H)
+    s32 = jax.lax.dot_general(
+        q[:, :half], lo, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ) + jax.lax.dot_general(
+        q[:, half:], hi, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    s = s32.astype(jnp.float32) * sc_ref[:].reshape(1, -1) \
+        * qs_ref[:].reshape(-1, 1)
+    _packed_select(s, b, out_v_ref, out_i_ref, J=J, block_size=block_size,
+                   n_valid=n_valid, id_bits=id_bits)
+
+
 def _block_topj_kernel_sq4(q_ref, c_ref, sc_ref, out_v_ref, out_i_ref, *,
                            J: int, block_size: int, n_valid: int, half: int):
     """int4-corpus EXACT-selection kernel (the certified path's sq4 twin of
@@ -414,6 +461,124 @@ def _pallas_block_topj_packed_sq4(q, corpus, scales, J, block_size, n_valid,
         ),
         interpret=jax.default_backend() != "tpu",
     )(q, corpus, scales.reshape(1, -1))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("J", "block_size", "n_valid", "tq"))
+def _pallas_block_topj_packed_i8q(q, corpus, scales, qscales, J, block_size,
+                                  n_valid, tq=None):
+    """Per-block top-J, int8 queries x int8 corpus (native MXU int8 mode)."""
+    Q, H = q.shape
+    N = corpus.shape[0]
+    n_blocks = N // block_size
+    TQ = min(Q, tq or QUERY_TILE)
+    n_qtiles = Q // TQ
+    id_bits = max(1, (block_size - 1).bit_length())
+    kernel = functools.partial(
+        _block_topj_kernel_packed_i8q, J=J, block_size=block_size,
+        n_valid=n_valid, id_bits=id_bits,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(n_qtiles, n_blocks),
+        in_specs=[
+            pl.BlockSpec((TQ, H), lambda qi, b: (qi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_size, H), lambda qi, b: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_size), lambda qi, b: (0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TQ), lambda qi, b: (0, qi), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, J, TQ), lambda qi, b: (b, 0, qi), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, J, TQ), lambda qi, b: (b, 0, qi), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_blocks, J, Q), jnp.float32),
+            jax.ShapeDtypeStruct((n_blocks, J, Q), jnp.int32),
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(q, corpus, scales.reshape(1, -1), qscales.reshape(1, -1))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("J", "block_size", "n_valid", "tq"))
+def _pallas_block_topj_packed_sq4_i8q(q, corpus, scales, qscales, J,
+                                      block_size, n_valid, tq=None):
+    """Per-block top-J, int8 queries x nibble-packed int4 corpus [N, H/2]."""
+    Q, H = q.shape
+    N = corpus.shape[0]
+    n_blocks = N // block_size
+    TQ = min(Q, tq or QUERY_TILE)
+    n_qtiles = Q // TQ
+    id_bits = max(1, (block_size - 1).bit_length())
+    kernel = functools.partial(
+        _block_topj_kernel_packed_sq4_i8q, J=J, block_size=block_size,
+        n_valid=n_valid, id_bits=id_bits, half=H // 2,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(n_qtiles, n_blocks),
+        in_specs=[
+            pl.BlockSpec((TQ, H), lambda qi, b: (qi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_size, H // 2), lambda qi, b: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_size), lambda qi, b: (0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TQ), lambda qi, b: (0, qi), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, J, TQ), lambda qi, b: (b, 0, qi), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, J, TQ), lambda qi, b: (b, 0, qi), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_blocks, J, Q), jnp.float32),
+            jax.ShapeDtypeStruct((n_blocks, J, Q), jnp.int32),
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(q, corpus, scales.reshape(1, -1), qscales.reshape(1, -1))
+
+
+@jax.jit
+def quantize_queries(q):
+    """Symmetric per-row int8 quantization for the native-int8 serve kernels.
+    Returns (q_int8 [Q, H], scales fp32 [Q]); zero rows get scale 1."""
+    q = q.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(q), axis=1)
+    qs = jnp.where(amax > 0, amax / 127.0, 1.0)
+    qi = jnp.clip(jnp.round(q / qs[:, None]), -127, 127).astype(jnp.int8)
+    return qi, qs
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "J", "block_size", "n_valid", "tq"))
+def pallas_topk_serve_i8q(q, corpus, scales, qscales, k, J, block_size,
+                          n_valid, tq=None):
+    """Native-int8 serving fast path: s8·s8→s32 MXU kernel + candidate merge.
+    1.41x the cast-to-bf16 serve kernel (measured, 2M x 768 on v5e)."""
+    vals_b, ids_b = _pallas_block_topj_packed_i8q(
+        q, corpus, scales, qscales, J, block_size, n_valid, tq=tq)
+    nb = vals_b.shape[0]
+    Q = vals_b.shape[2]
+    flat_v = jnp.transpose(vals_b, (2, 0, 1)).reshape(Q, nb * J)
+    flat_i = jnp.transpose(ids_b, (2, 0, 1)).reshape(Q, nb * J)
+    kk = min(k, nb * J)
+    top_v, pos = jax.lax.top_k(flat_v, kk)
+    return top_v, jnp.take_along_axis(flat_i, pos, axis=1)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "J", "block_size", "n_valid", "tq"))
+def pallas_topk_serve_sq4_i8q(q, corpus, scales, qscales, k, J, block_size,
+                              n_valid, tq=None):
+    """Native-int8 sq4 serving fast path: int8 queries, nibble-packed corpus,
+    both half-dim matmuls in the MXU's int8 mode + candidate merge."""
+    vals_b, ids_b = _pallas_block_topj_packed_sq4_i8q(
+        q, corpus, scales, qscales, J, block_size, n_valid, tq=tq)
+    nb = vals_b.shape[0]
+    Q = vals_b.shape[2]
+    flat_v = jnp.transpose(vals_b, (2, 0, 1)).reshape(Q, nb * J)
+    flat_i = jnp.transpose(ids_b, (2, 0, 1)).reshape(Q, nb * J)
+    kk = min(k, nb * J)
+    top_v, pos = jax.lax.top_k(flat_v, kk)
+    return top_v, jnp.take_along_axis(flat_i, pos, axis=1)
 
 
 @functools.partial(jax.jit,
@@ -703,6 +868,7 @@ def pallas_topk_fast(
     scales: Optional[jax.Array] = None,
     valid: Optional[int] = None,
     int4: bool = False,
+    i8_native: bool = False,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Near-exact serving search: pad, pick (J, tq), run the packed kernel.
 
@@ -711,7 +877,14 @@ def pallas_topk_fast(
     density (J=4 per 2048-row block, k=100, 1M x 768 bf16): recall@100
     0.99947 vs exact, ~5% of queries missing one tail member (bf16 score
     ties at the k-th boundary dominate the analytic Poisson bound). Scores
-    are quantized to ~1e-4 relative (see _block_topj_kernel_packed)."""
+    are quantized to ~1e-4 relative (see _block_topj_kernel_packed).
+
+    ``i8_native`` (int8/int4 corpora only): quantize queries to int8 and run
+    the matmul in the MXU's s8·s8→s32 mode — 1.41x the cast-to-bf16 serve
+    kernel at recall@100 0.986 vs the bf16-query ranking (both measured,
+    2M x 768 v5e; the loss is near-tie swaps from query quantization). Off by
+    default — FlatIPIndex routes mode="approx" here, keeping mode="serve" at
+    the 0.9995-recall bf16-query kernel."""
     q_reps = jnp.asarray(q_reps)
     Q0 = q_reps.shape[0]
     N, H = corpus.shape
@@ -739,10 +912,20 @@ def pallas_topk_fast(
     corpus_padded = jnp.pad(corpus, ((0, pad_n), (0, 0))) if pad_n else corpus
     if int4:
         assert scales is not None, "int4 corpus requires per-row scales"
-        qc = q_reps.astype(jnp.bfloat16)
         scales_padded = jnp.pad(scales, (0, pad_n)) if pad_n else scales
         TQ = min(SERVE_TQ, max(8, Q0))
         pad_q = (-Q0) % TQ
+        if i8_native:
+            qi, qs = quantize_queries(q_reps)
+            if pad_q:
+                qi = jnp.pad(qi, ((0, pad_q), (0, 0)))
+                qs = jnp.pad(qs, (0, pad_q), constant_values=1.0)
+            s, i = pallas_topk_serve_sq4_i8q(
+                qi, corpus_padded, scales_padded, qs, min(k, n_valid), J,
+                block_size, n_valid, tq=TQ,
+            )
+            return np.asarray(s[:Q0]), np.asarray(i[:Q0])
+        qc = q_reps.astype(jnp.bfloat16)
         if pad_q:
             qc = jnp.pad(qc, ((0, pad_q), (0, 0)))
         s, i = pallas_topk_serve_sq4(
@@ -752,8 +935,20 @@ def pallas_topk_fast(
         return np.asarray(s[:Q0]), np.asarray(i[:Q0])
     if corpus.dtype == jnp.int8:
         assert scales is not None, "int8 corpus requires per-row scales"
-        qc = q_reps.astype(jnp.bfloat16)
         scales_padded = jnp.pad(scales, (0, pad_n)) if pad_n else scales
+        if i8_native:
+            TQ = min(SERVE_TQ, max(8, Q0))
+            pad_q = (-Q0) % TQ
+            qi, qs = quantize_queries(q_reps)
+            if pad_q:
+                qi = jnp.pad(qi, ((0, pad_q), (0, 0)))
+                qs = jnp.pad(qs, (0, pad_q), constant_values=1.0)
+            s, i = pallas_topk_serve_i8q(
+                qi, corpus_padded, scales_padded, qs, min(k, n_valid), J,
+                block_size, n_valid, tq=TQ,
+            )
+            return np.asarray(s[:Q0]), np.asarray(i[:Q0])
+        qc = q_reps.astype(jnp.bfloat16)
     else:
         qc = q_reps.astype(
             jnp.bfloat16 if corpus.dtype == jnp.bfloat16 else jnp.float32

@@ -213,6 +213,111 @@ def test_packed_scaled_kernel_matches_dequant():
     np.testing.assert_allclose(s, ref_s, rtol=2e-3, atol=2e-3)
 
 
+def test_packed_i8q_kernel_matches_dequant():
+    """Native-int8 serve kernel (s8·s8→s32) vs exact search over the
+    dequantized corpus. Queries are constructed int8-representable so
+    quantize_queries is lossless and the comparison is deterministic."""
+    from denseretrievaltoolkits_tpu.index.flat import quantize_int8
+    from denseretrievaltoolkits_tpu.ops.topk import (
+        pallas_topk_serve_i8q, quantize_queries)
+
+    rng = np.random.default_rng(15)
+    corpus = rng.normal(size=(1024, 64)).astype(np.float32)
+    corpus[:256] -= 2.0  # negative-score region
+    values, scales = quantize_int8(corpus)
+    q_int = rng.integers(-127, 128, size=(8, 64)).astype(np.float32)
+    q_int[:, 0] = 127.0  # pin per-row amax so the quantizer scale is exact
+    q = q_int * 0.037
+    qi, qs = quantize_queries(jnp.asarray(q))
+    np.testing.assert_array_equal(np.asarray(qi), q_int.astype(np.int8))
+    s, i = pallas_topk_serve_i8q(
+        qi, jnp.asarray(values), jnp.asarray(scales), qs, 10, 10, 256, 1024,
+    )
+    s, i = np.asarray(s), np.asarray(i)
+    deq = values.astype(np.float64) * scales[:, None]
+    full = q.astype(np.float64) @ deq.T
+    ref_i = np.argsort(-full, axis=1)[:, :10]
+    np.testing.assert_array_equal(i, ref_i)
+    ref_s = -np.sort(-full, axis=1)[:, :10]
+    np.testing.assert_allclose(s, ref_s, rtol=2e-3, atol=2e-3)
+
+
+def test_packed_sq4_i8q_kernel_matches_dequant():
+    """Native-int8 sq4 serve kernel vs exact search over the dequantized
+    nibble-packed corpus (same lossless-query construction)."""
+    from denseretrievaltoolkits_tpu.ops.quant import dequantize_int4, quantize_int4_device
+    from denseretrievaltoolkits_tpu.ops.topk import (
+        pallas_topk_serve_sq4_i8q, quantize_queries)
+
+    rng = np.random.default_rng(16)
+    corpus = rng.normal(size=(512, 64)).astype(np.float32)
+    packed, scales = quantize_int4_device(jnp.asarray(corpus))
+    q_int = rng.integers(-127, 128, size=(8, 64)).astype(np.float32)
+    q_int[:, 0] = 127.0
+    q = q_int * 0.021
+    qi, qs = quantize_queries(jnp.asarray(q))
+    s, i = pallas_topk_serve_sq4_i8q(
+        qi, packed, jnp.asarray(scales), qs, 10, 10, 256, 512,
+    )
+    s, i = np.asarray(s), np.asarray(i)
+    deq = np.asarray(dequantize_int4(packed, scales)).astype(np.float64)
+    full = q.astype(np.float64) @ deq.T
+    ref_i = np.argsort(-full, axis=1)[:, :10]
+    np.testing.assert_array_equal(i, ref_i)
+    ref_s = -np.sort(-full, axis=1)[:, :10]
+    np.testing.assert_allclose(s, ref_s, rtol=2e-3, atol=2e-3)
+
+
+def test_pallas_topk_fast_i8_native_toggle():
+    """The serving wrapper reaches both the native-int8 and cast-to-bf16
+    kernels for int8/int4 corpora; both rankings track the dequantized exact
+    ranking on well-separated data."""
+    from denseretrievaltoolkits_tpu.index.flat import quantize_int8
+    from denseretrievaltoolkits_tpu.ops.quant import quantize_int4_device
+    from denseretrievaltoolkits_tpu.ops.topk import pallas_topk_fast
+
+    rng = np.random.default_rng(17)
+    corpus = rng.normal(size=(777, 48)).astype(np.float32)
+    q = rng.normal(size=(5, 48)).astype(np.float32)
+    values, scales = quantize_int8(corpus)
+    deq = values.astype(np.float64) * scales[:, None]
+    ref = np.argsort(-(q.astype(np.float64) @ deq.T), axis=1)[:, :20]
+    for native in (True, False):
+        s, i = pallas_topk_fast(q, jnp.asarray(values), 20, block_size=256,
+                                scales=jnp.asarray(scales), i8_native=native)
+        overlap = np.mean([len(set(a) & set(b)) for a, b in zip(i, ref)])
+        assert overlap >= 18.5, (native, overlap)
+
+    packed, scales4 = quantize_int4_device(jnp.asarray(corpus))
+    deq4 = None
+    from denseretrievaltoolkits_tpu.ops.quant import dequantize_int4
+    deq4 = np.asarray(dequantize_int4(packed, scales4)).astype(np.float64)
+    ref4 = np.argsort(-(q.astype(np.float64) @ deq4.T), axis=1)[:, :20]
+    for native in (True, False):
+        s, i = pallas_topk_fast(q, packed, 20, block_size=256,
+                                scales=jnp.asarray(scales4), int4=True,
+                                i8_native=native)
+        overlap = np.mean([len(set(a) & set(b)) for a, b in zip(i, ref4)])
+        assert overlap >= 18.0, (native, overlap)
+
+
+def test_flat_index_approx_mode_quantized():
+    """mode='approx' on int8/int4 indexes: off-TPU it falls back to the exact
+    scan; the call path (and result sanity) is covered either way."""
+    from denseretrievaltoolkits_tpu.index.flat import FlatIPIndex
+
+    rng = np.random.default_rng(18)
+    corpus = rng.normal(size=(300, 32)).astype(np.float32)
+    q = rng.normal(size=(4, 32)).astype(np.float32)
+    for dtype in ("int8", "int4"):
+        idx = FlatIPIndex(32, dtype=dtype, block_size=128)
+        idx.add(corpus)
+        s, i = idx.search(q, 10, mode="approx")
+        se, ie = idx.search(q, 10, mode="exact")
+        overlap = np.mean([len(set(a) & set(b)) for a, b in zip(i, ie)])
+        assert overlap >= 9.0, (dtype, overlap)
+
+
 def test_pallas_topk_fast_wrapper():
     """High-level serving wrapper: padding/J/tq handling, bf16 + int8 paths,
     tiny-corpus fallback; parity with numpy exact on random data."""
