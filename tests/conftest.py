@@ -17,6 +17,16 @@ if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+# XLA:CPU in-process collectives CHECK-fail (SIGABRT, rendezvous.cc) when a
+# participant thread misses the 40 s termination timeout.  On this ONE-core
+# container the 8 virtual devices time-slice a single CPU, so the full-size
+# bert-base dp4xtp2 step routinely exceeds it (observed 2026-08-17:
+# deterministic abort; with the timeout raised the same program finishes).
+if "xla_cpu_collective_call_terminate_timeout_seconds" not in _flags:
+    os.environ["XLA_FLAGS"] += (
+        " --xla_cpu_collective_call_terminate_timeout_seconds=1200"
+        " --xla_cpu_collective_timeout_seconds=1200"
+    )
 
 import jax  # noqa: E402
 

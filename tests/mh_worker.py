@@ -24,7 +24,13 @@ import os
 import sys
 
 proc_id, n_proc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
-os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+os.environ["XLA_FLAGS"] = (
+    "--xla_force_host_platform_device_count=4"
+    # one-core container: raise the XLA:CPU collective rendezvous abort
+    # timeout (see tests/conftest.py)
+    " --xla_cpu_collective_call_terminate_timeout_seconds=1200"
+    " --xla_cpu_collective_timeout_seconds=1200"
+)
 os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax
