@@ -568,12 +568,15 @@ class IVFFlatIndex:
         return sv, ss, si, n_valid
 
     def search_bulk(self, q_reps: np.ndarray, k: int = 100,
-                    nprobe: Optional[int] = None
+                    nprobe: Optional[int] = None,
+                    i8_native: bool = False
                     ) -> Tuple[np.ndarray, np.ndarray]:
         """Cell-major bulk search (ops/ivf_bulk.py): MXU-form probe scoring
         for query batches — the serving path that makes IVF beat the exact
         kernels (VERDICT r2 next-round #1).  Scores are packed-selection
         quantized (~1e-4 relative) like the flat serve kernel.
+        ``i8_native`` (int8 cells only): int8-quantized queries + the MXU's
+        s8·s8→s32 mode in the cell/side kernels.
 
         Self-tuning: the first batch teaches the index (a) its HOT cells —
         cells whose probe load exceeds any reasonable per-cell query capacity
@@ -627,7 +630,8 @@ class IVFFlatIndex:
                 self._scales, sv, ss, si,
                 k=k, nprobe=nprobe, Qcap=Qcap, J=J, block=block,
                 nlist=self.nlist, C=C, hot_penalty=hp,
-                side_valid=side_valid, side_J=side_J, side_block=sb)
+                side_valid=side_valid, side_J=side_J, side_block=sb,
+                i8_native=bool(i8_native and self._scales is not None))
             self.last_dropped = int(dropped)
             if self.last_dropped <= max(8, int(0.001 * B * nprobe)):
                 break
@@ -919,7 +923,8 @@ class IVFRaggedIndex(IVFFlatIndex):
         return sv, ss, si, n_valid
 
     def search_bulk(self, q_reps: np.ndarray, k: int = 100,
-                    nprobe: Optional[int] = None
+                    nprobe: Optional[int] = None,
+                    i8_native: bool = False
                     ) -> Tuple[np.ndarray, np.ndarray]:
         if self._values is None:
             raise RuntimeError("IVFRaggedIndex.search before add()")
@@ -968,7 +973,8 @@ class IVFRaggedIndex(IVFFlatIndex):
                 sv, ss, si,
                 k=k, nprobe=nprobe, Qcap=Qcap, J=J, block=block,
                 nlist=self.nlist, nb_max=self._nb_max, hot_penalty=hp,
-                side_valid=side_valid, side_J=side_J, side_block=sb)
+                side_valid=side_valid, side_J=side_J, side_block=sb,
+                i8_native=bool(i8_native and self._scales is not None))
             self.last_dropped = int(dropped)
             if self.last_dropped <= max(8, int(0.001 * B * nprobe)):
                 break
@@ -1001,7 +1007,11 @@ class IVFRaggedIndex(IVFFlatIndex):
         q = np.asarray(q_reps, np.float32)
         if mode == "exact":
             return self._search_exact(q, k)
-        return self.search_bulk(q, k, nprobe=nprobe)
+        # mode="approx" on int8 cells: the native-int8 MXU bulk kernels (same
+        # speed/recall point as FlatIPIndex mode="approx")
+        return self.search_bulk(
+            q, k, nprobe=nprobe,
+            i8_native=(mode == "approx" and self._scales is not None))
 
     def _search_exact(self, q: np.ndarray, k: int):
         """Flat scan over every stored row (parity checks)."""

@@ -77,7 +77,8 @@ def _cell_topj_kernel_scaled(qs_ref, c_ref, rid_ref, sc_ref, out_v_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("J", "block"))
-def _ivf_cell_topj(qslab, values, row_ids, scales, J: int, block: int):
+def _ivf_cell_topj(qslab, values, row_ids, scales, J: int, block: int,
+                   qscales=None):
     """Grid (nlist, C/block); returns (vals, ids) [nlist*nb, Qcap, J] with
     ids flat in the cluster-major [nlist*C] layout.  ``qslab`` [nlist, Qcap,
     dim] holds each cell's probing queries (the shared matmul operand; the
@@ -100,7 +101,18 @@ def _ivf_cell_topj(qslab, values, row_ids, scales, J: int, block: int):
                      memory_space=pltpu.VMEM),
     ]
     args = [qslab, values, row_ids.reshape(1, -1)]
-    if scales is not None:
+    if qscales is not None:
+        assert scales is not None, "i8-native cells require per-row scales"
+        kernel = functools.partial(_cell_topj_kernel_i8q, **common)
+        in_specs.append(pl.BlockSpec((1, block), lambda c, b: (0, c * nb + b),
+                                     memory_space=pltpu.VMEM))
+        # [nlist, 1, Qcap]: the (1, 1, Qcap) block equals the array dims, the
+        # only shape Mosaic accepts for a per-cell row vector (hardware-
+        # checked; a 2D (1, Qcap) block of [nlist, Qcap] is rejected)
+        in_specs.append(pl.BlockSpec((1, 1, Qcap), lambda c, b: (c, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        args += [scales.reshape(1, -1), qscales.reshape(nlist, 1, Qcap)]
+    elif scales is not None:
         kernel = functools.partial(_cell_topj_kernel_scaled, **common)
         in_specs.append(pl.BlockSpec((1, block), lambda c, b: (0, c * nb + b),
                                      memory_space=pltpu.VMEM))
@@ -126,6 +138,28 @@ def _ivf_cell_topj(qslab, values, row_ids, scales, J: int, block: int):
         ),
         interpret=jax.default_backend() != "tpu",
     )(*args)
+
+
+def _cell_topj_kernel_i8q(qs_ref, c_ref, rid_ref, sc_ref, qsc_ref, out_v_ref,
+                          out_i_ref, *, J: int, block: int, nb: int,
+                          id_bits: int):
+    """Native-int8 cell variant: int8 query slab x int8 cells through the
+    MXU's s8·s8→s32 mode (the same 1.41x-over-cast mode measured for the flat
+    serve kernel, ops/topk.py:_block_topj_kernel_packed_i8q); dequant is one
+    fp32 multiply by per-row cell scales x per-slot query scales."""
+    b = pl.program_id(0) * nb + pl.program_id(1)
+    q = qs_ref[0]                      # [Qcap, dim] int8
+    c = c_ref[0]                       # [block, dim] int8
+    s32 = jax.lax.dot_general(
+        q, c, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    s = s32.astype(jnp.float32) * sc_ref[0].reshape(1, -1) \
+        * qsc_ref[0].reshape(-1, 1)
+    rid = rid_ref[0].reshape(1, -1)
+    s = jnp.where(rid >= 0, s, NEG_INF)
+    _packed_select(s, b, out_v_ref, out_i_ref, J=J, block_size=block,
+                   n_valid=2**31 - 1, id_bits=id_bits)
 
 
 def _ragged_kernel(cellof_ref, qs_ref, c_ref, rid_ref, out_v_ref, out_i_ref,
@@ -165,9 +199,29 @@ def _ragged_kernel_scaled(cellof_ref, qs_ref, c_ref, rid_ref, sc_ref,
                    n_valid=2**31 - 1, id_bits=id_bits)
 
 
+def _ragged_kernel_i8q(cellof_ref, qs_ref, c_ref, rid_ref, sc_ref, qsc_ref,
+                       out_v_ref, out_i_ref, *, J: int, block: int,
+                       id_bits: int):
+    """Native-int8 ragged variant: s8·s8→s32 MXU matmul + one fp32 dequant
+    multiply (per-row cell scales x per-slot query scales)."""
+    b = pl.program_id(0)
+    q = qs_ref[0]                      # [Qcap, dim] int8
+    c = c_ref[:]                       # [block, dim] int8
+    s32 = jax.lax.dot_general(
+        q, c, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    s = s32.astype(jnp.float32) * sc_ref[0].reshape(1, -1) \
+        * qsc_ref[0].reshape(-1, 1)
+    rid = rid_ref[0].reshape(1, -1)
+    s = jnp.where(rid >= 0, s, NEG_INF)
+    _packed_select(s, b, out_v_ref, out_i_ref, J=J, block_size=block,
+                   n_valid=2**31 - 1, id_bits=id_bits)
+
+
 @functools.partial(jax.jit, static_argnames=("J", "block"))
 def _ivf_ragged_topj(block_cell, qslab, values, row_ids, scales,
-                     J: int, block: int):
+                     J: int, block: int, qscales=None):
     """Ragged cell scoring: grid (nb_total,) over the padded-flat block list
     ([nb_total*block, dim] values, cells occupying contiguous block ranges).
     ``block_cell`` [nb_total] int32 is scalar-prefetched so the Qslab index
@@ -186,7 +240,18 @@ def _ivf_ragged_topj(block_cell, qslab, values, row_ids, scales,
                      memory_space=pltpu.VMEM),
     ]
     args = [qslab, values, row_ids.reshape(1, -1)]
-    if scales is not None:
+    if qscales is not None:
+        assert scales is not None, "i8-native cells require per-row scales"
+        kernel = functools.partial(_ragged_kernel_i8q, **common)
+        in_specs.append(pl.BlockSpec((1, block), lambda b, cellof: (0, b),
+                                     memory_space=pltpu.VMEM))
+        # [nlist, 1, Qcap] (see _ivf_cell_topj: the only Mosaic-accepted
+        # block shape for a per-cell row vector)
+        in_specs.append(pl.BlockSpec((1, 1, Qcap),
+                                     lambda b, cellof: (cellof[b], 0, 0),
+                                     memory_space=pltpu.VMEM))
+        args += [scales.reshape(1, -1), qscales.reshape(nlist, 1, Qcap)]
+    elif scales is not None:
         kernel = functools.partial(_ragged_kernel_scaled, **common)
         in_specs.append(pl.BlockSpec((1, block), lambda b, cellof: (0, b),
                                      memory_space=pltpu.VMEM))
@@ -231,13 +296,14 @@ def serve_j(k: int, block: int, C: int) -> int:
 @functools.partial(
     jax.jit,
     static_argnames=("k", "nprobe", "Qcap", "J", "block", "nlist", "C",
-                     "side_valid", "side_J", "side_block"))
+                     "side_valid", "side_J", "side_block", "i8_native"))
 def ivf_bulk_search(q, centroids, values, row_ids, scales,
                     side_values, side_scales, side_ids,
                     k: int, nprobe: int, Qcap: int, J: int, block: int,
                     nlist: int, C: int,
                     hot_penalty=None, side_valid: int = 0,
-                    side_J: int = 4, side_block: int = 1024):
+                    side_J: int = 4, side_block: int = 1024,
+                    i8_native: bool = False):
     """Fully-jitted cell-major bulk search.
 
     q [B, dim] fp32; values [nlist, C, dim] (bf16/fp32/int8 + scales);
@@ -284,10 +350,25 @@ def ivf_bulk_search(q, centroids, values, row_ids, scales,
         qidx, mode="drop")
     n_dropped = jnp.sum(~in_cap)
 
-    # 3) shared-operand scoring: gather the query slab, run the cell kernel
+    # 3) shared-operand scoring: gather the query slab, run the cell kernel.
+    # i8_native (int8 cells only): queries quantize to int8 once, the slab
+    # gathers int8 rows + per-slot scales, and the matmuls run in the MXU's
+    # s8·s8→s32 mode (measured 1.41x over the cast-to-bf16 twin at the flat
+    # serve kernel's production shapes)
     qc = q.astype(jnp.bfloat16 if values.dtype != jnp.float32 else jnp.float32)
-    qslab = qc[qtab].reshape(nlist, Qcap, dim)
-    vals_b, ids_b = _ivf_cell_topj(qslab, values, row_ids, scales, J, block)
+    qi = qsq = None
+    if i8_native:
+        from .topk import quantize_queries
+
+        qi, qsq = quantize_queries(q)
+        qslab = qi[qtab].reshape(nlist, Qcap, dim)
+        qscale_slab = qsq[qtab].reshape(nlist, Qcap)
+        vals_b, ids_b = _ivf_cell_topj(qslab, values, row_ids, scales, J,
+                                       block, qscales=qscale_slab)
+    else:
+        qslab = qc[qtab].reshape(nlist, Qcap, dim)
+        vals_b, ids_b = _ivf_cell_topj(qslab, values, row_ids, scales, J,
+                                       block)
 
     # 4a) per-(cell,slot): merge the cell's blocks ([nb_total, J, Qcap] out)
     nb = C // block
@@ -313,22 +394,28 @@ def ivf_bulk_search(q, centroids, values, row_ids, scales,
 
     # 5) dense side-scan (overflow rows + hot cells)
     tv, doc = _side_scan(qc, tv, doc, side_values, side_scales, side_ids,
-                         k, side_valid, side_J, side_block)
+                         k, side_valid, side_J, side_block, qi=qi, qs=qsq)
     return tv, doc, n_dropped, counts
 
 
 def _side_scan(qc, tv, doc, side_values, side_scales, side_ids,
-               k: int, side_valid: int, side_J: int, side_block: int):
+               k: int, side_valid: int, side_J: int, side_block: int,
+               qi=None, qs=None):
     """Dense side-scan slab (overflow rows + hot cells): the flat packed
     kernel over the slab — every query scores it, candidates merge at the
-    slab's own k."""
+    slab's own k.  With ``qi``/``qs`` (int8 queries + scales) and int8 slab
+    values, the scan runs in the MXU's native-int8 mode."""
     if side_valid <= 0:
         return tv, doc
     from .topk import (_pallas_block_topj_packed,
+                       _pallas_block_topj_packed_i8q,
                        _pallas_block_topj_packed_scaled)
 
     B = qc.shape[0]
-    if side_scales is not None:
+    if side_scales is not None and qi is not None:
+        sv_b, si_b = _pallas_block_topj_packed_i8q(
+            qi, side_values, side_scales, qs, side_J, side_block, side_valid)
+    elif side_scales is not None:
         sv_b, si_b = _pallas_block_topj_packed_scaled(
             qc, side_values, side_scales, side_J, side_block, side_valid)
     else:
@@ -350,14 +437,15 @@ def _side_scan(qc, tv, doc, side_values, side_scales, side_ids,
 @functools.partial(
     jax.jit,
     static_argnames=("k", "nprobe", "Qcap", "J", "block", "nlist", "nb_max",
-                     "side_valid", "side_J", "side_block"))
+                     "side_valid", "side_J", "side_block", "i8_native"))
 def ivf_ragged_search(q, centroids, values, row_ids, scales,
                       block_cell, block_start,
                       side_values, side_scales, side_ids,
                       k: int, nprobe: int, Qcap: int, J: int, block: int,
                       nlist: int, nb_max: int,
                       hot_penalty=None, side_valid: int = 0,
-                      side_J: int = 4, side_block: int = 512):
+                      side_J: int = 4, side_block: int = 512,
+                      i8_native: bool = False):
     """Cell-major bulk search over the RAGGED block-indirect layout.
 
     ``values`` [nb_total*block, dim]: rows sorted by cell, each cell padded
@@ -397,9 +485,20 @@ def ivf_ragged_search(q, centroids, values, row_ids, scales,
     n_dropped = jnp.sum(~in_cap)
 
     qc = q.astype(jnp.bfloat16 if values.dtype != jnp.float32 else jnp.float32)
-    qslab = qc[qtab].reshape(nlist, Qcap, dim)
-    vals_b, ids_b = _ivf_ragged_topj(block_cell, qslab, values, row_ids,
-                                     scales, J, block)  # [nb_total, J, Qcap]
+    qi = qsq = None
+    if i8_native:
+        from .topk import quantize_queries
+
+        qi, qsq = quantize_queries(q)
+        qslab = qi[qtab].reshape(nlist, Qcap, dim)
+        qscale_slab = qsq[qtab].reshape(nlist, Qcap)
+        vals_b, ids_b = _ivf_ragged_topj(block_cell, qslab, values, row_ids,
+                                         scales, J, block,
+                                         qscales=qscale_slab)
+    else:
+        qslab = qc[qtab].reshape(nlist, Qcap, dim)
+        vals_b, ids_b = _ivf_ragged_topj(block_cell, qslab, values, row_ids,
+                                         scales, J, block)  # [nb_total, J, Qcap]
 
     # per-pair candidate gather over the pair's cell block RANGE
     nb_total = vals_b.shape[0]
@@ -427,5 +526,5 @@ def ivf_ragged_search(q, centroids, values, row_ids, scales,
     doc = row_ids.reshape(-1)[ti]
 
     tv, doc = _side_scan(qc, tv, doc, side_values, side_scales, side_ids,
-                         k, side_valid, side_J, side_block)
+                         k, side_valid, side_J, side_block, qi=qi, qs=qsq)
     return tv, doc, n_dropped, counts

@@ -232,11 +232,13 @@ class ShardedFlatIndex:
             from ..ops.topk import (
                 _pallas_block_topj,
                 _pallas_block_topj_packed,
+                _pallas_block_topj_packed_i8q,
                 _pallas_block_topj_packed_scaled,
                 _pallas_block_topj_scaled,
+                quantize_queries,
             )
 
-            if mode == "serve":
+            if mode == "serve" or (mode == "approx" and has_scales):
                 # packed-selection serving kernel; J sized by the Poisson
                 # tail rule (see ops/topk.py:pallas_topk_fast)
                 lam = k / max(1, per // block)
@@ -248,7 +250,14 @@ class ShardedFlatIndex:
             # n_valid masking inside the kernel needs a static bound, but the
             # per-shard valid count is traced under shard_map — pass the full
             # static row count (no in-kernel masking) and mask here instead
-            if mode == "serve" and has_scales:
+            if mode == "approx" and has_scales:
+                # int8 shards: the native-int8 MXU kernel (s8·s8→s32, queries
+                # quantized in-graph — replicated, so every shard agrees)
+                qi, qsq = quantize_queries(q)
+                vals_b, ids_b = _pallas_block_topj_packed_i8q(
+                    qi, corpus_rows, scales_rows, qsq, J, block, per, tq=tq
+                )
+            elif mode == "serve" and has_scales:
                 vals_b, ids_b = _pallas_block_topj_packed_scaled(
                     qb, corpus_rows, scales_rows, J, block, per, tq=tq
                 )
@@ -334,7 +343,9 @@ class ShardedFlatIndex:
         from ..ops.topk import QUERY_TILE, SERVE_TQ
 
         Q0 = int(np.asarray(q_reps).shape[0])
-        tq = min(SERVE_TQ if mode == "serve" else QUERY_TILE,
+        packed = mode == "serve" or (mode == "approx"
+                                     and self._scales is not None)
+        tq = min(SERVE_TQ if packed else QUERY_TILE,
                  max(8, -(-Q0 // 8) * 8))
         if self._search_fn is None or getattr(self, "_search_key", None) != (k, mode, tq):
             self._search_fn = self._build_search(k, mode, tq=tq)

@@ -314,3 +314,73 @@ def test_ragged_save_load_and_factory(tmp_path, setup):
     s1, i1 = idx.search(queries[:16], 10)
     s2, i2 = loaded.search(queries[:16], 10)
     np.testing.assert_array_equal(i1, i2)
+
+
+@pytest.mark.parametrize("cls", ["fixed", "ragged"])
+def test_bulk_i8_native_matches_bf16_ranking(setup, cls):
+    """Native-int8 bulk kernels (s8·s8→s32 + int8-quantized queries) track
+    the bf16-query bulk ranking on int8 cells; on fp32 cells the flag is a
+    guarded no-op (scales are None)."""
+    corpus, queries, exact = setup
+    if cls == "fixed":
+        idx = IVFFlatIndex(32, nlist=16, nprobe=8, dtype="int8")
+    else:
+        idx = IVFRaggedIndex(32, nlist=16, nprobe=8, dtype="int8", block=64)
+    idx.train(corpus[:512], iters=5)
+    if cls == "fixed":
+        idx.add(corpus)
+    else:
+        idx.add_device(jnp_asarray(corpus))
+    k = 10
+    _, ref = exact.search(queries, k)
+    _, ib = idx.search_bulk(queries, k)
+    _, ii = idx.search_bulk(queries, k, i8_native=True)
+    rb = np.mean([len(set(ib[i]) & set(ref[i])) / k for i in range(len(queries))])
+    ri = np.mean([len(set(ii[i]) & set(ref[i])) / k for i in range(len(queries))])
+    assert ri >= rb - 0.03, (ri, rb)
+
+    f32 = IVFFlatIndex(32, nlist=16, nprobe=8, dtype="float32")
+    f32.centroids = idx.centroids
+    f32.add(corpus)
+    _, a = f32.search_bulk(queries[:16], k)
+    _, b = f32.search_bulk(queries[:16], k, i8_native=True)  # no-op on fp32
+    np.testing.assert_array_equal(a, b)
+
+
+def test_ragged_approx_mode_routes_i8_native(setup):
+    """mode='approx' on an int8 IVFRaggedIndex is the native-int8 point of
+    the speed/recall curve (FlatIPIndex mode parity)."""
+    corpus, queries, exact = setup
+    idx = IVFRaggedIndex(32, nlist=16, nprobe=8, dtype="int8", block=64)
+    idx.train(corpus[:512], iters=5)
+    idx.add_device(jnp_asarray(corpus))
+    k = 10
+    _, ref = exact.search(queries, k)
+    _, ia = idx.search(queries, k, mode="approx")
+    ra = np.mean([len(set(ia[i]) & set(ref[i])) / k for i in range(len(queries))])
+    assert ra >= 0.9, ra
+
+
+def test_bulk_i8_native_hot_cells_side_scan():
+    """Hot-cell densification under i8_native: the side-scan slab also runs
+    the native-int8 packed kernel, and hot rows stay reachable."""
+    rng = np.random.default_rng(11)
+    corpus = rng.normal(size=(1024, 16)).astype(np.float32)
+    corpus[:700] = corpus[:700] * 0.05 + np.ones(16, np.float32)
+    idx = IVFRaggedIndex(16, nlist=8, nprobe=2, dtype="int8", block=64)
+    idx.max_hot = 4
+    idx.train(corpus, iters=5)
+    idx.add_device(jnp_asarray(corpus))
+    queries = corpus[:32] + 0.01 * rng.normal(size=(32, 16)).astype(np.float32)
+    exact = FlatIPIndex(16)
+    exact.add(corpus)
+    _, ref = exact.search(queries, 5)
+    _, got_b = idx.search_bulk(queries, 5)
+    hits_b = np.mean([len(set(got_b[i]) & set(ref[i])) / 5 for i in range(32)])
+    idx._bulk_state = None  # fresh hot-set learning for the native pass
+    _, got = idx.search_bulk(queries, 5, i8_native=True)
+    hits = np.mean([len(set(got[i]) & set(ref[i])) / 5 for i in range(32)])
+    # parity with the bf16-query path under the same hot-cell densification
+    # (absolute recall here is capped by nprobe=2, not by the kernel)
+    assert hits >= hits_b - 0.02, (hits, hits_b)
+    assert hits >= 0.6, hits

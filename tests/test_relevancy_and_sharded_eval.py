@@ -151,3 +151,23 @@ def test_sharded_serve_mode():
     s, i = idx.search(q, 12, mode="serve")
     ref = np.argsort(-(q @ corpus.T), axis=1)[:, :12]
     np.testing.assert_array_equal(i, ref)
+
+
+def test_sharded_approx_mode_int8():
+    """mode='approx' on int8 shards routes to the native-int8 packed kernel
+    on TPU; off-TPU the exact scan serves, so the mode string must build and
+    return sane results either way (parity with FlatIPIndex mode='approx')."""
+    import numpy as np
+    from denseretrievaltoolkits_tpu.parallel.mesh import make_mesh
+    from denseretrievaltoolkits_tpu.parallel.sharded_index import ShardedFlatIndex
+
+    rng = np.random.default_rng(22)
+    corpus = rng.normal(size=(640, 24)).astype(np.float32)
+    q = rng.normal(size=(4, 24)).astype(np.float32)
+    idx = ShardedFlatIndex(make_mesh(8, 1), 24, dtype="int8", block_size=32)
+    idx.add(corpus)
+    s, i = idx.search(q, 12, mode="approx")
+    ref = np.argsort(-(q @ corpus.T), axis=1)[:, :12]
+    overlap = np.mean([len(set(a) & set(b)) for a, b in zip(i, ref)])
+    assert overlap >= 11.0, overlap
+    assert np.all(np.diff(s, axis=1) <= 1e-5)
