@@ -252,14 +252,15 @@ def test_bm25_cache_keyed_by_content(tokenizer, tiny_data, tmp_path):
     miner2.load_passages(mutated)
     assert len(set(os.listdir(cache_dir))) == 2
 
-    # changed train_n_passages re-mines too
+    # changed train_n_passages re-mines too (the fixture default is 3, so the
+    # change must be to a DIFFERENT value to exercise the key)
     import dataclasses
 
-    args3 = dataclasses.replace(args, train_n_passages=3)
+    args3 = dataclasses.replace(args, train_n_passages=5)
     miner3 = BM25Negatives(args3, vocab_size=tokenizer.vocab_size, seed=0)
     mined3 = miner3.load_passages(train)
     assert len(set(os.listdir(cache_dir))) == 3
-    assert all(len(s["negatives"]) == 2 for s in mined3)
+    assert all(len(s["negatives"]) == 4 for s in mined3)
 
     # unchanged inputs hit the same key
     miner4 = BM25Negatives(args, vocab_size=tokenizer.vocab_size, seed=0)
