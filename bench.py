@@ -441,7 +441,8 @@ def bench_ivf_int8(queries: np.ndarray) -> float:
             jnp.asarray(state["hot"])].set(-jnp.inf)
     sb = idx.SIDE_BLOCK
     side_J = serve_j(TOPK, sb, max(sb, side_valid)) if side_valid else 4
-    kw = dict(k=TOPK, nprobe=nprobe, Qcap=state["qcap"], J=J, block=block,
+    np_eff = min(nprobe, nlist - int(state["hot"].size))  # match search_bulk
+    kw = dict(k=TOPK, nprobe=np_eff, Qcap=state["qcap"], J=J, block=block,
               nlist=nlist, nb_max=idx._nb_max, hot_penalty=hp,
               side_valid=side_valid, side_J=side_J, side_block=sb)
 

@@ -297,8 +297,12 @@ class TrainingArguments:
     search_mode: str = field(
         default="exact",
         metadata={"help": "Retrieval search mode: exact | serve (packed Pallas "
-                  "kernel, recall@100 ~0.9995 measured, fastest) | approx "
-                  "(TPU hardware approx_max_k, recall~0.95)"},
+                  "kernel, recall@100 ~0.9995 measured, fastest) | partial "
+                  "(TPU hardware PartialReduce, recall~0.95, fp32/bf16 only) | "
+                  "i8q (quantized-query native-int8 MXU kernel, int8/int4 "
+                  "only) | approx (per-dtype alias: fp32/bf16->partial, "
+                  "int8/int4->i8q) | bulk/probe (IVF factory indexes). "
+                  "Contract table: index/modes.py"},
     )
     profile_dir: Optional[str] = field(
         default=None, metadata={"help": "If set, write a jax.profiler trace of a train step here"}

@@ -83,22 +83,23 @@ class BM25Negatives:
 
         The reference cached under one fixed name (``sampler.py:61-65``), so a
         changed dataset or ``train_n_passages`` silently reloaded stale
-        negatives.  Hash the dataset fingerprint (size + a deterministic
-        sample of queries/positives) and every parameter that changes the
-        mining output, so any change re-mines."""
+        negatives.  Hash the FULL dataset content (every row's query,
+        positives and negatives — a strided sample let edits between sample
+        strides silently reuse stale mines; advisor r3) plus every parameter
+        that changes the mining output.  sha1 streams ~0.5 GB/s, a rounding
+        error next to the mining itself."""
         import hashlib
 
         h = hashlib.sha1()
         h.update(f"n={len(corpus)};neg={num_negative};".encode())
         for attr in ("k1", "b", "eps"):
             h.update(f"{attr}={getattr(retriever, attr, None)};".encode())
-        stride = max(1, len(corpus) // 97)
-        for i in range(0, len(corpus), stride):
-            s = corpus[i]
-            h.update(repr(s.get("query"))[:200].encode())
-            pos = s.get("positives") or []
-            if pos:
-                h.update(repr(pos[0])[:200].encode())
+        for s in corpus:
+            h.update(repr(s.get("query")).encode())
+            for field in ("positives", "negatives"):
+                for p in s.get(field) or []:
+                    h.update(repr(p).encode())
+                h.update(b";")
         return h.hexdigest()[:12]
 
     def load_passages(self, corpus) -> List[dict]:

@@ -41,6 +41,18 @@ def search_queries(retriever, q_reps, p_lookup, depth: int, batch_size: int = 0,
                                                          quiet, mode=mode)
     else:
         all_scores, all_indices = retriever.search(q_reps, depth, mode=mode)
+    all_indices = np.asarray(all_indices)
+    if (all_indices < 0).any():
+        # -1 sentinel rows (a query with < depth finite candidates, e.g. tiny
+        # IVF cells): filter BEFORE translation — p_lookup[-1] would silently
+        # resolve to the last docid (advisor r3).  Output goes ragged, which
+        # write_ranking/pickle both accept (faiss returns -1 labels here too).
+        scores, ids = [], []
+        for q_s, q_dd in zip(np.asarray(all_scores), all_indices):
+            keep = q_dd >= 0
+            ids.append([str(p_lookup[x]) for x in q_dd[keep]])
+            scores.append(list(q_s[keep]))
+        return scores, ids
     psg_indices = np.array(
         [[str(p_lookup[x]) for x in q_dd] for q_dd in all_indices]
     )
@@ -105,10 +117,16 @@ def main():
     parser.add_argument("--index_dtype", default="float32",
                         choices=["float32", "bfloat16", "int8", "int4"])
     parser.add_argument("--search_mode", default="exact",
-                        choices=["exact", "serve", "approx"],
+                        choices=["exact", "serve", "partial", "i8q", "approx",
+                                 "bulk", "probe"],
                         help="exact: certified Pallas/XLA search; serve: packed "
                         "selection kernel (fastest, recall@100 ~0.9995 measured); "
-                        "approx: hardware approx_max_k")
+                        "partial: hardware PartialReduce (fp32/bf16 only); "
+                        "i8q: quantized-query native-int8 MXU kernel (int8/int4 "
+                        "only); approx: per-dtype alias for the fastest "
+                        "approximate path (fp32/bf16->partial, int8/int4->i8q); "
+                        "bulk/probe: IVF factory indexes. Full contract table: "
+                        "index/modes.py")
     args = parser.parse_args()
     run(args.query_reps, args.passage_reps, args.save_ranking_to, args.depth,
         args.batch_size, args.save_text, args.quiet, args.index_dtype,

@@ -37,6 +37,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .flat import blockwise_topk, quantize_int8
+from .modes import resolve_ivf_mode
 
 
 @functools.partial(jax.jit, static_argnames=("nlist", "iters", "block"))
@@ -623,15 +624,21 @@ class IVFFlatIndex:
             if state["hot"].size:
                 hp = jnp.zeros((self.nlist,), jnp.float32).at[
                     jnp.asarray(state["hot"])].set(-jnp.inf)
+            # hot cells are excluded from probing (additive -inf) but
+            # lax.top_k still returns nprobe cells: cap effective nprobe so a
+            # hot cell is never both probed and side-scanned (duplicate
+            # docids in the merged top-k; advisor r3)
+            np_eff = min(nprobe, self.nlist - int(state["hot"].size))
             sb = self.SIDE_BLOCK
             side_J = serve_j(k, sb, max(sb, side_valid)) if side_valid else 4
             tv, doc, dropped, counts = ivf_bulk_search(
                 jnp.asarray(q), self.centroids, self._values, self._row_ids,
                 self._scales, sv, ss, si,
-                k=k, nprobe=nprobe, Qcap=Qcap, J=J, block=block,
+                k=k, nprobe=np_eff, Qcap=Qcap, J=J, block=block,
                 nlist=self.nlist, C=C, hot_penalty=hp,
                 side_valid=side_valid, side_J=side_J, side_block=sb,
-                i8_native=bool(i8_native and self._scales is not None))
+                i8_native=bool(i8_native and self._scales is not None),
+                n_real=B0)
             self.last_dropped = int(dropped)
             if self.last_dropped <= max(8, int(0.001 * B * nprobe)):
                 break
@@ -662,18 +669,23 @@ class IVFFlatIndex:
         """Centroid-pruned top-k.
 
         ``mode="bulk"`` (default; also "serve"): the cell-major MXU kernel —
-        the bulk-throughput path.  ``mode="probe"`` (alias "approx"): the
-        per-query-tile gathered einsum — exact fp32 probe scores, better at
-        tiny latency-sensitive batches.  ``mode="exact"``: flat scan over the
-        reconstructed corpus (parity checks)."""
+        the bulk-throughput path.  ``mode="probe"``: the per-query-tile
+        gathered einsum — exact fp32 probe scores, better at tiny
+        latency-sensitive batches.  ``mode="i8q"`` (int8 cells only): the
+        bulk kernel with int8-quantized queries in the MXU's s8·s8→s32 mode.
+        ``mode="approx"``: per-dtype alias — i8q on int8 cells, bulk
+        otherwise (index/modes.py, VERDICT r3 weak 5).  ``mode="exact"``:
+        flat scan over the reconstructed corpus (parity checks)."""
         if self._values is None:
             raise RuntimeError("IVFFlatIndex.search before add()")
+        mode = resolve_ivf_mode(mode, self.dtype)
         k = min(k, self._n)
         q = np.asarray(q_reps, np.float32)
         if mode == "exact":
             return self._search_exact(q, k)
-        if mode in ("bulk", "serve"):
-            return self.search_bulk(q, k, nprobe=nprobe)
+        if mode in ("bulk", "serve", "i8q"):
+            return self.search_bulk(q, k, nprobe=nprobe,
+                                    i8_native=(mode == "i8q"))
         nprobe = self.nprobe if nprobe is None else min(nprobe, self.nlist)
         key = (k, nprobe)
         if self._search_fn is None or self._search_key != key:
@@ -965,16 +977,19 @@ class IVFRaggedIndex(IVFFlatIndex):
             if state["hot"].size:
                 hp = jnp.zeros((self.nlist,), jnp.float32).at[
                     jnp.asarray(state["hot"])].set(-jnp.inf)
+            # cap effective nprobe at nlist - |hot| (see IVFFlatIndex)
+            np_eff = min(nprobe, self.nlist - int(state["hot"].size))
             sb = self.SIDE_BLOCK
             side_J = serve_j(k, sb, max(sb, side_valid)) if side_valid else 4
             tv, doc, dropped, counts = ivf_ragged_search(
                 jnp.asarray(q), self.centroids, self._values, self._row_ids,
                 self._scales, self._block_cell, self._block_start,
                 sv, ss, si,
-                k=k, nprobe=nprobe, Qcap=Qcap, J=J, block=block,
+                k=k, nprobe=np_eff, Qcap=Qcap, J=J, block=block,
                 nlist=self.nlist, nb_max=self._nb_max, hot_penalty=hp,
                 side_valid=side_valid, side_J=side_J, side_block=sb,
-                i8_native=bool(i8_native and self._scales is not None))
+                i8_native=bool(i8_native and self._scales is not None),
+                n_real=B0)
             self.last_dropped = int(dropped)
             if self.last_dropped <= max(8, int(0.001 * B * nprobe)):
                 break
@@ -1003,15 +1018,17 @@ class IVFRaggedIndex(IVFFlatIndex):
                nprobe: Optional[int] = None) -> Tuple[np.ndarray, np.ndarray]:
         if self._values is None:
             raise RuntimeError("IVFRaggedIndex.search before add()")
+        mode = resolve_ivf_mode(mode, self.dtype)
         k = min(k, self._n)
         q = np.asarray(q_reps, np.float32)
         if mode == "exact":
             return self._search_exact(q, k)
-        # mode="approx" on int8 cells: the native-int8 MXU bulk kernels (same
-        # speed/recall point as FlatIPIndex mode="approx")
-        return self.search_bulk(
-            q, k, nprobe=nprobe,
-            i8_native=(mode == "approx" and self._scales is not None))
+        # mode="i8q" (the "approx" alias on int8 cells): the native-int8 MXU
+        # bulk kernels — same speed/recall point as FlatIPIndex mode="i8q".
+        # The ragged layout has no separate per-query probe path, so "probe"
+        # serves through the bulk kernel too (index/modes.py).
+        return self.search_bulk(q, k, nprobe=nprobe,
+                                i8_native=(mode == "i8q"))
 
     def _search_exact(self, q: np.ndarray, k: int):
         """Flat scan over every stored row (parity checks)."""

@@ -296,14 +296,15 @@ def serve_j(k: int, block: int, C: int) -> int:
 @functools.partial(
     jax.jit,
     static_argnames=("k", "nprobe", "Qcap", "J", "block", "nlist", "C",
-                     "side_valid", "side_J", "side_block", "i8_native"))
+                     "side_valid", "side_J", "side_block", "i8_native",
+                     "n_real"))
 def ivf_bulk_search(q, centroids, values, row_ids, scales,
                     side_values, side_scales, side_ids,
                     k: int, nprobe: int, Qcap: int, J: int, block: int,
                     nlist: int, C: int,
                     hot_penalty=None, side_valid: int = 0,
                     side_J: int = 4, side_block: int = 1024,
-                    i8_native: bool = False):
+                    i8_native: bool = False, n_real: int = 0):
     """Fully-jitted cell-major bulk search.
 
     q [B, dim] fp32; values [nlist, C, dim] (bf16/fp32/int8 + scales);
@@ -318,8 +319,15 @@ def ivf_bulk_search(q, centroids, values, row_ids, scales,
     a cell probed by everyone wants to be).
 
     Returns (scores [B, k], doc_rows [B, k] int32, n_dropped scalar,
-    probe_counts [nlist] int32) — n_dropped counts probe pairs beyond Qcap
-    (the telemetry the caller's Qcap/hot-set auto-tuning consumes)."""
+    probe_counts [nlist] int32) — n_dropped counts REAL probe pairs beyond
+    Qcap (the telemetry the caller's Qcap/hot-set auto-tuning consumes).
+
+    ``n_real``: number of real (non-padding) queries; rows [n_real, B) are
+    batch padding whose probe pairs are excluded from slotting, counts and
+    n_dropped — an all-zero padding query scores every cell 0.0, so its
+    rank-0 probes of cells 0..nprobe-1 would otherwise outrank real queries'
+    rank-1+ probes and evict them from those cells' Qcap tables (advisor r3,
+    medium).  0 means every query is real."""
     B, dim = q.shape
     P = B * nprobe
 
@@ -333,22 +341,34 @@ def ivf_bulk_search(q, centroids, values, row_ids, scales,
     # into Qtab.  Rank-major order inside each cell means a hot cell's Qcap
     # slots fill with the pairs for which it is the TOP-ranked probe first —
     # capacity drops land on low-ranked (least important) probes, so recall
-    # degrades gracefully under query-locality hot spots.
+    # degrades gracefully under query-locality hot spots.  Padding queries'
+    # pairs sort AFTER every real rank and go straight to the drop bucket.
     pair_cell = cells.reshape(-1)
     pair_q = jnp.repeat(jnp.arange(B, dtype=jnp.int32), nprobe)
     pair_rank = jnp.tile(jnp.arange(nprobe, dtype=jnp.int32), B)
-    counts = jnp.zeros((nlist,), jnp.int32).at[pair_cell].add(1)
+    real = pair_q < n_real if 0 < n_real < B else None
+    rank_key = pair_rank if real is None else jnp.where(real, pair_rank,
+                                                        nprobe)
+    counts_all = jnp.zeros((nlist,), jnp.int32).at[pair_cell].add(1)
     starts = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1]])
-    order = jnp.argsort(pair_cell * nprobe + pair_rank)       # stable
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts_all)[:-1]])
+    order = jnp.argsort(pair_cell * (nprobe + 1) + rank_key)  # stable
     sc = pair_cell[order]
     slot = jnp.arange(P, dtype=jnp.int32) - starts[sc]
     qidx = pair_q[order]
     in_cap = slot < Qcap
+    if real is not None:
+        real_s = real[order]
+        in_cap = in_cap & real_s
+        counts = jnp.zeros((nlist,), jnp.int32).at[pair_cell].add(
+            real.astype(jnp.int32))
+        n_dropped = jnp.sum(real_s & ~in_cap)
+    else:
+        counts = counts_all
+        n_dropped = jnp.sum(~in_cap)
     dest = jnp.where(in_cap, sc * Qcap + slot, nlist * Qcap)  # OOB -> dropped
     qtab = jnp.zeros((nlist * Qcap,), jnp.int32).at[dest].set(
         qidx, mode="drop")
-    n_dropped = jnp.sum(~in_cap)
 
     # 3) shared-operand scoring: gather the query slab, run the cell kernel.
     # i8_native (int8 cells only): queries quantize to int8 once, the slab
@@ -395,6 +415,11 @@ def ivf_bulk_search(q, centroids, values, row_ids, scales,
     # 5) dense side-scan (overflow rows + hot cells)
     tv, doc = _side_scan(qc, tv, doc, side_values, side_scales, side_ids,
                          k, side_valid, side_J, side_block, qi=qi, qs=qsq)
+    # queries with fewer than k finite candidates: the -inf tail slots carry
+    # junk ids (masked/dropped positions resolve through row_ids[0]'s cell) —
+    # clamp them to the -1 sentinel so callers can filter before docid
+    # translation (advisor r3; faiss returns -1 labels in the same case)
+    doc = jnp.where(tv > NEG_INF / 2, doc, -1)
     return tv, doc, n_dropped, counts
 
 
@@ -437,7 +462,8 @@ def _side_scan(qc, tv, doc, side_values, side_scales, side_ids,
 @functools.partial(
     jax.jit,
     static_argnames=("k", "nprobe", "Qcap", "J", "block", "nlist", "nb_max",
-                     "side_valid", "side_J", "side_block", "i8_native"))
+                     "side_valid", "side_J", "side_block", "i8_native",
+                     "n_real"))
 def ivf_ragged_search(q, centroids, values, row_ids, scales,
                       block_cell, block_start,
                       side_values, side_scales, side_ids,
@@ -445,7 +471,7 @@ def ivf_ragged_search(q, centroids, values, row_ids, scales,
                       nlist: int, nb_max: int,
                       hot_penalty=None, side_valid: int = 0,
                       side_J: int = 4, side_block: int = 512,
-                      i8_native: bool = False):
+                      i8_native: bool = False, n_real: int = 0):
     """Cell-major bulk search over the RAGGED block-indirect layout.
 
     ``values`` [nb_total*block, dim]: rows sorted by cell, each cell padded
@@ -457,8 +483,9 @@ def ivf_ragged_search(q, centroids, values, row_ids, scales,
     ``block_start`` [nlist+1] gives each cell's block range; ``nb_max`` is
     the largest per-cell block count (static pad for the candidate gather).
 
-    Same probe/invert/Qcap/hot-cell semantics as :func:`ivf_bulk_search`;
-    returns the same (scores, doc_rows, n_dropped, probe_counts)."""
+    Same probe/invert/Qcap/hot-cell/``n_real`` semantics as
+    :func:`ivf_bulk_search`; returns the same (scores, doc_rows, n_dropped,
+    probe_counts)."""
     B, dim = q.shape
     P = B * nprobe
 
@@ -467,22 +494,34 @@ def ivf_ragged_search(q, centroids, values, row_ids, scales,
         cell_scores = cell_scores + hot_penalty[None, :]
     _, cells = jax.lax.top_k(cell_scores, nprobe)
 
-    # invert to cell-major (rank-major slotting; see ivf_bulk_search)
+    # invert to cell-major (rank-major slotting, padding-pair exclusion;
+    # see ivf_bulk_search)
     pair_cell = cells.reshape(-1)
     pair_q = jnp.repeat(jnp.arange(B, dtype=jnp.int32), nprobe)
     pair_rank = jnp.tile(jnp.arange(nprobe, dtype=jnp.int32), B)
-    counts = jnp.zeros((nlist,), jnp.int32).at[pair_cell].add(1)
+    real = pair_q < n_real if 0 < n_real < B else None
+    rank_key = pair_rank if real is None else jnp.where(real, pair_rank,
+                                                        nprobe)
+    counts_all = jnp.zeros((nlist,), jnp.int32).at[pair_cell].add(1)
     starts = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1]])
-    order = jnp.argsort(pair_cell * nprobe + pair_rank)
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts_all)[:-1]])
+    order = jnp.argsort(pair_cell * (nprobe + 1) + rank_key)
     sc = pair_cell[order]
     slot = jnp.arange(P, dtype=jnp.int32) - starts[sc]
     qidx = pair_q[order]
     in_cap = slot < Qcap
+    if real is not None:
+        real_s = real[order]
+        in_cap = in_cap & real_s
+        counts = jnp.zeros((nlist,), jnp.int32).at[pair_cell].add(
+            real.astype(jnp.int32))
+        n_dropped = jnp.sum(real_s & ~in_cap)
+    else:
+        counts = counts_all
+        n_dropped = jnp.sum(~in_cap)
     dest = jnp.where(in_cap, sc * Qcap + slot, nlist * Qcap)
     qtab = jnp.zeros((nlist * Qcap,), jnp.int32).at[dest].set(
         qidx, mode="drop")
-    n_dropped = jnp.sum(~in_cap)
 
     qc = q.astype(jnp.bfloat16 if values.dtype != jnp.float32 else jnp.float32)
     qi = qsq = None
@@ -527,4 +566,5 @@ def ivf_ragged_search(q, centroids, values, row_ids, scales,
 
     tv, doc = _side_scan(qc, tv, doc, side_values, side_scales, side_ids,
                          k, side_valid, side_J, side_block, qi=qi, qs=qsq)
+    doc = jnp.where(tv > NEG_INF / 2, doc, -1)  # sentinel, see ivf_bulk_search
     return tv, doc, n_dropped, counts

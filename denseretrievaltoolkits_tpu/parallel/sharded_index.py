@@ -22,6 +22,7 @@ from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..index.flat import DEFAULT_BLOCK, blockwise_topk, quantize_int8
+from ..index.modes import resolve_mode
 from .mesh import DATA_AXIS
 
 
@@ -216,7 +217,10 @@ class ShardedFlatIndex:
             self.use_pallas and jax.default_backend() == "tpu"
             and per % block == 0
         )
-        certify = mode not in ("approx", "serve")
+        # ``mode`` arrives RESOLVED (exact|serve|partial|i8q, index/modes.py);
+        # "partial" degrades to uncertified Pallas candidates here —
+        # PartialReduce cannot see across shards
+        certify = mode == "exact"
 
         def local_exact(q, corpus_rows, scales_rows, local_valid):
             """Per-shard exact top-k: Pallas fast path with an in-graph
@@ -238,7 +242,7 @@ class ShardedFlatIndex:
                 quantize_queries,
             )
 
-            if mode == "serve" or (mode == "approx" and has_scales):
+            if mode in ("serve", "i8q"):
                 # packed-selection serving kernel; J sized by the Poisson
                 # tail rule (see ops/topk.py:pallas_topk_fast)
                 lam = k / max(1, per // block)
@@ -250,9 +254,10 @@ class ShardedFlatIndex:
             # n_valid masking inside the kernel needs a static bound, but the
             # per-shard valid count is traced under shard_map — pass the full
             # static row count (no in-kernel masking) and mask here instead
-            if mode == "approx" and has_scales:
+            if mode == "i8q":
                 # int8 shards: the native-int8 MXU kernel (s8·s8→s32, queries
-                # quantized in-graph — replicated, so every shard agrees)
+                # quantized in-graph — replicated, so every shard agrees;
+                # resolve_mode guarantees scales exist)
                 qi, qsq = quantize_queries(q)
                 vals_b, ids_b = _pallas_block_topj_packed_i8q(
                     qi, corpus_rows, scales_rows, qsq, J, block, per, tq=tq
@@ -284,8 +289,8 @@ class ShardedFlatIndex:
                 top_v = jnp.pad(top_v, ((0, 0), (0, k - kk)), constant_values=-jnp.inf)
                 top_i = jnp.pad(top_i, ((0, 0), (0, k - kk)))
             if not certify:
-                # approx serving mode: Pallas candidates without the
-                # exactness certificate (recall-targeted, like approx_max_k)
+                # serve/partial/i8q: Pallas candidates without the exactness
+                # certificate (recall-targeted, like approx_max_k)
                 return top_v, top_i
             theta = top_v[:, -1:]
             vals_last = jnp.transpose(vals_b[:, :, -1])  # [Q, nb]
@@ -336,6 +341,7 @@ class ShardedFlatIndex:
     def search(self, q_reps: np.ndarray, k: int = 1000,
                mode: str = "exact") -> Tuple[np.ndarray, np.ndarray]:
         self._materialize()
+        mode = resolve_mode(mode, self.dtype)
         k = min(k, self._n)
         # query tiling: the serve path rides the hardware-swept resident tile
         # (SERVE_TQ=512 bought the single-chip 76k-qps number — ops/topk.py);
@@ -343,8 +349,7 @@ class ShardedFlatIndex:
         from ..ops.topk import QUERY_TILE, SERVE_TQ
 
         Q0 = int(np.asarray(q_reps).shape[0])
-        packed = mode == "serve" or (mode == "approx"
-                                     and self._scales is not None)
+        packed = mode in ("serve", "i8q")
         tq = min(SERVE_TQ if packed else QUERY_TILE,
                  max(8, -(-Q0 // 8) * 8))
         if self._search_fn is None or getattr(self, "_search_key", None) != (k, mode, tq):

@@ -246,7 +246,7 @@ def main(argv=None):
                          "bm25: run_BM25_negative (offline BM25-mined hard "
                          "negatives)")
     ap.add_argument("--search_mode", default=None,
-                    help="trainer eval search mode (exact|serve|approx)")
+                    help="trainer eval search mode (exact|serve|partial|i8q|approx)")
     ap.add_argument("--n_passages", type=int, default=2,
                     help="train_n_passages: 1 positive + n-1 negatives per "
                          "query (the canonical reference recipes use 2 for "

@@ -92,8 +92,19 @@ config = BertConfig(vocab_size=64, hidden_size=32, num_hidden_layers=2,
 model = DRModel(DRModelSpec(bert_config=config))
 params = model.init_params(jax.random.key(0))
 # SHARED scratch dir (same machine, both processes): the checkpoint test
-# needs process 1 to read what process 0 wrote, like a pod's shared FS
+# needs process 1 to read what process 0 wrote, like a pod's shared FS.
+# Proc 0 clears any previous run's leftovers BEFORE anyone uses it — a stale
+# ep1 checkpoint could otherwise satisfy the save->load step even if this
+# run's save regressed (advisor r3) — then everyone syncs.
+import shutil
+
+from jax.experimental import multihost_utils
+
 tmp = os.path.join(tempfile.gettempdir(), f"mh_worker_{port}")
+if proc_id == 0:
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
+multihost_utils.sync_global_devices("scratch_cleared")
 os.makedirs(tmp, exist_ok=True)
 args = TrainingArguments(output_dir=tmp, cache_train_dir=tmp,
                          learning_rate=1e-3, optimizer="adamw", log_every=0)

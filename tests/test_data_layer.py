@@ -252,6 +252,17 @@ def test_bm25_cache_keyed_by_content(tokenizer, tiny_data, tmp_path):
     miner2.load_passages(mutated)
     assert len(set(os.listdir(cache_dir))) == 2
 
+    # the key hashes FULL content — a changed negative in a MIDDLE row (one a
+    # strided sample could miss; advisor r3) must also re-mine
+    mutated2 = [dict(s) for s in train]
+    mid = len(mutated2) // 2
+    negs = list(mutated2[mid]["negatives"])
+    negs[0] = list(negs[0]) + [1]  # token-id lists post-tokenization
+    mutated2[mid] = dict(mutated2[mid], negatives=negs)
+    miner2b = BM25Negatives(args, vocab_size=tokenizer.vocab_size, seed=0)
+    miner2b.load_passages(mutated2)
+    assert len(set(os.listdir(cache_dir))) == 3
+
     # changed train_n_passages re-mines too (the fixture default is 3, so the
     # change must be to a DIFFERENT value to exercise the key)
     import dataclasses
@@ -259,13 +270,13 @@ def test_bm25_cache_keyed_by_content(tokenizer, tiny_data, tmp_path):
     args3 = dataclasses.replace(args, train_n_passages=5)
     miner3 = BM25Negatives(args3, vocab_size=tokenizer.vocab_size, seed=0)
     mined3 = miner3.load_passages(train)
-    assert len(set(os.listdir(cache_dir))) == 3
+    assert len(set(os.listdir(cache_dir))) == 4
     assert all(len(s["negatives"]) == 4 for s in mined3)
 
     # unchanged inputs hit the same key
     miner4 = BM25Negatives(args, vocab_size=tokenizer.vocab_size, seed=0)
     miner4.load_passages(train)
-    assert len(set(os.listdir(cache_dir))) == 3
+    assert len(set(os.listdir(cache_dir))) == 4
 
 
 def test_prefetch_iterator_order_and_errors():

@@ -384,3 +384,92 @@ def test_bulk_i8_native_hot_cells_side_scan():
     # (absolute recall here is capped by nprobe=2, not by the kernel)
     assert hits >= hits_b - 0.02, (hits, hits_b)
     assert hits >= 0.6, hits
+
+
+# ---------------------------------------------------------------------------
+# Advisor r3 fixes: padding-pair exclusion, -1 sentinels, hot-cell nprobe cap
+# ---------------------------------------------------------------------------
+
+def test_padding_queries_do_not_pollute_probe_tables(setup):
+    """Batch-padding rows (all-zero queries) score every cell 0.0 and probe
+    cells 0..nprobe-1 at rank 0; under rank-major slotting they would outrank
+    real queries' rank-1+ probes and evict them from those cells' Qcap tables
+    (advisor r3, medium).  With ``n_real`` set, padding pairs are excluded
+    from slotting, counts and n_dropped — real rows must be invariant to the
+    amount of padding."""
+    import jax.numpy as jnp
+
+    from denseretrievaltoolkits_tpu.ops.ivf_bulk import ivf_bulk_search
+
+    corpus, queries, _ = setup
+    idx = IVFFlatIndex(32, nlist=24, nprobe=8)
+    idx.train(corpus, iters=6)
+    idx.add(corpus)
+    sv, ss, si, side_valid = idx._side_slab(np.zeros((0,), np.int64))
+    C = int(idx._values.shape[1])
+    k, nprobe, Qcap = 10, 8, 8  # Qcap tiny: padding floods would evict
+    block, J = idx._bulk_tiles(Qcap, k)
+    q3 = queries[:3]
+
+    def run(npad, n_real):
+        q = np.concatenate([q3, np.zeros((npad, 32), np.float32)])
+        return ivf_bulk_search(
+            jnp.asarray(q), idx.centroids, idx._values, idx._row_ids,
+            idx._scales, sv, ss, si, k=k, nprobe=nprobe, Qcap=Qcap, J=J,
+            block=block, nlist=idx.nlist, C=C, side_valid=side_valid,
+            side_J=4, side_block=idx.SIDE_BLOCK, n_real=n_real)
+
+    tv5, doc5, drop5, counts5 = run(5, 3)
+    tv13, doc13, drop13, counts13 = run(13, 3)
+    # probe counts reflect ONLY real load, invariant to padding width
+    assert int(np.asarray(counts5).sum()) == 3 * nprobe
+    np.testing.assert_array_equal(np.asarray(counts5), np.asarray(counts13))
+    assert int(drop5) == int(drop13) == 0
+    # real rows' results invariant to padding width
+    np.testing.assert_array_equal(np.asarray(doc5)[:3], np.asarray(doc13)[:3])
+    # control: treating padding as real floods the tables and drops pairs
+    _, _, drop_all, counts_all = run(13, 0)
+    assert int(np.asarray(counts_all).sum()) == 16 * nprobe
+    assert int(drop_all) > 0
+
+
+@pytest.mark.parametrize("cls", [IVFFlatIndex, IVFRaggedIndex])
+def test_few_candidates_yield_sentinel_ids(setup, cls):
+    """k larger than the reachable candidate pool: the -inf tail must carry
+    the -1 sentinel, never a junk row id (advisor r3; faiss returns -1 labels
+    in the same case)."""
+    corpus, queries, _ = setup
+    kw = dict(block=64) if cls is IVFRaggedIndex else {}
+    idx = cls(32, nlist=24, nprobe=1, **kw)
+    idx.train(corpus, iters=6)
+    idx.add(corpus) if cls is IVFFlatIndex else idx.add_device(
+        jnp_asarray(corpus))
+    s, d = idx.search(queries[:8], k=400, mode="bulk", nprobe=1)
+    from denseretrievaltoolkits_tpu.ops.topk import NEG_INF
+    junk = s < NEG_INF / 2
+    assert junk.any()  # one probed cell holds ~96 of 2304 rows, k=400
+    assert (d[junk] == -1).all()
+    assert (d[~junk] >= 0).all()
+
+
+def test_hot_cells_not_probed_and_side_scanned(setup):
+    """nprobe == nlist with forced hot cells: the effective probe set shrinks
+    by |hot| so a hot cell is never BOTH probed and side-scanned — merged
+    top-k must have no duplicate docids, and full coverage must hold
+    (advisor r3)."""
+    corpus, queries, exact = setup
+    idx = IVFFlatIndex(32, nlist=8, nprobe=8)
+    idx.train(corpus, iters=6)
+    idx.add(corpus)
+    hot = np.array([0, 1], np.int64)
+    idx._bulk_state = {"key": (8,), "hot": hot,
+                       "side": idx._side_slab(hot), "qcap": 64}
+    s, d = idx.search_bulk(queries, 10)
+    for row in d:
+        fin = row[row >= 0]
+        assert len(set(fin.tolist())) == len(fin), "duplicate docids"
+    # probing 6 cells + side-scanning the 2 hot ones still covers everything
+    _, ref = exact.search(queries, 10)
+    recall = np.mean([len(set(d[i]) & set(ref[i])) / 10
+                      for i in range(len(queries))])
+    assert recall == 1.0, recall

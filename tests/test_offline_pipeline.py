@@ -140,3 +140,24 @@ def test_retrieval_cli_search_modes(workspace, mode, dtype):
         else:
             best = lookup[int(np.argmax(full[r]))]
             assert psg_indices[r][0] == str(best)
+
+
+def test_search_queries_filters_sentinel_rows():
+    """-1 sentinel indices (a query with < depth finite candidates) must be
+    filtered BEFORE docid translation — p_lookup[-1] would silently resolve
+    to the LAST docid (advisor r3)."""
+    from denseretrievaltoolkits_tpu.evaluator.retrieval import search_queries
+
+    class FakeRetriever:
+        def search(self, q_reps, depth, mode="exact"):
+            scores = np.array([[3.0, 2.0, -1e30], [5.0, 4.0, 3.5]],
+                              np.float32)
+            ids = np.array([[7, 2, -1], [1, 0, 3]], np.int32)
+            return scores, ids
+
+    lookup = [f"doc{i}" for i in range(8)]
+    scores, ids = search_queries(FakeRetriever(), np.zeros((2, 4)), lookup, 3)
+    assert list(ids[0]) == ["doc7", "doc2"]          # sentinel dropped
+    assert list(ids[1]) == ["doc1", "doc0", "doc3"]  # full row untouched
+    assert list(scores[0]) == [3.0, 2.0]
+    assert "doc7" not in ids[0][2:]  # the bug would have appended lookup[-1]
