@@ -129,8 +129,14 @@ def shard_steps(
     device_put to the data axis on entry.
     """
     train_jit = jax.jit(train_step, donate_argnums=(0,))
-    encq_jit = jax.jit(encode_query)
-    encp_jit = jax.jit(encode_passage)
+    # encode outputs PINNED to the data axis: each host's devices then hold
+    # exactly the rows of ITS input slice, so Trainer._local_rows can extract
+    # the host-local block (multi-host evaluate/corpus-encode; without the
+    # constraint XLA may replicate the output and every host would see the
+    # GLOBAL batch, duplicating other hosts' corpus rows)
+    rep_sharding = NamedSharding(mesh, P(DATA_AXIS, None))
+    encq_jit = jax.jit(encode_query, out_shardings=rep_sharding)
+    encp_jit = jax.jit(encode_passage, out_shardings=rep_sharding)
     put_batch = make_put_batch(mesh)
 
     def wrapped_train(state, batch):

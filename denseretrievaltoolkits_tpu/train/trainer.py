@@ -264,6 +264,25 @@ class Trainer:
 
     # -- retrieval evaluation -------------------------------------------------
 
+    def _local_rows(self, arr) -> np.ndarray:
+        """This host's rows of an encode output, in global row order.
+
+        Single-host: the whole array.  Multi-host: ``make_put_batch``
+        assembles the GLOBAL batch from per-process slices, so the jitted
+        encode returns a global array that is not fully addressable —
+        ``np.asarray`` on it raises.  The encode jits pin their output to the
+        data axis (parallel/mesh.py:shard_steps), so this host's addressable
+        shards are exactly the rows of ITS input slice; TP replicas of a row
+        block dedup by their global row offset."""
+        if jax.process_count() == 1:
+            return np.asarray(arr)
+        blocks = {}
+        for s in arr.addressable_shards:
+            start = s.index[0].start or 0
+            if start not in blocks:
+                blocks[start] = np.asarray(s.data)
+        return np.concatenate([blocks[k] for k in sorted(blocks)], axis=0)
+
     def _make_index(self, dim: int):
         """Single-device FlatIPIndex, or the ICI-sharded index on a mesh
         (each chip owns a corpus shard; candidates merge over the interconnect
@@ -345,7 +364,13 @@ class Trainer:
 
         for batch_ids, batch in prefetch(loader):
             padded, valid = pad_to_batch(batch, bs)
-            out = self._encode_passage(self.state["params"], padded)[:valid]
+            out = self._encode_passage(self.state["params"], padded)
+            if jax.process_count() > 1:
+                # multi-host: the jitted encode returns the assembled GLOBAL
+                # batch; keep only this host's window rows (_local_rows)
+                out = jnp.asarray(self._local_rows(out)[:valid])
+            else:
+                out = out[:valid]
             if self.index is None:
                 self.index = self._make_index(int(out.shape[1]))
                 spill = not getattr(self.index, "is_trained", True)
@@ -486,7 +511,10 @@ class Trainer:
         with open(dump_path, "w", encoding="utf-8") as dump_fh:
             for qids, batch, answers, originals in query_loader:
                 padded, valid = pad_to_batch(batch, bs)
-                q_reps = np.asarray(self._encode_query(self.state["params"], padded))[:valid]
+                # queries are replicated across hosts, so each host's local
+                # rows are its own identical copy of the batch (_local_rows)
+                q_reps = self._local_rows(
+                    self._encode_query(self.state["params"], padded))[:valid]
                 k = min(retrieve_k, len(self.index))
                 scores, indices = self.index.search(q_reps, k, mode=search_mode)
                 # one Arrow batch-read for all texts this batch needs (retrieved

@@ -127,3 +127,7 @@ def test_two_process_distributed_run():
     # both hosts computed the SAME global loss from their local batch slices
     losses = [out.split("loss=")[1].split()[0] for out in outs]
     assert losses[0] == losses[1], f"loss mismatch across hosts: {losses}"
+    # ...and the SAME evaluate() metrics through the multi-host pipeline
+    # (shard_hosts windows -> sharded index -> search -> labels; step 7)
+    sigs = [out.split("evalsig=")[1].split()[0] for out in outs]
+    assert sigs[0] == sigs[1], f"eval metrics mismatch across hosts: {sigs}"
