@@ -207,6 +207,29 @@ _IVF_STATE: dict = {}
 _I8Q_STATE: dict = {}
 _I4Q_STATE: dict = {}
 
+# small-batch serving latency (VERDICT r3 weak 4): p50 per-call wall time at
+# these batch sizes, measured on the SAME 8.8M int8 corpus for the flat serve
+# kernel and the learned-config IVF bulk kernel.  The legacy probe mode is
+# NOT an arm at this scale: the fixed-capacity layout it runs on needs
+# capacity_factor x corpus bytes (>= 13.6 GB at 8.8M int8) — out of HBM;
+# see recipes/latency_probe.py for the 2M three-way comparison.
+LAT_BATCHES = (1, 8, 64)
+_LAT_STATE: dict = {}
+
+
+def _p50_latency_ms(fn, rt: float, n: int = 20) -> float:
+    """p50 per-call latency in ms with a per-call device sync (a serving
+    request pays that sync); ``rt`` (the measured host<->device roundtrip)
+    is subtracted, as everywhere else in this file."""
+    import jax
+
+    ts = []
+    for _ in range(n):
+        t0 = time.time()
+        jax.block_until_ready(fn())
+        ts.append(time.time() - t0 - rt)
+    return max(0.0, float(np.median(ts)) * 1e3)
+
 
 def _make_centers():
     import jax
@@ -357,6 +380,21 @@ def bench_int8(queries: np.ndarray) -> float:
           f"({_I8Q_STATE['qps']/qps:.2f}x serve, "
           f"recall@{TOPK} {_I8Q_STATE['recall']:.4f})", file=sys.stderr)
 
+    # small-batch serving latency, flat-serve arm (VERDICT r3 weak 4)
+    for B_lat in LAT_BATCHES:
+        pad = max(8, B_lat)  # kernel query tile floor
+        qb = jax.device_put(jnp.asarray(q_np[:pad], jnp.bfloat16))
+
+        def lat_fn(qb=qb, pad=pad):
+            return pallas_topk_serve_scaled(qb, values, scales, TOPK, 4,
+                                            block, N_DOCS_INT8, tq=pad)
+
+        jax.block_until_ready(lat_fn())  # compile
+        ms = _p50_latency_ms(lat_fn, rt)
+        _LAT_STATE[f"flat_b{B_lat}"] = ms
+        print(f"# int8 serve latency B={B_lat}: p50 {ms:.2f} ms",
+              file=sys.stderr)
+
     # free ~6.8 GB HBM before the IVF/model benches
     values.delete(), scales.delete()
     return qps
@@ -496,6 +534,23 @@ def bench_ivf_int8(queries: np.ndarray) -> float:
     print(f"# ivf8.8M native-MXU: {elapsed_n*1e3:.1f} ms "
           f"({elapsed/elapsed_n:.2f}x bulk, recall@100 {recall_n:.4f})",
           file=sys.stderr)
+
+    # small-batch serving latency, IVF arm (VERDICT r3 weak 4): the PRODUCT
+    # path (search_bulk) per batch size — each B learns its own Qcap (the
+    # per-cell compute padding scales with B*nprobe/nlist, so reusing the
+    # B=2048 capacity would overstate small-batch cost)
+    for B_lat in LAT_BATCHES:
+        idx._bulk_state = None
+        qb_np = np.ascontiguousarray(q_np[:B_lat])
+        idx.search_bulk(qb_np, TOPK, nprobe=nprobe)  # tune + compile
+
+        def lat_fn(qb_np=qb_np):
+            return idx.search_bulk(qb_np, TOPK, nprobe=nprobe)
+
+        ms = _p50_latency_ms(lat_fn, rt)
+        _LAT_STATE[f"ivf_b{B_lat}"] = ms
+        print(f"# ivf8.8M latency B={B_lat}: p50 {ms:.2f} ms "
+              f"(Qcap={idx._bulk_state['qcap']})", file=sys.stderr)
 
     for a in (idx._values, idx._scales, idx._row_ids, idx.centroids,
               idx._block_cell, idx._block_start):
@@ -774,6 +829,29 @@ def main():
                 "unit": "recall",
                 "vs_baseline": round(_IVF_STATE["recall_native"] / 0.98, 3),
             })
+        # small-batch latency surface (VERDICT r3 weak 4): p50 ms per call at
+        # B=1/8/64 on the same 8.8M int8 corpus; the IVF rows' vs_baseline is
+        # flat_latency/ivf_latency at the same B (>1 means IVF wins the
+        # latency regime, the r2/r3 conjecture this measures)
+        for B_lat in LAT_BATCHES:
+            f_ms = _LAT_STATE.get(f"flat_b{B_lat}")
+            v_ms = _LAT_STATE.get(f"ivf_b{B_lat}")
+            if f_ms is not None:
+                extras.append({
+                    "metric": f"serve_latency_ms_b{B_lat}_int8_"
+                              f"{N_DOCS_INT8 // 1000}k",
+                    "value": round(f_ms, 2), "unit": "ms",
+                    "vs_baseline": None,
+                })
+            if v_ms is not None:
+                extras.append({
+                    "metric": f"ivf_latency_ms_b{B_lat}_int8_"
+                              f"{N_DOCS_INT8 // 1000}k",
+                    "value": round(v_ms, 2), "unit": "ms",
+                    "vs_baseline": (round(f_ms / v_ms, 2)
+                                    if f_ms else None),
+                })
+        checkpoint_extras()
         # the 21M bench times the packed sq4 SERVE kernel — labeled so
         # (VERDICT r2 weak #6); the certified-exact sq4 path is covered by
         # the kernel suite (ops/topk.py pallas_topk int4)

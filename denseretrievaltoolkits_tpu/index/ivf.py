@@ -934,33 +934,82 @@ class IVFRaggedIndex(IVFFlatIndex):
                 ss = jnp.pad(ss, (0, pad))
         return sv, ss, si, n_valid
 
+    def _pad_queries(self, q_reps) -> Tuple[np.ndarray, int]:
+        q = np.asarray(q_reps, np.float32)
+        B0 = q.shape[0]
+        pad = (-B0) % (256 if B0 > 256 else 8)
+        if pad:
+            q = np.concatenate([q, np.zeros((pad, self.dim), np.float32)])
+        return q, B0
+
+    def _bulk_call(self, q, k: int, nprobe: int, i8_native: bool,
+                   state: dict, Qcap: int, n_real: int):
+        """One kernel dispatch with an explicit tuning state; returns DEVICE
+        (scores, doc_rows, n_dropped, probe_counts) — no host sync."""
+        from ..ops.ivf_bulk import ivf_ragged_search, serve_j
+
+        block = self.block
+        mean_rows = max(block, int(self._n / max(1, self.nlist)))
+        J = serve_j(k, block, mean_rows)
+        if getattr(self, "bulk_j", None):
+            J = min(self.bulk_j, k, block)
+        sv, ss, si, side_valid = state["side"]
+        hp = None
+        if state["hot"].size:
+            hp = jnp.zeros((self.nlist,), jnp.float32).at[
+                jnp.asarray(state["hot"])].set(-jnp.inf)
+        # cap effective nprobe at nlist - |hot| (see IVFFlatIndex)
+        np_eff = min(nprobe, self.nlist - int(state["hot"].size))
+        sb = self.SIDE_BLOCK
+        side_J = serve_j(k, sb, max(sb, side_valid)) if side_valid else 4
+        return ivf_ragged_search(
+            jnp.asarray(q), self.centroids, self._values, self._row_ids,
+            self._scales, self._block_cell, self._block_start,
+            sv, ss, si,
+            k=k, nprobe=np_eff, Qcap=Qcap, J=J, block=block,
+            nlist=self.nlist, nb_max=self._nb_max, hot_penalty=hp,
+            side_valid=side_valid, side_J=side_J, side_block=sb,
+            i8_native=bool(i8_native and self._scales is not None),
+            n_real=n_real)
+
+    def search_bulk_async(self, q_reps, k: int = 100,
+                          nprobe: Optional[int] = None,
+                          i8_native: bool = False):
+        """Dispatch-only bulk search against the CACHED tuned state: returns
+        DEVICE (scores [B,k], doc_rows [B,k]) without any host sync, so a
+        caller driving several devices (parallel/sharded_ivf.py) can put
+        every shard's kernel in flight before the first result is read.
+        Runs one ordinary (tuning) ``search_bulk`` first when no state is
+        cached for this nprobe."""
+        if self._values is None:
+            raise RuntimeError("IVFRaggedIndex.search before add()")
+        k = min(k, self._n)
+        nprobe = self.nprobe if nprobe is None else min(nprobe, self.nlist)
+        state = getattr(self, "_bulk_state", None)
+        if state is None or state["key"] != (nprobe,) \
+                or state["qcap"] is None:
+            self.search_bulk(q_reps, k, nprobe=nprobe, i8_native=i8_native)
+            state = self._bulk_state
+        q, B0 = self._pad_queries(q_reps)
+        tv, doc, _, _ = self._bulk_call(q, k, nprobe, i8_native, state,
+                                        state["qcap"], B0)
+        return tv[:B0], doc[:B0]
+
     def search_bulk(self, q_reps: np.ndarray, k: int = 100,
                     nprobe: Optional[int] = None,
                     i8_native: bool = False
                     ) -> Tuple[np.ndarray, np.ndarray]:
         if self._values is None:
             raise RuntimeError("IVFRaggedIndex.search before add()")
-        from ..ops.ivf_bulk import ivf_ragged_search, serve_j
-
         k = min(k, self._n)
         nprobe = self.nprobe if nprobe is None else min(nprobe, self.nlist)
-        q = np.asarray(q_reps, np.float32)
-        B0 = q.shape[0]
-        pad = (-B0) % (256 if B0 > 256 else 8)
-        if pad:
-            q = np.concatenate([q, np.zeros((pad, self.dim), np.float32)])
+        q, B0 = self._pad_queries(q_reps)
         B = q.shape[0]
         block = self.block
         lam = B * nprobe / self.nlist
         qcap_cap = min(int(-(-B * nprobe // 8) * 8),
                        max(64, int(-(-4.0 * lam // 8) * 8)),
                        262144 // block)
-        # J: per-block density for a MEAN-sized cell; small cells have fewer
-        # candidate slots by construction (they also hold fewer neighbors)
-        mean_rows = max(block, int(self._n / max(1, self.nlist)))
-        J = serve_j(k, block, mean_rows)
-        if getattr(self, "bulk_j", None):
-            J = min(self.bulk_j, k, block)
         state = getattr(self, "_bulk_state", None)
         if state is None or state["key"] != (nprobe,):
             hot = np.zeros((0,), np.int64)
@@ -972,24 +1021,8 @@ class IVFRaggedIndex(IVFFlatIndex):
                        int(-(-max(8.0, self.qcap_factor * lam) // 8) * 8))
 
         while True:
-            sv, ss, si, side_valid = state["side"]
-            hp = None
-            if state["hot"].size:
-                hp = jnp.zeros((self.nlist,), jnp.float32).at[
-                    jnp.asarray(state["hot"])].set(-jnp.inf)
-            # cap effective nprobe at nlist - |hot| (see IVFFlatIndex)
-            np_eff = min(nprobe, self.nlist - int(state["hot"].size))
-            sb = self.SIDE_BLOCK
-            side_J = serve_j(k, sb, max(sb, side_valid)) if side_valid else 4
-            tv, doc, dropped, counts = ivf_ragged_search(
-                jnp.asarray(q), self.centroids, self._values, self._row_ids,
-                self._scales, self._block_cell, self._block_start,
-                sv, ss, si,
-                k=k, nprobe=np_eff, Qcap=Qcap, J=J, block=block,
-                nlist=self.nlist, nb_max=self._nb_max, hot_penalty=hp,
-                side_valid=side_valid, side_J=side_J, side_block=sb,
-                i8_native=bool(i8_native and self._scales is not None),
-                n_real=B0)
+            tv, doc, dropped, counts = self._bulk_call(
+                q, k, nprobe, i8_native, state, Qcap, B0)
             self.last_dropped = int(dropped)
             if self.last_dropped <= max(8, int(0.001 * B * nprobe)):
                 break

@@ -151,18 +151,36 @@ class ShardedIVFIndex:
             raise RuntimeError("ShardedIVFIndex.search before add()")
         mode = resolve_ivf_mode(mode, self.dtype)
         k = min(k, self._n)
-        parts_s, parts_i = [], []
-        dropped = 0
-        for s, shard in enumerate(self._shards):
-            if len(shard) == 0:
-                continue
-            with jax.default_device(self.devices[s]):
-                sv, si = shard.search(q_reps, min(k, len(shard)), mode=mode,
-                                      nprobe=nprobe)
-            dropped += shard.last_dropped
-            si = np.where(si >= 0, si + self._bases[s], -1)
-            parts_s.append(np.asarray(sv))
-            parts_i.append(si)
+        live = [(s, shard) for s, shard in enumerate(self._shards)
+                if len(shard) > 0]
+        if mode in ("bulk", "serve", "probe", "i8q"):
+            # dispatch EVERY shard's kernel before reading any result: the
+            # devices run concurrently and the serial host loop only pays
+            # dispatch cost (the first call per shard tunes synchronously)
+            pending = []
+            for s, shard in live:
+                with jax.default_device(self.devices[s]):
+                    tv, doc = shard.search_bulk_async(
+                        q_reps, min(k, len(shard)), nprobe=nprobe,
+                        i8_native=(mode == "i8q"))
+                pending.append((s, shard, tv, doc))
+            parts_s, parts_i, dropped = [], [], 0
+            for s, shard, tv, doc in pending:
+                si = np.asarray(doc)
+                si = np.where(si >= 0, si + self._bases[s], -1)
+                parts_s.append(np.asarray(tv))
+                parts_i.append(si)
+                dropped += shard.last_dropped
+        else:  # exact: per-shard flat parity scan (host-driven)
+            parts_s, parts_i, dropped = [], [], 0
+            for s, shard in live:
+                with jax.default_device(self.devices[s]):
+                    sv, si = shard.search(q_reps, min(k, len(shard)),
+                                          mode=mode, nprobe=nprobe)
+                si = np.where(si >= 0, si + self._bases[s], -1)
+                parts_s.append(np.asarray(sv))
+                parts_i.append(si)
+                dropped += shard.last_dropped
         self.last_dropped = dropped
         cat_s = np.concatenate(parts_s, axis=1)
         cat_i = np.concatenate(parts_i, axis=1)

@@ -1,0 +1,130 @@
+#!/usr/bin/env python
+"""Multi-seed quality comparison at 200k+ corpus scale (VERDICT r3 weak 6).
+
+The round-3 headline mining wins (+0.038 test MRR@10 BM25, +0.021 dense
+mining over random) were one seed each on a 16k-passage corpus — margins
+inside plausible seed noise, at a scale where the device index is not
+load-bearing.  This recipe runs the topical workload through
+``recipes/quality_trend.py`` for every (arm, seed) pair — arms: random
+in-batch negatives (the reference ``run_random_sampling`` baseline), BM25
+offline-mined hard negatives (``run_BM25_negative``), dense on-device
+mining (``--mine 1``) — at a 200k-passage corpus with eval through
+``search_mode=serve`` (the packed device kernel actually serving), and
+reports mean +/- spread per arm.
+
+Usage (hardware; ~9 trainer runs, budget 1-2 h on the v5e):
+    python recipes/quality_multiseed.py --out /tmp/drt_ms \
+        [--seeds 0 1 2] [--corpus 200000] [--train 2000] [--epochs 5]
+
+Writes ``<out>/summary.json`` + a markdown table on stdout for BASELINE.md.
+Each (arm, seed) cell reuses quality_trend's trend.json; completed cells are
+skipped on re-run, so a relay outage mid-sweep resumes where it stopped.
+"""
+
+import argparse
+import json
+import os
+import statistics
+import sys
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+
+ARMS = {
+    # arm -> extra quality_trend argv
+    "random": ["--sampler", "random"],
+    "bm25": ["--sampler", "bm25", "--n_passages", "4"],
+    "mine": ["--sampler", "random", "--mine", "1"],
+}
+METRICS = ("MRR@10", "NDCG@10", "Recall@10", "Recall@100")
+
+
+def run_cell(out_dir, arm, seed, opts):
+    """One (arm, seed) trainer run; returns the TEST-split metrics dict."""
+    cell = os.path.join(out_dir, f"{arm}_s{seed}")
+    trend = os.path.join(cell, "trend.json")
+    if not os.path.exists(trend):
+        from recipes.quality_trend import main as trend_main
+
+        argv = [
+            "--out", cell, "--workload", "topical",
+            "--corpus", str(opts.corpus), "--train", str(opts.train),
+            "--eval", str(opts.eval), "--epochs", str(opts.epochs),
+            "--topics", str(opts.topics), "--seed", str(seed),
+            "--search_mode", opts.search_mode,
+        ] + ARMS[arm]
+        if opts.platform:
+            argv += ["--platform", opts.platform]
+        print(f"### {arm} seed={seed}: quality_trend {' '.join(argv)}",
+              file=sys.stderr, flush=True)
+        trend_main(argv)
+    with open(trend) as fh:
+        rows = json.load(fh)
+    # "-1" is the final test eval; fall back to the last dev epoch
+    return rows.get("-1") or rows[max(rows, key=lambda k: int(k))]
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="/tmp/drt_quality_multiseed")
+    ap.add_argument("--seeds", type=int, nargs="+", default=[0, 1, 2])
+    ap.add_argument("--corpus", type=int, default=200_000)
+    ap.add_argument("--train", type=int, default=2000)
+    ap.add_argument("--eval", type=int, default=200)
+    ap.add_argument("--epochs", type=int, default=5)
+    ap.add_argument("--topics", type=int, default=1024)
+    ap.add_argument("--search_mode", default="serve",
+                    help="eval search mode; 'serve' exercises the packed "
+                         "device kernel at a scale where it is load-bearing")
+    ap.add_argument("--arms", nargs="+", default=list(ARMS),
+                    choices=list(ARMS))
+    ap.add_argument("--platform", default=None, choices=["cpu", "tpu"])
+    opts = ap.parse_args(argv)
+
+    os.makedirs(opts.out, exist_ok=True)
+    results = {}  # arm -> metric -> [per-seed values]
+    for arm in opts.arms:
+        per_metric = {m: [] for m in METRICS}
+        for seed in opts.seeds:
+            test_m = run_cell(opts.out, arm, seed, opts)
+            for m in METRICS:
+                per_metric[m].append(float(test_m.get(m, 0.0)))
+        results[arm] = per_metric
+
+    summary = {}
+    print(f"\n## Topical workload, {opts.corpus // 1000}k corpus, "
+          f"{len(opts.seeds)} seeds, test split (mean +/- spread)\n")
+    print("| arm | " + " | ".join(METRICS) + " |")
+    print("|---" * (len(METRICS) + 1) + "|")
+    for arm, per_metric in results.items():
+        cells = []
+        summary[arm] = {}
+        for m in METRICS:
+            vals = per_metric[m]
+            mean = statistics.mean(vals)
+            spread = (max(vals) - min(vals)) if len(vals) > 1 else 0.0
+            summary[arm][m] = {"mean": round(mean, 4),
+                               "spread": round(spread, 4),
+                               "values": [round(v, 4) for v in vals]}
+            cells.append(f"{mean:.4f} +/- {spread / 2:.4f}")
+        print(f"| {arm} | " + " | ".join(cells) + " |")
+    # the decision number: does each mining arm beat random BEYOND the spread?
+    if "random" in results:
+        for arm in results:
+            if arm == "random":
+                continue
+            d = (summary[arm]["MRR@10"]["mean"]
+                 - summary["random"]["MRR@10"]["mean"])
+            noise = max(summary[arm]["MRR@10"]["spread"],
+                        summary["random"]["MRR@10"]["spread"])
+            verdict = "BEYOND" if abs(d) > noise else "WITHIN"
+            print(f"\n{arm} vs random: MRR@10 delta {d:+.4f} — {verdict} "
+                  f"the max per-arm spread ({noise:.4f})")
+            summary[arm]["delta_mrr10_vs_random"] = round(d, 4)
+            summary[arm]["beyond_spread"] = abs(d) > noise
+    with open(os.path.join(opts.out, "summary.json"), "w") as fh:
+        json.dump({"config": vars(opts), "summary": summary}, fh, indent=2)
+
+
+if __name__ == "__main__":
+    main()

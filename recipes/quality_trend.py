@@ -260,6 +260,11 @@ def main(argv=None):
                     help="topical workload: number of disjoint topic "
                          "vocabularies (collision rate of same-topic pairs "
                          "inside a 32-query batch ~ 496/topics)")
+    ap.add_argument("--seed", type=int, default=0,
+                    help="whole-experiment replicate seed: drives BOTH the "
+                         "dataset generator and the trainer init/shuffle "
+                         "(VERDICT r3 weak 6: single-seed margins are not "
+                         "evidence — see recipes/quality_multiseed.py)")
     opts = ap.parse_args(argv)
 
     if opts.platform:
@@ -267,7 +272,7 @@ def main(argv=None):
 
         jax.config.update("jax_platforms", opts.platform)
 
-    rng = random.Random(0)
+    rng = random.Random(opts.seed)
     os.makedirs(opts.out, exist_ok=True)
     if opts.workload == "topical":
         # room for `topics` DISJOINT 8-word topic vocabularies + one unique
@@ -313,7 +318,7 @@ def main(argv=None):
                              "max_steps": max(1, opts.train // 32) * opts.epochs},
         "topk": "5,10,100",
         "retrieve_num": 100,
-        "seed": 0,
+        "seed": opts.seed,
         "mine_per_train": opts.mine,
     }
     if opts.search_mode:

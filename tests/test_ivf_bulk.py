@@ -473,3 +473,21 @@ def test_hot_cells_not_probed_and_side_scanned(setup):
     recall = np.mean([len(set(d[i]) & set(ref[i])) / 10
                       for i in range(len(queries))])
     assert recall == 1.0, recall
+
+
+def test_search_bulk_async_matches_sync(setup):
+    """search_bulk_async (dispatch-only, cached tuned state — the sharded
+    index's overlap path) returns the same results as the synchronous
+    search_bulk."""
+    corpus, queries, _ = setup
+    idx = IVFRaggedIndex(32, nlist=16, nprobe=8, dtype="int8", block=64)
+    idx.train(corpus, iters=5)
+    idx.add_device(jnp_asarray(corpus))
+    s_sync, i_sync = idx.search_bulk(queries, 10)   # tunes + caches state
+    tv, doc = idx.search_bulk_async(queries, 10)    # no-sync dispatch
+    np.testing.assert_array_equal(np.asarray(doc), i_sync)
+    np.testing.assert_allclose(np.asarray(tv), s_sync, rtol=1e-6)
+    # async also self-bootstraps the tuning when no state is cached
+    idx._bulk_state = None
+    tv2, doc2 = idx.search_bulk_async(queries, 10)
+    np.testing.assert_array_equal(np.asarray(doc2), i_sync)
