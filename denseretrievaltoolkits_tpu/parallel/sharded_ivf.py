@@ -264,6 +264,15 @@ def sharded_index_factory(mesh: Mesh, dim: int, factory_str: str,
         return ShardedFlatIndex(mesh, dim, dtype=flat_dtypes[key],
                                 use_pallas=use_pallas)
     if key.startswith("pca"):
+        if jax.process_count() > 1:
+            # each host would fit the transform on ITS OWN window sample —
+            # different projection matrices per host, an inconsistent index.
+            # (A collective transform fit is future work; flat strings have
+            # no training and stay multi-host.)
+            raise ValueError(
+                "PCA/PCAR factory chains are single-process: the transform "
+                "trains on a local sample and hosts would disagree. Use a "
+                "flat factory string (Flat/BF16/SQ8) on multi-host meshes.")
         head, _, tail = key.partition(",")
         rotate = head.startswith("pcar")
         try:
