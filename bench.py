@@ -848,8 +848,10 @@ def main():
                     "metric": f"ivf_latency_ms_b{B_lat}_int8_"
                               f"{N_DOCS_INT8 // 1000}k",
                     "value": round(v_ms, 2), "unit": "ms",
+                    # guard BOTH operands: _p50_latency_ms clamps to 0.0
+                    # when the relay roundtrip swamps the call time
                     "vs_baseline": (round(f_ms / v_ms, 2)
-                                    if f_ms else None),
+                                    if f_ms and v_ms else None),
                 })
         checkpoint_extras()
         # the 21M bench times the packed sq4 SERVE kernel — labeled so

@@ -117,16 +117,16 @@ def main():
     parser.add_argument("--index_dtype", default="float32",
                         choices=["float32", "bfloat16", "int8", "int4"])
     parser.add_argument("--search_mode", default="exact",
-                        choices=["exact", "serve", "partial", "i8q", "approx",
-                                 "bulk", "probe"],
+                        choices=["exact", "serve", "partial", "i8q", "approx"],
                         help="exact: certified Pallas/XLA search; serve: packed "
                         "selection kernel (fastest, recall@100 ~0.9995 measured); "
                         "partial: hardware PartialReduce (fp32/bf16 only); "
                         "i8q: quantized-query native-int8 MXU kernel (int8/int4 "
                         "only); approx: per-dtype alias for the fastest "
-                        "approximate path (fp32/bf16->partial, int8/int4->i8q); "
-                        "bulk/probe: IVF factory indexes. Full contract table: "
-                        "index/modes.py")
+                        "approximate path (fp32/bf16->partial, int8/int4->i8q). "
+                        "This CLI builds FLAT indexes from embedding shards; "
+                        "IVF modes (bulk/probe) belong to the trainer's "
+                        "--index_factory surface. Contract: index/modes.py")
     args = parser.parse_args()
     run(args.query_reps, args.passage_reps, args.save_ranking_to, args.depth,
         args.batch_size, args.save_text, args.quiet, args.index_dtype,

@@ -991,8 +991,12 @@ class IVFRaggedIndex(IVFFlatIndex):
             self.search_bulk(q_reps, k, nprobe=nprobe, i8_native=i8_native)
             state = self._bulk_state
         q, B0 = self._pad_queries(q_reps)
-        tv, doc, _, _ = self._bulk_call(q, k, nprobe, i8_native, state,
-                                        state["qcap"], B0)
+        tv, doc, dropped, _ = self._bulk_call(q, k, nprobe, i8_native, state,
+                                              state["qcap"], B0)
+        # DEVICE scalar, intentionally unsynced: callers refresh
+        # ``last_dropped`` from it after their own sync point, so the drop
+        # telemetry tracks the live query distribution, not the tuning batch
+        self._last_dropped_dev = dropped
         return tv[:B0], doc[:B0]
 
     def search_bulk(self, q_reps: np.ndarray, k: int = 100,

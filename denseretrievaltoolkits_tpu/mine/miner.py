@@ -55,9 +55,13 @@ class DenseMiner:
             ]
             batch = pad_batch(enq, self.q_max_len, pad_id)
             padded, valid = pad_to_batch(batch, batch_size)
-            out = np.asarray(
-                self.trainer._encode_query(self.trainer.state["params"], padded)
-            )
+            # _local_rows: on multi-host the jitted encode returns the
+            # assembled global batch (data-axis pinned, not addressable via
+            # np.asarray); queries are replicated, so this host's local rows
+            # are its own copy (train/trainer.py)
+            out = self.trainer._local_rows(
+                self.trainer._encode_query(self.trainer.state["params"],
+                                           padded))
             reps.append(out[:valid])
         return np.concatenate(reps, axis=0)
 
@@ -98,6 +102,11 @@ class DenseMiner:
                 exclude_by_id = False
             negs = []
             for row in indices[i]:
+                if row < 0:
+                    # -1 sentinel (fewer finite candidates than k, e.g. tiny
+                    # IVF cells) — trainer.idx[-1] would silently mine the
+                    # LAST corpus doc as a negative
+                    continue
                 docid = trainer.idx[int(row)]
                 doc_tokens = corpus_ds[int(row)]["text"]
                 if exclude_by_id:

@@ -296,15 +296,14 @@ def serve_j(k: int, block: int, C: int) -> int:
 @functools.partial(
     jax.jit,
     static_argnames=("k", "nprobe", "Qcap", "J", "block", "nlist", "C",
-                     "side_valid", "side_J", "side_block", "i8_native",
-                     "n_real"))
+                     "side_valid", "side_J", "side_block", "i8_native"))
 def ivf_bulk_search(q, centroids, values, row_ids, scales,
                     side_values, side_scales, side_ids,
                     k: int, nprobe: int, Qcap: int, J: int, block: int,
                     nlist: int, C: int,
                     hot_penalty=None, side_valid: int = 0,
                     side_J: int = 4, side_block: int = 1024,
-                    i8_native: bool = False, n_real: int = 0):
+                    i8_native: bool = False, n_real=None):
     """Fully-jitted cell-major bulk search.
 
     q [B, dim] fp32; values [nlist, C, dim] (bf16/fp32/int8 + scales);
@@ -327,9 +326,13 @@ def ivf_bulk_search(q, centroids, values, row_ids, scales,
     n_dropped — an all-zero padding query scores every cell 0.0, so its
     rank-0 probes of cells 0..nprobe-1 would otherwise outrank real queries'
     rank-1+ probes and evict them from those cells' Qcap tables (advisor r3,
-    medium).  0 means every query is real."""
+    medium).  TRACED operand (not a static argname: every distinct raw
+    batch size would otherwise force a recompile, defeating the callers'
+    8/256 padding buckets); None means every query is real."""
     B, dim = q.shape
     P = B * nprobe
+    if n_real is None:
+        n_real = B
 
     # 1) probe (one MXU matmul) — inner-product cell ranking, faiss IVF-IP
     cell_scores = jnp.dot(q, centroids.T, preferred_element_type=jnp.float32)
@@ -346,9 +349,8 @@ def ivf_bulk_search(q, centroids, values, row_ids, scales,
     pair_cell = cells.reshape(-1)
     pair_q = jnp.repeat(jnp.arange(B, dtype=jnp.int32), nprobe)
     pair_rank = jnp.tile(jnp.arange(nprobe, dtype=jnp.int32), B)
-    real = pair_q < n_real if 0 < n_real < B else None
-    rank_key = pair_rank if real is None else jnp.where(real, pair_rank,
-                                                        nprobe)
+    real = pair_q < n_real  # traced mask; all-true when the batch is unpadded
+    rank_key = jnp.where(real, pair_rank, nprobe)
     counts_all = jnp.zeros((nlist,), jnp.int32).at[pair_cell].add(1)
     starts = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts_all)[:-1]])
@@ -356,16 +358,11 @@ def ivf_bulk_search(q, centroids, values, row_ids, scales,
     sc = pair_cell[order]
     slot = jnp.arange(P, dtype=jnp.int32) - starts[sc]
     qidx = pair_q[order]
-    in_cap = slot < Qcap
-    if real is not None:
-        real_s = real[order]
-        in_cap = in_cap & real_s
-        counts = jnp.zeros((nlist,), jnp.int32).at[pair_cell].add(
-            real.astype(jnp.int32))
-        n_dropped = jnp.sum(real_s & ~in_cap)
-    else:
-        counts = counts_all
-        n_dropped = jnp.sum(~in_cap)
+    real_s = real[order]
+    in_cap = (slot < Qcap) & real_s
+    counts = jnp.zeros((nlist,), jnp.int32).at[pair_cell].add(
+        real.astype(jnp.int32))
+    n_dropped = jnp.sum(real_s & ~in_cap)
     dest = jnp.where(in_cap, sc * Qcap + slot, nlist * Qcap)  # OOB -> dropped
     qtab = jnp.zeros((nlist * Qcap,), jnp.int32).at[dest].set(
         qidx, mode="drop")
@@ -462,8 +459,7 @@ def _side_scan(qc, tv, doc, side_values, side_scales, side_ids,
 @functools.partial(
     jax.jit,
     static_argnames=("k", "nprobe", "Qcap", "J", "block", "nlist", "nb_max",
-                     "side_valid", "side_J", "side_block", "i8_native",
-                     "n_real"))
+                     "side_valid", "side_J", "side_block", "i8_native"))
 def ivf_ragged_search(q, centroids, values, row_ids, scales,
                       block_cell, block_start,
                       side_values, side_scales, side_ids,
@@ -471,7 +467,7 @@ def ivf_ragged_search(q, centroids, values, row_ids, scales,
                       nlist: int, nb_max: int,
                       hot_penalty=None, side_valid: int = 0,
                       side_J: int = 4, side_block: int = 512,
-                      i8_native: bool = False, n_real: int = 0):
+                      i8_native: bool = False, n_real=None):
     """Cell-major bulk search over the RAGGED block-indirect layout.
 
     ``values`` [nb_total*block, dim]: rows sorted by cell, each cell padded
@@ -488,6 +484,8 @@ def ivf_ragged_search(q, centroids, values, row_ids, scales,
     probe_counts)."""
     B, dim = q.shape
     P = B * nprobe
+    if n_real is None:
+        n_real = B
 
     cell_scores = jnp.dot(q, centroids.T, preferred_element_type=jnp.float32)
     if hot_penalty is not None:
@@ -499,9 +497,8 @@ def ivf_ragged_search(q, centroids, values, row_ids, scales,
     pair_cell = cells.reshape(-1)
     pair_q = jnp.repeat(jnp.arange(B, dtype=jnp.int32), nprobe)
     pair_rank = jnp.tile(jnp.arange(nprobe, dtype=jnp.int32), B)
-    real = pair_q < n_real if 0 < n_real < B else None
-    rank_key = pair_rank if real is None else jnp.where(real, pair_rank,
-                                                        nprobe)
+    real = pair_q < n_real  # traced mask (see ivf_bulk_search)
+    rank_key = jnp.where(real, pair_rank, nprobe)
     counts_all = jnp.zeros((nlist,), jnp.int32).at[pair_cell].add(1)
     starts = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts_all)[:-1]])
@@ -509,16 +506,11 @@ def ivf_ragged_search(q, centroids, values, row_ids, scales,
     sc = pair_cell[order]
     slot = jnp.arange(P, dtype=jnp.int32) - starts[sc]
     qidx = pair_q[order]
-    in_cap = slot < Qcap
-    if real is not None:
-        real_s = real[order]
-        in_cap = in_cap & real_s
-        counts = jnp.zeros((nlist,), jnp.int32).at[pair_cell].add(
-            real.astype(jnp.int32))
-        n_dropped = jnp.sum(real_s & ~in_cap)
-    else:
-        counts = counts_all
-        n_dropped = jnp.sum(~in_cap)
+    real_s = real[order]
+    in_cap = (slot < Qcap) & real_s
+    counts = jnp.zeros((nlist,), jnp.int32).at[pair_cell].add(
+        real.astype(jnp.int32))
+    n_dropped = jnp.sum(real_s & ~in_cap)
     dest = jnp.where(in_cap, sc * Qcap + slot, nlist * Qcap)
     qtab = jnp.zeros((nlist * Qcap,), jnp.int32).at[dest].set(
         qidx, mode="drop")

@@ -170,6 +170,9 @@ class ShardedIVFIndex:
                 si = np.where(si >= 0, si + self._bases[s], -1)
                 parts_s.append(np.asarray(tv))
                 parts_i.append(si)
+                # past the sync point: refresh drop telemetry from THIS call
+                # (shard.last_dropped still holds the tuning batch's value)
+                shard.last_dropped = int(np.asarray(shard._last_dropped_dev))
                 dropped += shard.last_dropped
         else:  # exact: per-shard flat parity scan (host-driven)
             parts_s, parts_i, dropped = [], [], 0
@@ -206,14 +209,21 @@ class ShardedIVFIndex:
 
     def save(self, path: str) -> None:
         os.makedirs(path, exist_ok=True)
+        # centroids persist once (shard files carry them too, but an EMPTY
+        # shard — more devices than rows — has no file to carry them in)
+        np.save(os.path.join(path, "centroids.npy"),
+                np.asarray(self._template.centroids, np.float32))
+        populated = []
         for s, shard in enumerate(self._shards):
-            shard.save(os.path.join(path, f"shard{s}"))
+            if len(shard) > 0:
+                shard.save(os.path.join(path, f"shard{s}"))
+                populated.append(s)
         with open(os.path.join(path, "sivf_meta.json"), "w") as fh:
             json.dump({"kind": "sivf", "dim": self.dim, "nlist": self.nlist,
                        "nprobe": self.nprobe, "dtype": self.dtype,
                        "block": self.block, "n": self._n,
                        "n_shards": self.n_shards, "bases": self._bases,
-                       "docid": self.docid}, fh)
+                       "populated": populated, "docid": self.docid}, fh)
 
     @classmethod
     def load(cls, path: str, mesh: Mesh) -> "ShardedIVFIndex":
@@ -226,11 +236,21 @@ class ShardedIVFIndex:
             raise ValueError(
                 f"index saved with {meta['n_shards']} shards, mesh has "
                 f"{idx.n_shards} devices")
+        cents = np.load(os.path.join(path, "centroids.npy"))
+        idx._template.centroids = jnp.asarray(cents)
+        populated = set(meta.get("populated", range(meta["n_shards"])))
         for s in range(meta["n_shards"]):
             with jax.default_device(idx.devices[s]):
-                shard = IVFRaggedIndex.load(os.path.join(path, f"shard{s}"))
+                if s in populated:
+                    shard = IVFRaggedIndex.load(
+                        os.path.join(path, f"shard{s}"))
+                else:  # empty shard: no rows to restore, centroids only
+                    shard = IVFRaggedIndex(
+                        meta["dim"], nlist=meta["nlist"],
+                        nprobe=meta["nprobe"], dtype=meta["dtype"],
+                        block=meta["block"])
+                    shard.centroids = jnp.asarray(cents)
             idx._shards.append(shard)
-        idx._template.centroids = idx._shards[0].centroids
         idx._bases = [int(b) for b in meta["bases"]]
         idx._n = int(meta["n"])
         idx.docid = meta.get("docid", [])

@@ -521,7 +521,8 @@ class Trainer:
                 # docs repeat across queries; per-hit row access is O(Q·k) reads)
                 texts = {}
                 if corpus_ds is not None:
-                    uniq = sorted({int(r) for i in range(valid) for r in indices[i]})
+                    uniq = sorted({int(r) for i in range(valid)
+                                   for r in indices[i] if r >= 0})
                     try:
                         fetched = corpus_ds[uniq]  # HF datasets fancy indexing
                         texts = dict(zip(uniq, fetched["original"]))
@@ -531,6 +532,11 @@ class Trainer:
                 for i in range(valid):
                     eval_num += 1
                     for j, row in enumerate(indices[i]):
+                        if row < 0:
+                            # -1 sentinel: fewer finite candidates than k
+                            # (tiny IVF cells) — self.idx[-1] would silently
+                            # label the LAST corpus doc; count as a miss
+                            continue
                         docid = self.idx[row]
                         doc_text = texts.get(int(row), "")
                         if self._label_hit(doc_text, docid, answers[i]):

@@ -32,14 +32,10 @@ NPROBE = int(os.environ.get("LAT_NPROBE", 8))
 
 
 def p50(fn, rt, n=20):
-    import jax
+    import bench
 
-    ts = []
-    for _ in range(n):
-        t0 = time.time()
-        jax.block_until_ready(fn())
-        ts.append(time.time() - t0 - rt)
-    return max(0.0, float(np.median(ts)) * 1e3)
+    # one timing/clamping implementation for the 2M and 8.8M rows
+    return bench._p50_latency_ms(fn, rt, n=n)
 
 
 def main():

@@ -427,8 +427,9 @@ def test_padding_queries_do_not_pollute_probe_tables(setup):
     assert int(drop5) == int(drop13) == 0
     # real rows' results invariant to padding width
     np.testing.assert_array_equal(np.asarray(doc5)[:3], np.asarray(doc13)[:3])
-    # control: treating padding as real floods the tables and drops pairs
-    _, _, drop_all, counts_all = run(13, 0)
+    # control: treating padding as real (n_real=None) floods the tables and
+    # drops pairs
+    _, _, drop_all, counts_all = run(13, None)
     assert int(np.asarray(counts_all).sum()) == 16 * nprobe
     assert int(drop_all) > 0
 
@@ -491,3 +492,34 @@ def test_search_bulk_async_matches_sync(setup):
     idx._bulk_state = None
     tv2, doc2 = idx.search_bulk_async(queries, 10)
     np.testing.assert_array_equal(np.asarray(doc2), i_sync)
+
+
+def test_n_real_is_traced_not_static(setup):
+    """Distinct raw batch sizes inside one padding bucket must reuse ONE
+    compiled kernel — n_real is a traced operand, not a static argname
+    (every serving tail batch would otherwise pay a fresh XLA compile)."""
+    import jax.numpy as jnp
+
+    from denseretrievaltoolkits_tpu.ops.ivf_bulk import ivf_bulk_search
+
+    corpus, queries, _ = setup
+    idx = IVFFlatIndex(32, nlist=24, nprobe=8)
+    idx.train(corpus, iters=6)
+    idx.add(corpus)
+    sv, ss, si, side_valid = idx._side_slab(np.zeros((0,), np.int64))
+    C = int(idx._values.shape[1])
+    block, J = idx._bulk_tiles(8, 10)
+    ivf_bulk_search.clear_cache()
+
+    def run(n_real):
+        q = np.concatenate(
+            [queries[:n_real], np.zeros((8 - n_real, 32), np.float32)])
+        return ivf_bulk_search(
+            jnp.asarray(q), idx.centroids, idx._values, idx._row_ids,
+            idx._scales, sv, ss, si, k=10, nprobe=8, Qcap=8, J=J,
+            block=block, nlist=idx.nlist, C=C, side_valid=side_valid,
+            side_J=4, side_block=idx.SIDE_BLOCK, n_real=n_real)
+
+    for n_real in (1, 3, 5, 8):
+        run(n_real)
+    assert ivf_bulk_search._cache_size() == 1, ivf_bulk_search._cache_size()

@@ -232,3 +232,24 @@ def test_trainer_evaluate_on_mesh_with_factory(tmp_path):
     trainer._load_index(1)
     assert isinstance(trainer.index, ShardedIVFIndex)
     assert len(trainer.index) == 48
+
+
+def test_sharded_ivf_empty_shard_save_load(tmp_path):
+    """Corpus with fewer rows than devices: trailing shards stay empty, and
+    the save/load roundtrip must still work (self-review r4: np.savez of a
+    None-valued shard produced an unloadable pickle-object artifact)."""
+    mesh = make_mesh(jax.device_count(), 1)
+    rng = np.random.default_rng(3)
+    corpus = rng.normal(size=(jax.device_count() - 1, 16)).astype(np.float32)
+    train_rows = rng.normal(size=(64, 16)).astype(np.float32)
+    idx = ShardedIVFIndex(mesh, 16, nlist=4, nprobe=4, dtype="int8", block=8)
+    idx.train(np.concatenate([corpus, train_rows]), iters=3)
+    idx.add(corpus)
+    assert len(idx) == len(corpus)
+    s1, i1 = idx.search(corpus[:2], 3)
+    path = str(tmp_path / "tiny_sivf")
+    idx.save(path)
+    loaded = load_sharded_index(path, mesh)
+    assert len(loaded) == len(corpus)
+    s2, i2 = loaded.search(corpus[:2], 3)
+    np.testing.assert_array_equal(i1, i2)
