@@ -30,13 +30,18 @@ import sys
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, _REPO)
 
-ARMS = {
-    # arm -> extra quality_trend argv
-    "random": ["--sampler", "random"],
-    "bm25": ["--sampler", "bm25", "--n_passages", "4"],
-    "mine": ["--sampler", "random", "--mine", "1"],
-}
 METRICS = ("MRR@10", "NDCG@10", "Recall@10", "Recall@100")
+
+
+def make_arms(opts):
+    """arm -> extra quality_trend argv.  Defaults replicate the round-3
+    operating point ('identical configs except the sampler', BASELINE.md):
+    n_passages 2 everywhere, dense mining refresh every ``--mine_every``."""
+    return {
+        "random": ["--sampler", "random"],
+        "bm25": ["--sampler", "bm25"],
+        "mine": ["--sampler", "random", "--mine", str(opts.mine_every)],
+    }
 
 
 def run_cell(out_dir, arm, seed, opts):
@@ -51,8 +56,8 @@ def run_cell(out_dir, arm, seed, opts):
             "--corpus", str(opts.corpus), "--train", str(opts.train),
             "--eval", str(opts.eval), "--epochs", str(opts.epochs),
             "--topics", str(opts.topics), "--seed", str(seed),
-            "--search_mode", opts.search_mode,
-        ] + ARMS[arm]
+            "--lr", str(opts.lr), "--search_mode", opts.search_mode,
+        ] + make_arms(opts)[arm]
         if opts.platform:
             argv += ["--platform", opts.platform]
         print(f"### {arm} seed={seed}: quality_trend {' '.join(argv)}",
@@ -69,15 +74,24 @@ def main(argv=None):
     ap.add_argument("--out", default="/tmp/drt_quality_multiseed")
     ap.add_argument("--seeds", type=int, nargs="+", default=[0, 1, 2])
     ap.add_argument("--corpus", type=int, default=200_000)
-    ap.add_argument("--train", type=int, default=2000)
-    ap.add_argument("--eval", type=int, default=200)
-    ap.add_argument("--epochs", type=int, default=5)
+    # train/eval/epochs/lr defaults = the round-3 operating point where the
+    # single-seed mining wins were measured (BASELINE.md "A workload where
+    # hard negatives win": 512 train / 128 eval / 8 epochs / lr 3e-4) —
+    # the multi-seed question is whether THOSE wins survive seed noise.
+    # (A first sweep at 2000 train queries / lr 1e-4 measured a DIFFERENT
+    # point: with 4x the training data, random negatives saturate the
+    # workload and mining stops mattering — recorded in BASELINE.md.)
+    ap.add_argument("--train", type=int, default=512)
+    ap.add_argument("--eval", type=int, default=128)
+    ap.add_argument("--epochs", type=int, default=8)
+    ap.add_argument("--lr", type=float, default=3e-4)
+    ap.add_argument("--mine_every", type=int, default=2)
     ap.add_argument("--topics", type=int, default=1024)
     ap.add_argument("--search_mode", default="serve",
                     help="eval search mode; 'serve' exercises the packed "
                          "device kernel at a scale where it is load-bearing")
-    ap.add_argument("--arms", nargs="+", default=list(ARMS),
-                    choices=list(ARMS))
+    ap.add_argument("--arms", nargs="+", default=["random", "bm25", "mine"],
+                    choices=["random", "bm25", "mine"])
     ap.add_argument("--platform", default=None, choices=["cpu", "tpu"])
     opts = ap.parse_args(argv)
 
