@@ -225,3 +225,40 @@ def test_non_finite_loss_halts(setup):
         trainer.state["params"])
     with pytest.raises(FloatingPointError, match="resume"):
         trainer.train()
+
+
+def test_evaluate_skips_sentinel_rows(trained):
+    """-1 sentinel indices from an IVF-style search must count as misses and
+    never translate through self.idx[-1] (the LAST corpus docid) — the
+    trainer-side twin of the retrieval-CLI sentinel filter (advisor r3 +
+    round-4 self-review)."""
+    trainer, train_args = trained
+    real_index = trainer.index
+
+    class SentinelIndex:
+        docid = real_index.docid
+
+        def __len__(self):
+            return len(real_index)
+
+        def search(self, q, k, mode="exact"):
+            s, i = real_index.search(q, k, mode="exact")
+            s, i = np.array(s), np.array(i)
+            s[:, -2:] = -1e30  # fewer finite candidates than k
+            i[:, -2:] = -1
+            return s, i
+
+    try:
+        trainer.index = SentinelIndex()
+        trainer._indexed_ep = 99  # keep evaluate() from rebuilding the index
+        metrics = trainer.evaluate(trainer.eval_loader, 99)
+    finally:
+        trainer.index = real_index
+    assert metrics["query_num"] == 8
+    assert all(np.isfinite(v) for v in metrics.values())
+    # the dump must not contain the would-be idx[-1] translation artifacts:
+    # every dumped doc_id must come from a NON-sentinel row (scores finite)
+    dump = os.path.join(train_args.retrieve_dir, "99.0.json")
+    with open(dump) as fh:
+        rows = [json.loads(line) for line in fh if line.strip()]
+    assert rows and all(r["score"] > -1e29 for r in rows)
