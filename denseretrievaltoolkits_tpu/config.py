@@ -253,7 +253,8 @@ class TrainingArguments:
     index_dtype: str = field(
         default="float32",
         metadata={"help": "HBM index dtype: float32 | bfloat16 | int8 | int4 "
-                  "(int4 is single-device FlatIPIndex only)"},
+                  "(int4 rows are nibble-packed; on a mesh they shard like "
+                  "int8 at half the per-chip HBM)"},
     )
     use_pallas: bool = field(
         default=True,

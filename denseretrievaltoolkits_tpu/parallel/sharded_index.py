@@ -31,14 +31,15 @@ class ShardedFlatIndex:
 
     def __init__(self, mesh: Mesh, dim: int, dtype: str = "float32",
                  block_size: int = DEFAULT_BLOCK, use_pallas: bool = True):
-        if dtype not in ("float32", "bfloat16", "int8"):
-            raise ValueError(
-                f"ShardedFlatIndex dtype {dtype!r} unsupported (int4 is "
-                "single-device FlatIPIndex only — at sharded scale int8 "
-                "already fits: 8 chips hold 170M+ int8 rows)")
+        if dtype not in ("float32", "bfloat16", "int8", "int4"):
+            raise ValueError(f"ShardedFlatIndex dtype {dtype!r} unsupported")
         self.mesh = mesh
         self.dim = dim
         self.dtype = dtype
+        # int4 rows store nibble-packed: [rows, dim/2] int8 + per-row scales
+        # (the sq4 kernels unpack in-kernel; half the per-chip HBM of int8 —
+        # ~42M x 768 rows per v5e chip, 8 chips > 300M)
+        self.stored_dim = dim // 2 if dtype == "int4" else dim
         self.block_size = block_size
         self.use_pallas = use_pallas
         self.n_shards = mesh.shape[DATA_AXIS]
@@ -79,6 +80,13 @@ class ShardedFlatIndex:
                 jnp.asarray(p_reps), block_rows=min(1024, n)
             )
             self._device_chunks.append((v[:n], s[:n]))
+        elif self.dtype == "int4":
+            from ..ops.quant import quantize_int4_device
+
+            v, s = quantize_int4_device(
+                jnp.asarray(p_reps), block_rows=min(1024, n)
+            )
+            self._device_chunks.append((v[:n], s[:n]))
         elif self.dtype == "bfloat16":
             self._device_chunks.append((jnp.asarray(p_reps, jnp.bfloat16), None))
         else:
@@ -105,9 +113,9 @@ class ShardedFlatIndex:
             if pad:
                 values = jnp.pad(values, ((0, pad), (0, 0)))
             self._corpus = jax.device_put(
-                values.reshape(self.n_shards, per, self.dim), sharding
+                values.reshape(self.n_shards, per, self.stored_dim), sharding
             )
-            if self.dtype == "int8":
+            if self.dtype in ("int8", "int4"):
                 scales = jnp.concatenate([s for _, s in self._device_chunks])
                 if pad:
                     scales = jnp.pad(scales, (0, pad))
@@ -126,12 +134,17 @@ class ShardedFlatIndex:
         if self.dtype == "int8":
             values, scales = quantize_int8(full)
             corpus_np, scales_np = values, scales
+        elif self.dtype == "int4":
+            from ..ops.quant import quantize_int4_device
+
+            v_d, s_d = quantize_int4_device(jnp.asarray(full))
+            corpus_np, scales_np = np.asarray(v_d), np.asarray(s_d)
         elif self.dtype == "bfloat16":
             corpus_np, scales_np = full, None
         else:
             corpus_np, scales_np = full, None
 
-        stacked = corpus_np.reshape(self.n_shards, per, self.dim)
+        stacked = corpus_np.reshape(self.n_shards, per, self.stored_dim)
         arr = jnp.asarray(stacked, jnp.bfloat16 if self.dtype == "bfloat16" else None)
         self._corpus = jax.device_put(arr, sharding)
         if scales_np is not None:
@@ -172,12 +185,17 @@ class ShardedFlatIndex:
         if self._device_chunks:
             values = jnp.concatenate([v for v, _ in self._device_chunks], axis=0)
             scales = (jnp.concatenate([s for _, s in self._device_chunks])
-                      if self.dtype == "int8" else None)
+                      if self.dtype in ("int8", "int4") else None)
         else:
             full = (np.concatenate(self._chunks, axis=0) if self._chunks
                     else np.zeros((0, self.dim), np.float32))
             if self.dtype == "int8":
                 values, scales = quantize_int8(full)
+            elif self.dtype == "int4":
+                from ..ops.quant import quantize_int4_device
+
+                v_d, s_d = quantize_int4_device(jnp.asarray(full))
+                values, scales = np.asarray(v_d), np.asarray(s_d)
             elif self.dtype == "bfloat16":
                 values, scales = jnp.asarray(full, jnp.bfloat16), None
             else:
@@ -187,10 +205,12 @@ class ShardedFlatIndex:
             values = jnp.pad(jnp.asarray(values), ((0, pad), (0, 0)))
             if scales is not None:
                 scales = jnp.pad(jnp.asarray(scales), (0, pad))
-        local3 = np.asarray(values).reshape(n_local_shards, per, self.dim)
+        local3 = np.asarray(values).reshape(n_local_shards, per,
+                                            self.stored_dim)
         sharding = NamedSharding(self.mesh, P(DATA_AXIS, None, None))
         self._corpus = jax.make_array_from_process_local_data(
-            sharding, local3, global_shape=(self.n_shards, per, self.dim))
+            sharding, local3,
+            global_shape=(self.n_shards, per, self.stored_dim))
         if scales is not None:
             self._scales = jax.make_array_from_process_local_data(
                 NamedSharding(self.mesh, P(DATA_AXIS, None)),
@@ -210,9 +230,12 @@ class ShardedFlatIndex:
         from ..ops.topk import safe_block
 
         kernel_dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16,
-                        "int8": jnp.int8}[self.dtype]
+                        "int8": jnp.int8, "int4": jnp.int8}[self.dtype]
+        # int4 stores dim/2 packed bytes but unpacks to dim in-kernel, so the
+        # full dim is the conservative VMEM bound either way
         block = safe_block(self.dim, kernel_dtype, min(self.block_size, per))
         has_scales = self._scales is not None
+        int4 = self.dtype == "int4"
         use_pallas = (
             self.use_pallas and jax.default_backend() == "tpu"
             and per % block == 0
@@ -230,7 +253,7 @@ class ShardedFlatIndex:
                 return blockwise_topk(
                     q, corpus_rows, k, block,
                     scales=scales_rows if has_scales else None,
-                    valid=local_valid,
+                    valid=local_valid, int4=int4,
                 )
 
             from ..ops.topk import (
@@ -238,7 +261,10 @@ class ShardedFlatIndex:
                 _pallas_block_topj_packed,
                 _pallas_block_topj_packed_i8q,
                 _pallas_block_topj_packed_scaled,
+                _pallas_block_topj_packed_sq4,
+                _pallas_block_topj_packed_sq4_i8q,
                 _pallas_block_topj_scaled,
+                _pallas_block_topj_sq4,
                 quantize_queries,
             )
 
@@ -254,13 +280,24 @@ class ShardedFlatIndex:
             # n_valid masking inside the kernel needs a static bound, but the
             # per-shard valid count is traced under shard_map — pass the full
             # static row count (no in-kernel masking) and mask here instead
-            if mode == "i8q":
+            if mode == "i8q" and int4:
+                # int4 shards: the native sq4 MXU kernel (nibble rows widen
+                # to int8 in-kernel; queries quantized in-graph, replicated)
+                qi, qsq = quantize_queries(q)
+                vals_b, ids_b = _pallas_block_topj_packed_sq4_i8q(
+                    qi, corpus_rows, scales_rows, qsq, J, block, per, tq=tq
+                )
+            elif mode == "i8q":
                 # int8 shards: the native-int8 MXU kernel (s8·s8→s32, queries
                 # quantized in-graph — replicated, so every shard agrees;
                 # resolve_mode guarantees scales exist)
                 qi, qsq = quantize_queries(q)
                 vals_b, ids_b = _pallas_block_topj_packed_i8q(
                     qi, corpus_rows, scales_rows, qsq, J, block, per, tq=tq
+                )
+            elif mode == "serve" and int4:
+                vals_b, ids_b = _pallas_block_topj_packed_sq4(
+                    qb, corpus_rows, scales_rows, J, block, per, tq=tq
                 )
             elif mode == "serve" and has_scales:
                 vals_b, ids_b = _pallas_block_topj_packed_scaled(
@@ -269,6 +306,13 @@ class ShardedFlatIndex:
             elif mode == "serve":
                 vals_b, ids_b = _pallas_block_topj_packed(
                     qb, corpus_rows, J, block, per, tq=tq
+                )
+            elif int4:
+                # certified sq4 kernel: exact fp32 scoring over unpacked
+                # nibbles; the certificate/fallback below stays shared
+                vals_b, ids_b = _pallas_block_topj_sq4(
+                    q.astype(jnp.float32), corpus_rows, scales_rows, J,
+                    block, per
                 )
             elif has_scales:
                 vals_b, ids_b = _pallas_block_topj_scaled(
@@ -300,7 +344,7 @@ class ShardedFlatIndex:
                 return blockwise_topk(
                     q, corpus_rows, k, block,
                     scales=scales_rows if has_scales else None,
-                    valid=local_valid,
+                    valid=local_valid, int4=int4,
                 )
 
             return jax.lax.cond(flagged, exact_path, lambda _: (top_v, top_i), None)
@@ -378,22 +422,30 @@ class ShardedFlatIndex:
         import os
 
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-        if self.dtype == "int8":
-            # native (values int8, scales fp32) payload: 4x less disk than the
-            # old fp32 round-trip and NO double quantization on reload
+        if self.dtype in ("int8", "int4"):
+            # native (values int8/nibble-packed, scales fp32) payload: 4-8x
+            # less disk than a fp32 round-trip and NO double quantization
             if self._device_chunks:
                 values = np.concatenate(
                     [np.asarray(v, np.int8) for v, _ in self._device_chunks])
                 scales = np.concatenate(
                     [np.asarray(s, np.float32) for _, s in self._device_chunks])
             elif self._chunks:
-                values, scales = quantize_int8(np.concatenate(self._chunks, axis=0))
+                full = np.concatenate(self._chunks, axis=0)
+                if self.dtype == "int8":
+                    values, scales = quantize_int8(full)
+                else:
+                    from ..ops.quant import quantize_int4_device
+
+                    v_d, s_d = quantize_int4_device(jnp.asarray(full))
+                    values, scales = np.asarray(v_d), np.asarray(s_d)
             elif self._corpus is not None:
                 # materialized (possibly loaded) mesh-resident shards
-                values = np.asarray(self._corpus, np.int8).reshape(-1, self.dim)[: self._n]
+                values = np.asarray(self._corpus, np.int8).reshape(
+                    -1, self.stored_dim)[: self._n]
                 scales = np.asarray(self._scales, np.float32).reshape(-1)[: self._n]
             else:
-                values = np.zeros((0, self.dim), np.int8)
+                values = np.zeros((0, self.stored_dim), np.int8)
                 scales = np.zeros((0,), np.float32)
             np.savez(path + ".npz", values=values, scales=scales)
         else:
@@ -421,14 +473,15 @@ class ShardedFlatIndex:
         pad = per * self.n_shards - n
         if pad:
             values = np.concatenate(
-                [values, np.zeros((pad, self.dim), values.dtype)])
+                [values, np.zeros((pad, self.stored_dim), values.dtype)])
             if scales is not None:
                 scales = np.concatenate([scales, np.zeros((pad,), scales.dtype)])
         self._n = n
         self._rows_per_shard = per
         sharding = NamedSharding(self.mesh, P(DATA_AXIS, None, None))
         self._corpus = jax.device_put(
-            jnp.asarray(values.reshape(self.n_shards, per, self.dim)), sharding)
+            jnp.asarray(values.reshape(self.n_shards, per, self.stored_dim)),
+            sharding)
         if scales is not None:
             self._scales = jax.device_put(
                 jnp.asarray(scales.reshape(self.n_shards, per)),

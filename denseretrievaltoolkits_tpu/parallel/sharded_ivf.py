@@ -261,11 +261,12 @@ def sharded_index_factory(mesh: Mesh, dim: int, factory_str: str,
                           nprobe: int = 32, use_pallas: bool = True):
     """Mesh-aware ``index_factory`` (module docstring).  Factory strings:
 
-      Flat / IP / BF16 / SQ8      -> ShardedFlatIndex at that dtype
+      Flat / IP / BF16 / SQ8 / SQ4 -> ShardedFlatIndex at that dtype (SQ4
+                                      shards nibble-packed: ~42M x 768 rows
+                                      per v5e chip)
       PCAR{d},<flat tail>          -> replicated PCATransform + sharded flat
       IVF{n},<tail> / IVFR{n},<tail> -> ShardedIVFIndex (ragged layout;
                                       Flat/BF16/SQ8 cell dtypes)
-      SQ4 (anywhere)               -> single-device only, raises
     """
     from ..index.flat import index_factory  # dtype tables stay in one place
     from .sharded_index import ShardedFlatIndex
@@ -273,13 +274,8 @@ def sharded_index_factory(mesh: Mesh, dim: int, factory_str: str,
     key = factory_str.strip().lower()
     flat_dtypes = {"flat": "float32", "ip": "float32",
                    "bf16": "bfloat16", "flat16": "bfloat16",
-                   "sq8": "int8", "sqint8": "int8"}
-    if key in ("sq4", "sqint4") or key.endswith(",sq4") \
-            or key.endswith(",sqint4"):
-        raise ValueError(
-            "SQ4 (nibble-packed int4) is single-device FlatIPIndex only; "
-            "at sharded scale SQ8 already fits (8 chips hold 170M+ rows) — "
-            "use SQ8 or drop the mesh")
+                   "sq8": "int8", "sqint8": "int8",
+                   "sq4": "int4", "sqint4": "int4"}
     if key in flat_dtypes:
         return ShardedFlatIndex(mesh, dim, dtype=flat_dtypes[key],
                                 use_pallas=use_pallas)

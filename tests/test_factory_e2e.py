@@ -132,14 +132,16 @@ def test_factory_on_multidevice_mesh(tmp_path):
     assert isinstance(make("IVF8,SQ8"), ShardedIVFIndex)
     assert isinstance(make("IVFR8,SQ8"), ShardedIVFIndex)
     assert isinstance(make("SQ8"), ShardedFlatIndex)
+    q4 = make("SQ4")  # nibble-packed rows shard too (round 4)
+    assert isinstance(q4, ShardedFlatIndex) and q4.dtype == "int4"
     chained = make("PCAR16,SQ8")
     assert isinstance(chained, TransformedIndex)
     assert isinstance(chained.inner, ShardedFlatIndex)
     assert chained.inner.dim == 16
-    with pytest.raises(ValueError, match="single-device"):
-        make("SQ4")
-    with pytest.raises(ValueError, match="single-device"):
-        make("PCAR16,SQ4")
+    c4 = make("PCAR16,SQ4")
+    assert isinstance(c4.inner, ShardedFlatIndex) and c4.inner.dtype == "int4"
+    with pytest.raises(ValueError, match="IVF cells"):
+        make("IVFR8,SQ4")  # 4-bit cells stay rejected, same as single-device
 
 
 def test_streaming_trained_build_at_1m_rows(tmp_path):

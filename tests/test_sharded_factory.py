@@ -253,3 +253,45 @@ def test_sharded_ivf_empty_shard_save_load(tmp_path):
     assert len(loaded) == len(corpus)
     s2, i2 = loaded.search(corpus[:2], 3)
     np.testing.assert_array_equal(i1, i2)
+
+
+def test_sharded_int4_matches_single_device(tmp_path, setup):
+    """int4 (nibble-packed) shards: recall parity with the single-device
+    FlatIPIndex int4 path, the mode contract, and save/load (round 4: SQ4
+    was previously single-device only)."""
+    from denseretrievaltoolkits_tpu.parallel.sharded_index import (
+        ShardedFlatIndex,
+    )
+
+    corpus, queries, exact = setup
+    mesh = make_mesh(jax.device_count(), 1)
+    sharded = ShardedFlatIndex(mesh, 32, dtype="int4", block_size=64)
+    sharded.add(corpus)
+    single = FlatIPIndex(32, dtype="int4")
+    single.add(corpus)
+    k = 10
+    _, ref = exact.search(queries, k)
+    _, got_sh = sharded.search(queries, k)
+    _, got_si = single.search(queries, k)
+    r_sh, r_si = _recall(got_sh, ref, k), _recall(got_si, ref, k)
+    # vs fp32 truth both paths pay the same 4-bit quantization noise (large
+    # at dim=32 on this tight clustered corpus — that is the dtype, not the
+    # sharding); the parity claims are (a) no worse than single-device and
+    # (b) near-identical member sets (identical per-row quantization)
+    assert r_sh >= r_si - 0.02, (r_sh, r_si)
+    assert _recall(got_sh, got_si, k) >= 0.9
+    # mode contract: i8q/approx legal, partial rejected
+    s_a, i_a = sharded.search(queries[:8], k, mode="approx")
+    s_e, i_e = sharded.search(queries[:8], k, mode="i8q")
+    np.testing.assert_array_equal(i_a, i_e)
+    with pytest.raises(ValueError, match="partial"):
+        sharded.search(queries[:8], k, mode="partial")
+    # native-payload save/load roundtrip
+    path = str(tmp_path / "sq4_sharded")
+    sharded.docid = [f"d{i}" for i in range(len(corpus))]
+    sharded.save(path)
+    loaded = ShardedFlatIndex.load(path, mesh)
+    assert loaded.dtype == "int4" and len(loaded) == len(corpus)
+    s1, i1 = sharded.search(queries[:8], k)
+    s2, i2 = loaded.search(queries[:8], k)
+    np.testing.assert_array_equal(i1, i2)
