@@ -46,6 +46,44 @@ from ..index.ivf import IVFRaggedIndex
 from ..index.modes import resolve_ivf_mode
 
 
+class CollectivePCATransform:
+    """``PCATransform`` whose fit is CONSISTENT across hosts.
+
+    On multi-host meshes each host samples its OWN corpus window for
+    training (``Trainer._build_trained_index`` reads the local spill
+    memmap), so a per-host fit would produce disagreeing projection
+    matrices — an inconsistent index.  Here every host's sample is trimmed
+    to the global minimum count (one tiny count-allgather), gathered with
+    ``process_allgather``, and the covariance fit runs on the COMBINED
+    sample on every host — same input, same eigvecs, same seeded rotation,
+    identical matrices.  Single-process this is exactly ``PCATransform``.
+
+    Delegation (not inheritance) keeps ``index/transforms.py`` free of any
+    distributed import; save/load reuse the plain transform's format."""
+
+    def __init__(self, dim: int, d_out: int, rotate: bool = True,
+                 seed: int = 0):
+        from ..index.transforms import PCATransform
+
+        self._t = PCATransform(dim, d_out, rotate=rotate, seed=seed)
+
+    def __getattr__(self, name):  # dim/d_out/matrix/apply/save/is_trained...
+        return getattr(self._t, name)
+
+    def train(self, reps, block: int = 65536) -> None:
+        reps = np.asarray(reps, np.float32)
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            counts = np.asarray(multihost_utils.process_allgather(
+                jnp.asarray([reps.shape[0]], jnp.int32)))
+            n_min = int(counts.min())
+            gathered = multihost_utils.process_allgather(
+                jnp.asarray(reps[:n_min]), tiled=True)
+            reps = np.asarray(gathered)
+        self._t.train(reps, block=block)
+
+
 class ShardedIVFIndex:
     """Row-partitioned IVF over a mesh's devices (module docstring)."""
 
@@ -280,15 +318,6 @@ def sharded_index_factory(mesh: Mesh, dim: int, factory_str: str,
         return ShardedFlatIndex(mesh, dim, dtype=flat_dtypes[key],
                                 use_pallas=use_pallas)
     if key.startswith("pca"):
-        if jax.process_count() > 1:
-            # each host would fit the transform on ITS OWN window sample —
-            # different projection matrices per host, an inconsistent index.
-            # (A collective transform fit is future work; flat strings have
-            # no training and stay multi-host.)
-            raise ValueError(
-                "PCA/PCAR factory chains are single-process: the transform "
-                "trains on a local sample and hosts would disagree. Use a "
-                "flat factory string (Flat/BF16/SQ8) on multi-host meshes.")
         head, _, tail = key.partition(",")
         rotate = head.startswith("pcar")
         try:
@@ -296,12 +325,12 @@ def sharded_index_factory(mesh: Mesh, dim: int, factory_str: str,
         except ValueError:
             d_out = 0
         if d_out > 0 and tail:
-            from ..index.transforms import PCATransform, TransformedIndex
+            from ..index.transforms import TransformedIndex
 
             inner = sharded_index_factory(mesh, d_out, tail, nprobe=nprobe,
                                           use_pallas=use_pallas)
-            return TransformedIndex(PCATransform(dim, d_out, rotate=rotate),
-                                    inner)
+            return TransformedIndex(
+                CollectivePCATransform(dim, d_out, rotate=rotate), inner)
     if key.startswith("ivf"):
         head, _, tail = key.partition(",")
         ragged = head.startswith("ivfr")

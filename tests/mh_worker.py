@@ -281,4 +281,19 @@ for key in ref:
     assert abs(got - want) < 0.02, (key, got, want)
 eval_sig = ",".join(f"{metrics[k]:.6f}" for k in sorted(ref))
 
-print(f"MH_OK proc={proc_id} loss={loss:.6f} evalsig={eval_sig}", flush=True)
+# --- 8: collective PCA fit — per-host samples DIFFER (size and content),
+#        the fitted matrices must be identical (parallel/sharded_ivf.py)
+import hashlib
+
+from denseretrievaltoolkits_tpu.parallel.sharded_ivf import (
+    CollectivePCATransform,
+)
+
+ct = CollectivePCATransform(16, 8)
+local_sample = np.random.default_rng(100 + proc_id).standard_normal(
+    (64 + proc_id, 16)).astype(np.float32)
+ct.train(local_sample)
+ct_sig = hashlib.sha1(ct.matrix.tobytes()).hexdigest()[:10]
+
+print(f"MH_OK proc={proc_id} loss={loss:.6f} evalsig={eval_sig} "
+      f"ctsig={ct_sig}", flush=True)

@@ -131,3 +131,6 @@ def test_two_process_distributed_run():
     # (shard_hosts windows -> sharded index -> search -> labels; step 7)
     sigs = [out.split("evalsig=")[1].split()[0] for out in outs]
     assert sigs[0] == sigs[1], f"eval metrics mismatch across hosts: {sigs}"
+    # collective PCA fit from DIFFERENT per-host samples agrees (step 8)
+    cts = [out.split("ctsig=")[1].split()[0] for out in outs]
+    assert cts[0] == cts[1], f"collective transform mismatch: {cts}"

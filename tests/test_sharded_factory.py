@@ -295,3 +295,25 @@ def test_sharded_int4_matches_single_device(tmp_path, setup):
     s1, i1 = sharded.search(queries[:8], k)
     s2, i2 = loaded.search(queries[:8], k)
     np.testing.assert_array_equal(i1, i2)
+
+
+def test_collective_pca_single_process_equals_plain():
+    """Single-process, the collective transform is exactly PCATransform —
+    same matrix from the same sample; and the factory now builds PCA chains
+    with it (multi-host-consistent fit; mh_worker step 8 covers the
+    cross-process agreement)."""
+    from denseretrievaltoolkits_tpu.index.transforms import PCATransform
+    from denseretrievaltoolkits_tpu.parallel.sharded_ivf import (
+        CollectivePCATransform,
+    )
+
+    rng = np.random.default_rng(7)
+    sample = rng.normal(size=(256, 16)).astype(np.float32)
+    a = PCATransform(16, 8)
+    a.train(sample)
+    b = CollectivePCATransform(16, 8)
+    b.train(sample)
+    np.testing.assert_array_equal(a.matrix, b.matrix)
+    mesh = make_mesh(jax.device_count(), 1)
+    chain = sharded_index_factory(mesh, 16, "PCAR8,SQ8")
+    assert isinstance(chain.transform, CollectivePCATransform)
