@@ -417,10 +417,112 @@ class ShardedFlatIndex:
 
     # -- persistence (same on-disk format as FlatIPIndex.save/load) ----------
 
+    def _local_payload(self):
+        """(values, scales) for THIS process's rows, in add order — quantized
+        native bytes for int8/int4, fp32 otherwise (the on-disk format)."""
+        if self.dtype in ("int8", "int4"):
+            if self._device_chunks:
+                values = np.concatenate(
+                    [np.asarray(v, np.int8) for v, _ in self._device_chunks])
+                scales = np.concatenate(
+                    [np.asarray(s, np.float32)
+                     for _, s in self._device_chunks])
+            elif self._chunks:
+                full = np.concatenate(self._chunks, axis=0)
+                if self.dtype == "int8":
+                    values, scales = quantize_int8(full)
+                else:
+                    from ..ops.quant import quantize_int4_device
+
+                    v_d, s_d = quantize_int4_device(jnp.asarray(full))
+                    values, scales = np.asarray(v_d), np.asarray(s_d)
+            else:
+                values = np.zeros((0, self.stored_dim), np.int8)
+                scales = np.zeros((0,), np.float32)
+            return values, scales
+        if self._device_chunks:
+            values = np.concatenate([np.asarray(v, np.float32)
+                                     for v, _ in self._device_chunks])
+        elif self._chunks:
+            values = np.concatenate(self._chunks, axis=0)
+        else:
+            values = np.zeros((0, self.dim), np.float32)
+        return values, None
+
+    def _window_layout(self, n_global: int):
+        """(per-shard rows, local shard count, this host's [start, stop))."""
+        from ..utils.distributed import host_corpus_bounds
+
+        per = -(-int(n_global) // self.n_shards)
+        local_shards = self.n_shards // jax.process_count()
+        start, stop = host_corpus_bounds(int(n_global),
+                                         local_shards=local_shards)
+        return per, local_shards, start, stop
+
+    def _save_multihost(self, path: str) -> None:
+        """COLLECTIVE multi-host save: every process gathers all hosts'
+        window payloads (equal-shape allgather over padded windows), then
+        process 0 alone writes the single-file artifact the single-host
+        ``load`` understands.  The reference's analog is the rank-0
+        ``faiss.write_index`` fence (DRT/trainer/trainer.py:245-250);
+        previously every process raced writes to the same file."""
+        import json
+        import os
+
+        from jax.experimental import multihost_utils
+
+        if self.global_rows is None:
+            raise RuntimeError("multi-host save needs index.global_rows")
+        n_global = int(self.global_rows)
+        per, local_shards, start, stop = self._window_layout(n_global)
+        target = per * local_shards
+        values, scales = self._local_payload()
+        if values.shape[0] != stop - start:
+            raise RuntimeError(
+                f"host holds {values.shape[0]} rows, window is "
+                f"[{start},{stop})")
+        pad = target - values.shape[0]
+        if pad:
+            values = np.concatenate(
+                [values, np.zeros((pad,) + values.shape[1:], values.dtype)])
+            if scales is not None:
+                scales = np.concatenate(
+                    [scales, np.zeros((pad,), scales.dtype)])
+        g_v = np.asarray(multihost_utils.process_allgather(
+            jnp.asarray(values), tiled=True))
+        g_s = (np.asarray(multihost_utils.process_allgather(
+            jnp.asarray(scales), tiled=True)) if scales is not None else None)
+        if jax.process_index() != 0:
+            return
+        # drop each host's interior padding: host h's true rows are the
+        # first (stop_h - start_h) of its target-sized block
+        parts_v, parts_s = [], []
+        for h in range(jax.process_count()):
+            s_h = min(h * target, n_global)
+            e_h = min((h + 1) * target, n_global)
+            parts_v.append(g_v[h * target : h * target + (e_h - s_h)])
+            if g_s is not None:
+                parts_s.append(g_s[h * target : h * target + (e_h - s_h)])
+        full_v = np.concatenate(parts_v)
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        if g_s is not None:
+            np.savez(path + ".npz", values=full_v,
+                     scales=np.concatenate(parts_s))
+        elif self.dtype == "bfloat16":
+            np.savez(path + ".npz", reps=full_v)
+        else:
+            np.savez(path + ".npz", reps=full_v)
+        with open(path + ".meta.json", "w") as fh:
+            json.dump({"dim": self.dim, "dtype": self.dtype, "n": n_global,
+                       "docid": self.docid}, fh)
+
     def save(self, path: str) -> None:
         import json
         import os
 
+        if jax.process_count() > 1:
+            self._save_multihost(path)
+            return
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         if self.dtype in ("int8", "int4"):
             # native (values int8/nibble-packed, scales fp32) payload: 4-8x
@@ -490,6 +592,40 @@ class ShardedFlatIndex:
             self._scales = None
         self._search_fn = None
 
+    def _place_native_multihost(self, values: np.ndarray,
+                                scales: Optional[np.ndarray],
+                                n_global: int) -> None:
+        """Each process places ONLY its window of a full native payload onto
+        its local devices (``make_array_from_process_local_data`` — no
+        cross-host movement; the file is on a shared FS, reference analog
+        ``faiss.read_index`` from rank 0's write, trainer.py:252-262)."""
+        per, local_shards, start, stop = self._window_layout(n_global)
+        target = per * local_shards
+        win_v = values[start:stop]
+        pad = target - win_v.shape[0]
+        if pad:
+            win_v = np.concatenate(
+                [win_v, np.zeros((pad,) + win_v.shape[1:], win_v.dtype)])
+        self._corpus = jax.make_array_from_process_local_data(
+            NamedSharding(self.mesh, P(DATA_AXIS, None, None)),
+            win_v.reshape(local_shards, per, self.stored_dim),
+            global_shape=(self.n_shards, per, self.stored_dim))
+        if scales is not None:
+            win_s = scales[start:stop]
+            if pad:
+                win_s = np.concatenate(
+                    [win_s, np.zeros((pad,), win_s.dtype)])
+            self._scales = jax.make_array_from_process_local_data(
+                NamedSharding(self.mesh, P(DATA_AXIS, None)),
+                win_s.reshape(local_shards, per),
+                global_shape=(self.n_shards, per))
+        else:
+            self._scales = None
+        self._n = n_global
+        self.global_rows = n_global
+        self._rows_per_shard = per
+        self._search_fn = None
+
     @classmethod
     def load(cls, path: str, mesh: Mesh) -> "ShardedFlatIndex":
         import json
@@ -497,14 +633,24 @@ class ShardedFlatIndex:
         with open(path + ".meta.json") as fh:
             meta = json.load(fh)
         idx = cls(mesh, meta["dim"], dtype=meta["dtype"])
+        multihost = jax.process_count() > 1
         with np.load(path + ".npz") as z:
-            if "values" in z:  # native int8: shards go straight onto the mesh
-                idx._place_native(z["values"], z["scales"])
+            if "values" in z:  # native int8/int4: shards straight to mesh
+                if multihost:
+                    idx._place_native_multihost(z["values"], z["scales"],
+                                                int(meta["n"]))
+                else:
+                    idx._place_native(z["values"], z["scales"])
                 idx.docid = meta.get("docid", [])
                 return idx
             reps = z["reps"]
         if reps.shape[0]:
-            if meta["dtype"] == "bfloat16":
+            if multihost:
+                cast = (np.asarray(jnp.asarray(reps, jnp.bfloat16))
+                        if meta["dtype"] == "bfloat16" else
+                        np.asarray(reps, np.float32))
+                idx._place_native_multihost(cast, None, int(meta["n"]))
+            elif meta["dtype"] == "bfloat16":
                 idx._place_native(
                     np.asarray(jnp.asarray(reps, jnp.bfloat16)), None)
             else:

@@ -281,6 +281,19 @@ for key in ref:
     assert abs(got - want) < 0.02, (key, got, want)
 eval_sig = ",".join(f"{metrics[k]:.6f}" for k in sorted(ref))
 
+# sharded-index checkpoint across hosts: evaluate() saved the index via the
+# COLLECTIVE _save_multihost (window allgather, rank-0 single-file write —
+# previously every process raced writes to one path); restore through
+# _load_index (per-host window placement) and assert search parity
+multihost_utils.sync_global_devices("index_file_written")
+live_s, live_i = ev_trainer.index.search(reps[:8], 5)
+ev_trainer.index = None
+ev_trainer._load_index(9)
+ld_s, ld_i = ev_trainer.index.search(reps[:8], 5)
+np.testing.assert_array_equal(live_i, ld_i)
+np.testing.assert_allclose(live_s, ld_s, rtol=1e-5, atol=1e-5)
+assert ev_trainer.index.docid == ev_trainer.idx
+
 # --- 8: collective PCA fit — per-host samples DIFFER (size and content),
 #        the fitted matrices must be identical (parallel/sharded_ivf.py)
 import hashlib
