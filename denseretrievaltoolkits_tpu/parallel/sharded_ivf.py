@@ -26,9 +26,12 @@ DRT/evaluator/index.py:47-54): flat strings map to ``ShardedFlatIndex``,
 ``PCAR{d},<flat>`` chains put the replicated transform in front of sharded
 flat storage, IVF strings build ``ShardedIVFIndex``.
 
-Multi-host is served by ``ShardedFlatIndex`` (global-array assembly from
-per-host windows); the per-device-object layout here is single-process
-(any number of local devices) and raises otherwise.
+Multi-host: every process drives only its OWN devices' partitions (the
+cell stores are process-local objects); the k-means fit is collective
+(samples gather so all hosts agree on centroids), per-host merged
+candidates exchange with one ``process_allgather`` at search time, and
+persistence writes per-shard files under globally-unique names with a
+rank-0 meta (save/load are collective — call on all processes).
 """
 
 from __future__ import annotations
@@ -89,13 +92,23 @@ class ShardedIVFIndex:
 
     def __init__(self, mesh: Mesh, dim: int, nlist: int = 1024,
                  nprobe: int = 32, dtype: str = "int8", block: int = 512):
-        if jax.process_count() > 1:
-            raise ValueError(
-                "ShardedIVFIndex is single-process (per-device partitions); "
-                "multi-host corpora use ShardedFlatIndex")
         self.mesh = mesh
-        self.devices = list(mesh.devices.flatten())
-        self.n_shards = len(self.devices)
+        all_devices = list(mesh.devices.flatten())
+        self.n_shards = len(all_devices)
+        # multi-host: this process drives ONLY its own devices' partitions
+        # (per-device cell stores are process-local objects); hosts merge
+        # candidates with one process_allgather at search time
+        if jax.process_count() > 1:
+            if self.n_shards % jax.process_count():
+                raise ValueError("n_devices must divide evenly across hosts")
+            pid = jax.process_index()
+            self.devices = [d for d in all_devices if d.process_index == pid]
+            if not self.devices:
+                raise ValueError("mesh has no devices on this process")
+        else:
+            self.devices = all_devices
+        self.local_shards = len(self.devices)
+        self._first_shard = self.local_shards * jax.process_index()
         self.dim = dim
         self.nlist = nlist
         self.nprobe = min(nprobe, nlist)
@@ -105,11 +118,14 @@ class ShardedIVFIndex:
         # reference so every shard probes the SAME global cells
         self._template = IVFRaggedIndex(dim, nlist=nlist, nprobe=nprobe,
                                         dtype=dtype, block=block)
-        self._shards: List[IVFRaggedIndex] = []
-        self._bases: List[int] = []  # global row offset per shard
-        self._n = 0
+        self._shards: List[IVFRaggedIndex] = []  # this process's shards
+        self._bases: List[int] = []  # GLOBAL row offset per local shard
+        self._n = 0  # GLOBAL row count
         self.docid: List = []
         self.last_dropped = 0
+        # multi-host: total corpus rows across ALL hosts; each process adds
+        # only its host_corpus_bounds window (like ShardedFlatIndex)
+        self.global_rows: Optional[int] = None
 
     def __len__(self):
         return self._n
@@ -124,28 +140,70 @@ class ShardedIVFIndex:
 
     def train(self, reps, **kw) -> None:
         """Global k-means, once (faiss ``train()`` role). All shards probe
-        these centroids, so the sharded probe set == the single-device one."""
+        these centroids, so the sharded probe set == the single-device one.
+
+        COLLECTIVE on multi-host: every host's (local-window) sample trims
+        to the global minimum count and gathers, so the fit input — and the
+        centroids — are identical on every process."""
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            reps = np.asarray(reps, np.float32)
+            counts = np.asarray(multihost_utils.process_allgather(
+                jnp.asarray([reps.shape[0]], jnp.int32)))
+            gathered = multihost_utils.process_allgather(
+                jnp.asarray(reps[: int(counts.min())]), tiled=True)
+            reps = np.asarray(gathered)
         self._template.train(reps, **kw)
 
-    def _partition(self, n_rows: int) -> List[Tuple[int, int]]:
-        per = -(-int(n_rows) // self.n_shards)
-        return [(s * per, min(int(n_rows), (s + 1) * per))
+    def _partition(self, n_global: int) -> List[Tuple[int, int]]:
+        """GLOBAL per-shard contiguous row ranges (same per-shard quantum as
+        ShardedFlatIndex: ceil(n/n_shards), padding only in the tail)."""
+        per = -(-int(n_global) // self.n_shards)
+        return [(min(int(n_global), s * per),
+                 min(int(n_global), (s + 1) * per))
                 for s in range(self.n_shards)]
 
     def add_chunks(self, chunk_fn, n_rows: int,
                    chunk_rows: int = 500_000) -> None:
-        """Chunked build, one shard at a time: shard ``s`` owns the
-        contiguous row range ``[s*per, (s+1)*per)`` and builds its ragged
-        cell store ON ITS DEVICE (``jax.default_device`` pins the jitted
-        assignment/scatter passes there).  Peak memory per device is that
-        shard's cell store + one chunk."""
+        """Chunked build, one local shard at a time: global shard ``s`` owns
+        the contiguous row range ``[s*per, (s+1)*per)`` and builds its
+        ragged cell store ON ITS DEVICE (``jax.default_device`` pins the
+        jitted assignment/scatter passes there).  Peak memory per device is
+        that shard's cell store + one chunk.
+
+        Single-process: ``chunk_fn(start, rows)`` serves global offsets and
+        ``n_rows`` is the corpus size.  Multi-host: set ``global_rows``
+        first; ``chunk_fn`` serves THIS host's window offsets (0-based) and
+        ``n_rows`` is the window length (the trainer's spill-memmap
+        contract, train/trainer.py:_build_trained_index)."""
         if not self.is_trained:
             raise RuntimeError("ShardedIVFIndex.add_chunks before train()")
         if self._shards:
             raise RuntimeError("ShardedIVFIndex build is one-shot")
         n_rows = int(n_rows)
-        for s, (lo, hi) in enumerate(self._partition(n_rows)):
-            dev = self.devices[s]
+        if jax.process_count() > 1:
+            if self.global_rows is None:
+                raise RuntimeError(
+                    "multi-host ShardedIVFIndex needs index.global_rows set "
+                    "to the TOTAL corpus size before add_chunks")
+            n_global = int(self.global_rows)
+            bounds = self._partition(n_global)
+            win_start = bounds[self._first_shard][0]
+            win_stop = bounds[self._first_shard + self.local_shards - 1][1]
+            if n_rows != win_stop - win_start:
+                raise RuntimeError(
+                    f"host added {n_rows} rows but its window is "
+                    f"[{win_start},{win_stop}) — feed the corpus loader "
+                    "with shard_hosts=True")
+            local = bounds[self._first_shard:
+                           self._first_shard + self.local_shards]
+        else:
+            n_global = n_rows
+            win_start = 0
+            local = self._partition(n_global)
+        for i, (lo, hi) in enumerate(local):
+            dev = self.devices[i]
             with jax.default_device(dev):
                 shard = IVFRaggedIndex(self.dim, nlist=self.nlist,
                                        nprobe=self.nprobe, dtype=self.dtype,
@@ -154,13 +212,14 @@ class ShardedIVFIndex:
                     self._template.centroids, dev)
                 if hi > lo:
                     shard.add_chunks(
-                        lambda a, r, lo=lo: jnp.asarray(chunk_fn(lo + a, r)),
+                        lambda a, r, off=lo - win_start: jnp.asarray(
+                            chunk_fn(off + a, r)),
                         hi - lo, chunk_rows=min(chunk_rows, hi - lo))
                 # else: degenerate (more devices than rows) — shard stays
                 # empty and search() skips it
             self._shards.append(shard)
             self._bases.append(lo)
-        self._n = n_rows
+        self._n = n_global
 
     def add_device(self, reps) -> None:
         reps = jnp.asarray(reps)
@@ -223,8 +282,38 @@ class ShardedIVFIndex:
                 parts_i.append(si)
                 dropped += shard.last_dropped
         self.last_dropped = dropped
-        cat_s = np.concatenate(parts_s, axis=1)
-        cat_i = np.concatenate(parts_i, axis=1)
+        B = int(np.asarray(q_reps).shape[0])
+        if parts_s:
+            cat_s = np.concatenate(parts_s, axis=1)
+            cat_i = np.concatenate(parts_i, axis=1)
+        else:  # every local shard empty (corpus smaller than other windows)
+            cat_s = np.full((B, 1), -np.inf, np.float32)
+            cat_i = np.full((B, 1), -1, np.int64)
+        top_s, top_i = self._merge_topk(cat_s, cat_i, k)
+        if jax.process_count() > 1:
+            # one cross-host candidate exchange: pad each host's merged list
+            # to exactly k columns so the allgather shapes agree, then keep
+            # the global best k — every host ends with identical results
+            from jax.experimental import multihost_utils
+
+            pad = k - top_s.shape[1]
+            if pad:
+                top_s = np.pad(top_s, ((0, 0), (0, pad)),
+                               constant_values=-np.inf)
+                top_i = np.pad(top_i, ((0, 0), (0, pad)),
+                               constant_values=-1)
+            g_s = np.asarray(multihost_utils.process_allgather(
+                jnp.asarray(top_s, jnp.float32)))   # [P, B, k]
+            g_i = np.asarray(multihost_utils.process_allgather(
+                jnp.asarray(top_i, jnp.int64)))
+            P = g_s.shape[0]
+            top_s, top_i = self._merge_topk(
+                np.transpose(g_s, (1, 0, 2)).reshape(B, P * k),
+                np.transpose(g_i, (1, 0, 2)).reshape(B, P * k), k)
+        return top_s, top_i
+
+    @staticmethod
+    def _merge_topk(cat_s: np.ndarray, cat_i: np.ndarray, k: int):
         cat_s = np.where(cat_i >= 0, cat_s, -np.inf)
         kk = min(k, cat_s.shape[1])
         pos = np.argpartition(-cat_s, kk - 1, axis=1)[:, :kk]
@@ -246,25 +335,48 @@ class ShardedIVFIndex:
     # -- persistence ----------------------------------------------------------
 
     def save(self, path: str) -> None:
+        """Persist to a shared filesystem.  Multi-host: every process writes
+        its OWN shards' files (globally-unique names — no write races),
+        populated ids allgather so process 0 can write one complete meta,
+        and everyone syncs before returning (call on ALL processes)."""
         os.makedirs(path, exist_ok=True)
-        # centroids persist once (shard files carry them too, but an EMPTY
-        # shard — more devices than rows — has no file to carry them in)
-        np.save(os.path.join(path, "centroids.npy"),
-                np.asarray(self._template.centroids, np.float32))
-        populated = []
-        for s, shard in enumerate(self._shards):
+        if jax.process_index() == 0:
+            # centroids persist once (shard files carry them too, but an
+            # EMPTY shard — more devices than rows — has no file for them)
+            np.save(os.path.join(path, "centroids.npy"),
+                    np.asarray(self._template.centroids, np.float32))
+        local_pop = np.full((self.local_shards,), -1, np.int64)
+        for i, shard in enumerate(self._shards):
+            g = self._first_shard + i
             if len(shard) > 0:
-                shard.save(os.path.join(path, f"shard{s}"))
-                populated.append(s)
-        with open(os.path.join(path, "sivf_meta.json"), "w") as fh:
-            json.dump({"kind": "sivf", "dim": self.dim, "nlist": self.nlist,
-                       "nprobe": self.nprobe, "dtype": self.dtype,
-                       "block": self.block, "n": self._n,
-                       "n_shards": self.n_shards, "bases": self._bases,
-                       "populated": populated, "docid": self.docid}, fh)
+                shard.save(os.path.join(path, f"shard{g}"))
+                local_pop[i] = g
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            all_pop = np.asarray(multihost_utils.process_allgather(
+                jnp.asarray(local_pop), tiled=True))
+            populated = sorted(int(g) for g in all_pop if g >= 0)
+            bases = [lo for lo, _ in self._partition(self._n)]
+        else:
+            populated = sorted(int(g) for g in local_pop if g >= 0)
+            bases = self._bases
+        if jax.process_index() == 0:
+            with open(os.path.join(path, "sivf_meta.json"), "w") as fh:
+                json.dump({"kind": "sivf", "dim": self.dim,
+                           "nlist": self.nlist, "nprobe": self.nprobe,
+                           "dtype": self.dtype, "block": self.block,
+                           "n": self._n, "n_shards": self.n_shards,
+                           "bases": bases, "populated": populated,
+                           "docid": self.docid}, fh)
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices("sivf_saved")
 
     @classmethod
     def load(cls, path: str, mesh: Mesh) -> "ShardedIVFIndex":
+        """Restore; each process loads ONLY its own devices' shards."""
         with open(os.path.join(path, "sivf_meta.json")) as fh:
             meta = json.load(fh)
         idx = cls(mesh, meta["dim"], nlist=meta["nlist"],
@@ -277,11 +389,13 @@ class ShardedIVFIndex:
         cents = np.load(os.path.join(path, "centroids.npy"))
         idx._template.centroids = jnp.asarray(cents)
         populated = set(meta.get("populated", range(meta["n_shards"])))
-        for s in range(meta["n_shards"]):
-            with jax.default_device(idx.devices[s]):
-                if s in populated:
+        bases = meta["bases"]
+        for i in range(idx.local_shards):
+            g = idx._first_shard + i
+            with jax.default_device(idx.devices[i]):
+                if g in populated:
                     shard = IVFRaggedIndex.load(
-                        os.path.join(path, f"shard{s}"))
+                        os.path.join(path, f"shard{g}"))
                 else:  # empty shard: no rows to restore, centroids only
                     shard = IVFRaggedIndex(
                         meta["dim"], nlist=meta["nlist"],
@@ -289,8 +403,9 @@ class ShardedIVFIndex:
                         block=meta["block"])
                     shard.centroids = jnp.asarray(cents)
             idx._shards.append(shard)
-        idx._bases = [int(b) for b in meta["bases"]]
+            idx._bases.append(int(bases[g]))
         idx._n = int(meta["n"])
+        idx.global_rows = idx._n if jax.process_count() > 1 else None
         idx.docid = meta.get("docid", [])
         return idx
 

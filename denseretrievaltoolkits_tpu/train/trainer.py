@@ -395,6 +395,12 @@ class Trainer:
         flush()
         if mmap is not None:
             mmap.flush()
+        if jax.process_count() > 1 and self.index is not None:
+            # each host added only its contiguous corpus window; the docid
+            # order and total size are global. Set BEFORE the trained build:
+            # sharded trained indexes need the global size to map this
+            # host's window rows onto their per-device partitions.
+            self.index.global_rows = len(loader.dataset)
         if spill:
             self._build_trained_index(mmap, row, slab_rows)
         if mmap is not None:
@@ -403,9 +409,6 @@ class Trainer:
                 os.remove(os.path.join(args.encode_corpus_dir,
                                        f"{ep}.{rank}.npy"))
         if jax.process_count() > 1:
-            # each host added only its contiguous corpus window; the docid
-            # order and total size are global
-            self.index.global_rows = len(loader.dataset)
             self.idx = list(loader.dataset["id"])
         else:
             self.idx = ids

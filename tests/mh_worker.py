@@ -308,5 +308,43 @@ local_sample = np.random.default_rng(100 + proc_id).standard_normal(
 ct.train(local_sample)
 ct_sig = hashlib.sha1(ct.matrix.tobytes()).hexdigest()[:10]
 
+# --- 9: multi-host ShardedIVFIndex --------------------------------------------
+# each process builds ONLY its devices' partitions from its corpus window;
+# collective k-means + cross-host candidate merge must reproduce the global
+# brute-force ranking at full probe (nprobe == nlist covers every row)
+from denseretrievaltoolkits_tpu.parallel.sharded_ivf import (
+    ShardedIVFIndex,
+    load_sharded_index,
+)
+
+ivf_corpus = np.random.default_rng(21).normal(
+    size=(203, DIM)).astype(np.float32)  # shared content, awkward size
+sivf = ShardedIVFIndex(mesh, DIM, nlist=8, nprobe=8, dtype="float32",
+                       block=8)
+sivf.global_rows = len(ivf_corpus)
+sivf.train(ivf_corpus[proc_id * 90 : proc_id * 90 + 64])  # per-host samples
+w_per = -(-203 // (4 * n_proc))
+w_start = proc_id * w_per * 4
+w_stop = min(203, (proc_id + 1) * w_per * 4)
+sivf.add_chunks(
+    lambda a, r: ivf_corpus[w_start + a : w_start + a + r],
+    w_stop - w_start, chunk_rows=64)
+assert len(sivf) == 203
+ivf_q = ivf_corpus[:6] + 0.01 * np.random.default_rng(22).normal(
+    size=(6, DIM)).astype(np.float32)
+s_ivf, i_ivf = sivf.search(ivf_q, 7)  # full probe: exact coverage
+ivf_ref = np.argsort(-(ivf_q @ ivf_corpus.T), axis=1)[:, :7]
+ivf_hits = np.mean([len(set(i_ivf[r]) & set(ivf_ref[r])) / 7
+                    for r in range(6)])
+assert ivf_hits >= 0.95, ivf_hits  # bulk selection quantum can tie-swap
+# collective save -> per-host window load -> identical results
+sivf.docid = [f"d{i}" for i in range(203)]
+sivf_path = os.path.join(tmp, "sivf_ckpt")
+sivf.save(sivf_path)
+sivf_loaded = load_sharded_index(sivf_path, mesh)
+s2_ivf, i2_ivf = sivf_loaded.search(ivf_q, 7)
+np.testing.assert_array_equal(i_ivf, i2_ivf)
+ivf_sig = hashlib.sha1(np.ascontiguousarray(i_ivf).tobytes()).hexdigest()[:10]
+
 print(f"MH_OK proc={proc_id} loss={loss:.6f} evalsig={eval_sig} "
-      f"ctsig={ct_sig}", flush=True)
+      f"ctsig={ct_sig} ivfsig={ivf_sig}", flush=True)

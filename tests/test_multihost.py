@@ -134,3 +134,6 @@ def test_two_process_distributed_run():
     # collective PCA fit from DIFFERENT per-host samples agrees (step 8)
     cts = [out.split("ctsig=")[1].split()[0] for out in outs]
     assert cts[0] == cts[1], f"collective transform mismatch: {cts}"
+    # multi-host sharded IVF returns identical results on every host (step 9)
+    ivfs = [out.split("ivfsig=")[1].split()[0] for out in outs]
+    assert ivfs[0] == ivfs[1], f"sharded IVF results mismatch: {ivfs}"
