@@ -433,6 +433,8 @@ def sharded_index_factory(mesh: Mesh, dim: int, factory_str: str,
         return ShardedFlatIndex(mesh, dim, dtype=flat_dtypes[key],
                                 use_pallas=use_pallas)
     if key.startswith("pca"):
+        # multi-host consistent: the collective transform gathers per-host
+        # samples so every process fits identical matrices
         head, _, tail = key.partition(",")
         rotate = head.startswith("pcar")
         try:
