@@ -294,6 +294,33 @@ np.testing.assert_array_equal(live_i, ld_i)
 np.testing.assert_allclose(live_s, ld_s, rtol=1e-5, atol=1e-5)
 assert ev_trainer.index.docid == ev_trainer.idx
 
+# --- 7b: multi-host evaluate() with a TRAINED factory index ------------------
+# the full seam: shard_hosts windows -> spill memmap -> COLLECTIVE k-means ->
+# per-device windowed add_chunks -> cross-host candidate merge -> metrics,
+# identical across hosts (the factory twin of step 7)
+from denseretrievaltoolkits_tpu.parallel.sharded_ivf import ShardedIVFIndex as _SIVF
+
+eval_out2 = os.path.join(tmp, "evalout_ivf")
+eval_args2 = TrainingArguments(
+    output_dir=eval_out2, cache_train_dir=eval_out2, eval_batch_size=4,
+    corpus_batch_size=16, topk="1,5,10", retrieve_num=10, log_every=0,
+    learning_rate=1e-3, optimizer="adamw",
+    index_factory="IVFR8,SQ8", nprobe=8, index_train_rows=48,
+    search_mode="bulk")
+ev_trainer2 = Trainer(eval_args2, ev_model, ev_params,
+                      corpus_dataloader=corpus_dl, eval_loader=eval_dl,
+                      mesh=mesh)
+metrics2 = ev_trainer2.evaluate(eval_dl, ep=9)
+assert isinstance(ev_trainer2.index, _SIVF), type(ev_trainer2.index)
+assert len(ev_trainer2.index) == 48 and metrics2["query_num"] == 4
+# full probe (nprobe == nlist) + int8 cells: the top-10 SETS track the
+# flat run (rank-robust metrics only — at 4 queries one int8 tie-swap
+# moves MRR@1 by 0.25; the strong assertion is cross-host identity below)
+for key in ("Recall@10", "Recall@5"):
+    assert abs(metrics2[key] - metrics[key]) <= 0.25, (
+        key, metrics2[key], metrics[key])
+eval_sig2 = ",".join(f"{metrics2[k]:.6f}" for k in sorted(ref))
+
 # --- 8: collective PCA fit — per-host samples DIFFER (size and content),
 #        the fitted matrices must be identical (parallel/sharded_ivf.py)
 import hashlib
@@ -347,4 +374,4 @@ np.testing.assert_array_equal(i_ivf, i2_ivf)
 ivf_sig = hashlib.sha1(np.ascontiguousarray(i_ivf).tobytes()).hexdigest()[:10]
 
 print(f"MH_OK proc={proc_id} loss={loss:.6f} evalsig={eval_sig} "
-      f"ctsig={ct_sig} ivfsig={ivf_sig}", flush=True)
+      f"evalsig2={eval_sig2} ctsig={ct_sig} ivfsig={ivf_sig}", flush=True)

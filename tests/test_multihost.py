@@ -137,3 +137,6 @@ def test_two_process_distributed_run():
     # multi-host sharded IVF returns identical results on every host (step 9)
     ivfs = [out.split("ivfsig=")[1].split()[0] for out in outs]
     assert ivfs[0] == ivfs[1], f"sharded IVF results mismatch: {ivfs}"
+    # ...and the factory-index evaluate() metrics agree too (step 7b)
+    sig2 = [out.split("evalsig2=")[1].split()[0] for out in outs]
+    assert sig2[0] == sig2[1], f"factory eval metrics mismatch: {sig2}"
