@@ -176,10 +176,15 @@ class TransformedIndex:
 
     def save(self, path: str) -> None:
         os.makedirs(path, exist_ok=True)
-        self.transform.save(os.path.join(path, "transform.npz"))
+        # multi-host: the transform and meta are replicated — only process 0
+        # writes them (concurrent same-path np.savez writes corrupt); the
+        # inner's save is itself multi-host-aware (per-window part files +
+        # fence for the sharded index families)
+        if jax.process_index() == 0:
+            self.transform.save(os.path.join(path, "transform.npz"))
+            with open(os.path.join(path, "transformed_meta.json"), "w") as fh:
+                json.dump({"inner_type": type(self.inner).__name__}, fh)
         self.inner.save(os.path.join(path, "inner"))
-        with open(os.path.join(path, "transformed_meta.json"), "w") as fh:
-            json.dump({"inner_type": type(self.inner).__name__}, fh)
 
     @classmethod
     def load(cls, path: str) -> "TransformedIndex":

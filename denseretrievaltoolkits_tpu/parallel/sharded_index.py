@@ -417,9 +417,38 @@ class ShardedFlatIndex:
 
     # -- persistence (same on-disk format as FlatIPIndex.save/load) ----------
 
+    def _read_local_shards(self):
+        """This process's materialized rows (its mesh window), in global row
+        order, trimmed of tail padding — via addressable shards only, so it
+        works on multi-host arrays too."""
+        blocks = {}
+        for s in self._corpus.addressable_shards:
+            start = s.index[0].start or 0
+            if start not in blocks:
+                blocks[start] = np.asarray(s.data)
+        values = np.concatenate(
+            [blocks[b].reshape(-1, self.stored_dim) for b in sorted(blocks)])
+        scales = None
+        if self._scales is not None:
+            sblocks = {}
+            for s in self._scales.addressable_shards:
+                start = s.index[0].start or 0
+                if start not in sblocks:
+                    sblocks[start] = np.asarray(s.data)
+            scales = np.concatenate(
+                [sblocks[b].reshape(-1) for b in sorted(sblocks)])
+        if jax.process_count() > 1:
+            _, _, start, stop = self._window_layout(int(self._n))
+            win = stop - start
+        else:
+            win = self._n
+        return values[:win], (scales[:win] if scales is not None else None)
+
     def _local_payload(self):
         """(values, scales) for THIS process's rows, in add order — quantized
-        native bytes for int8/int4, fp32 otherwise (the on-disk format)."""
+        native bytes for int8/int4, fp32 otherwise (the on-disk format).
+        Falls back to reading the materialized mesh shards (e.g. an index
+        that was loaded rather than built)."""
         if self.dtype in ("int8", "int4"):
             if self._device_chunks:
                 values = np.concatenate(
@@ -436,6 +465,9 @@ class ShardedFlatIndex:
 
                     v_d, s_d = quantize_int4_device(jnp.asarray(full))
                     values, scales = np.asarray(v_d), np.asarray(s_d)
+            elif self._corpus is not None:
+                values, scales = self._read_local_shards()
+                values = values.astype(np.int8, copy=False)
             else:
                 values = np.zeros((0, self.stored_dim), np.int8)
                 scales = np.zeros((0,), np.float32)
@@ -445,6 +477,9 @@ class ShardedFlatIndex:
                                      for v, _ in self._device_chunks])
         elif self._chunks:
             values = np.concatenate(self._chunks, axis=0)
+        elif self._corpus is not None:
+            values, _ = self._read_local_shards()
+            values = np.asarray(values, np.float32)
         else:
             values = np.zeros((0, self.dim), np.float32)
         return values, None
@@ -460,12 +495,13 @@ class ShardedFlatIndex:
         return per, local_shards, start, stop
 
     def _save_multihost(self, path: str) -> None:
-        """COLLECTIVE multi-host save: every process gathers all hosts'
-        window payloads (equal-shape allgather over padded windows), then
-        process 0 alone writes the single-file artifact the single-host
-        ``load`` understands.  The reference's analog is the rank-0
-        ``faiss.write_index`` fence (DRT/trainer/trainer.py:245-250);
-        previously every process raced writes to the same file."""
+        """COLLECTIVE multi-host save: each process writes ONLY its window
+        payload as ``<path>.part{h}.npz`` (globally-unique names on the
+        shared FS — no write races, no cross-host data movement, host RAM
+        stays O(window) rather than O(corpus)), process 0 writes the meta,
+        and everyone fences before returning so a following load never
+        reads a half-written artifact.  The reference's analog is the
+        rank-0 ``faiss.write_index`` + barrier (trainer.py:245-250)."""
         import json
         import os
 
@@ -474,49 +510,37 @@ class ShardedFlatIndex:
         if self.global_rows is None:
             raise RuntimeError("multi-host save needs index.global_rows")
         n_global = int(self.global_rows)
-        per, local_shards, start, stop = self._window_layout(n_global)
-        target = per * local_shards
+        _, _, start, stop = self._window_layout(n_global)
         values, scales = self._local_payload()
         if values.shape[0] != stop - start:
             raise RuntimeError(
                 f"host holds {values.shape[0]} rows, window is "
                 f"[{start},{stop})")
-        pad = target - values.shape[0]
-        if pad:
-            values = np.concatenate(
-                [values, np.zeros((pad,) + values.shape[1:], values.dtype)])
-            if scales is not None:
-                scales = np.concatenate(
-                    [scales, np.zeros((pad,), scales.dtype)])
-        g_v = np.asarray(multihost_utils.process_allgather(
-            jnp.asarray(values), tiled=True))
-        g_s = (np.asarray(multihost_utils.process_allgather(
-            jnp.asarray(scales), tiled=True)) if scales is not None else None)
-        if jax.process_index() != 0:
-            return
-        # drop each host's interior padding: host h's true rows are the
-        # first (stop_h - start_h) of its target-sized block
-        parts_v, parts_s = [], []
-        for h in range(jax.process_count()):
-            s_h = min(h * target, n_global)
-            e_h = min((h + 1) * target, n_global)
-            parts_v.append(g_v[h * target : h * target + (e_h - s_h)])
-            if g_s is not None:
-                parts_s.append(g_s[h * target : h * target + (e_h - s_h)])
-        full_v = np.concatenate(parts_v)
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-        if g_s is not None:
-            np.savez(path + ".npz", values=full_v,
-                     scales=np.concatenate(parts_s))
-        elif self.dtype == "bfloat16":
-            np.savez(path + ".npz", reps=full_v)
+        h = jax.process_index()
+        if scales is not None:
+            np.savez(f"{path}.part{h}.npz", values=values, scales=scales)
         else:
-            np.savez(path + ".npz", reps=full_v)
-        with open(path + ".meta.json", "w") as fh:
-            json.dump({"dim": self.dim, "dtype": self.dtype, "n": n_global,
-                       "docid": self.docid}, fh)
+            np.savez(f"{path}.part{h}.npz", reps=values)
+        # every host knows every window length (pure layout arithmetic)
+        P = jax.process_count()
+        per, local_shards, _, _ = self._window_layout(n_global)
+        target = per * local_shards
+        part_rows = [min(n_global, (p + 1) * target) - min(n_global,
+                                                           p * target)
+                     for p in range(P)]
+        if h == 0:
+            with open(path + ".meta.json", "w") as fh:
+                json.dump({"dim": self.dim, "dtype": self.dtype,
+                           "n": n_global, "parts": part_rows,
+                           "docid": self.docid}, fh)
+        multihost_utils.sync_global_devices("sharded_flat_saved")
 
     def save(self, path: str) -> None:
+        """Native payload on disk (int8/int4: values + scales — 4-8x less
+        disk than a fp32 round-trip, NO double quantization on reload).
+        Multi-host: per-window part files + a rank-0 meta + a fence
+        (``_save_multihost``)."""
         import json
         import os
 
@@ -524,45 +548,11 @@ class ShardedFlatIndex:
             self._save_multihost(path)
             return
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-        if self.dtype in ("int8", "int4"):
-            # native (values int8/nibble-packed, scales fp32) payload: 4-8x
-            # less disk than a fp32 round-trip and NO double quantization
-            if self._device_chunks:
-                values = np.concatenate(
-                    [np.asarray(v, np.int8) for v, _ in self._device_chunks])
-                scales = np.concatenate(
-                    [np.asarray(s, np.float32) for _, s in self._device_chunks])
-            elif self._chunks:
-                full = np.concatenate(self._chunks, axis=0)
-                if self.dtype == "int8":
-                    values, scales = quantize_int8(full)
-                else:
-                    from ..ops.quant import quantize_int4_device
-
-                    v_d, s_d = quantize_int4_device(jnp.asarray(full))
-                    values, scales = np.asarray(v_d), np.asarray(s_d)
-            elif self._corpus is not None:
-                # materialized (possibly loaded) mesh-resident shards
-                values = np.asarray(self._corpus, np.int8).reshape(
-                    -1, self.stored_dim)[: self._n]
-                scales = np.asarray(self._scales, np.float32).reshape(-1)[: self._n]
-            else:
-                values = np.zeros((0, self.stored_dim), np.int8)
-                scales = np.zeros((0,), np.float32)
+        values, scales = self._local_payload()
+        if scales is not None:
             np.savez(path + ".npz", values=values, scales=scales)
         else:
-            if self._device_chunks:
-                parts = [np.asarray(v, dtype=np.float32)
-                         for v, _ in self._device_chunks]
-                full = np.concatenate(parts, axis=0)
-            elif self._chunks:
-                full = np.concatenate(self._chunks, axis=0)
-            elif self._corpus is not None:
-                full = np.asarray(
-                    self._corpus, np.float32).reshape(-1, self.dim)[: self._n]
-            else:
-                full = np.zeros((0, self.dim), np.float32)
-            np.savez(path + ".npz", reps=full)
+            np.savez(path + ".npz", reps=values)
         with open(path + ".meta.json", "w") as fh:
             json.dump({"dim": self.dim, "dtype": self.dtype, "n": self._n,
                        "docid": self.docid}, fh)
@@ -599,9 +589,16 @@ class ShardedFlatIndex:
         its local devices (``make_array_from_process_local_data`` — no
         cross-host movement; the file is on a shared FS, reference analog
         ``faiss.read_index`` from rank 0's write, trainer.py:252-262)."""
+        _, _, start, stop = self._window_layout(n_global)
+        self._place_window(values[start:stop],
+                           scales[start:stop] if scales is not None else None,
+                           n_global)
+
+    def _place_window(self, win_v: np.ndarray,
+                      scales: Optional[np.ndarray], n_global: int) -> None:
+        """Place THIS host's window rows onto its local devices."""
         per, local_shards, start, stop = self._window_layout(n_global)
         target = per * local_shards
-        win_v = values[start:stop]
         pad = target - win_v.shape[0]
         if pad:
             win_v = np.concatenate(
@@ -627,6 +624,26 @@ class ShardedFlatIndex:
         self._search_fn = None
 
     @classmethod
+    def _read_parts(cls, path: str, part_rows, lo: int, hi: int):
+        """Rows [lo, hi) of a multi-part artifact, reading ONLY the part
+        files that overlap (host RAM stays O(hi - lo))."""
+        offs = np.concatenate([[0], np.cumsum(part_rows)]).astype(np.int64)
+        vs, ss = [], []
+        for p in range(len(part_rows)):
+            a, b = max(lo, int(offs[p])), min(hi, int(offs[p + 1]))
+            if a >= b:
+                continue
+            with np.load(f"{path}.part{p}.npz") as z:
+                key = "values" if "values" in z else "reps"
+                vs.append(z[key][a - offs[p] : b - offs[p]])
+                if "scales" in z:
+                    ss.append(z["scales"][a - offs[p] : b - offs[p]])
+        values = (np.concatenate(vs) if vs
+                  else np.zeros((0, 0), np.float32))
+        scales = np.concatenate(ss) if ss else None
+        return values, scales
+
+    @classmethod
     def load(cls, path: str, mesh: Mesh) -> "ShardedFlatIndex":
         import json
 
@@ -634,11 +651,28 @@ class ShardedFlatIndex:
             meta = json.load(fh)
         idx = cls(mesh, meta["dim"], dtype=meta["dtype"])
         multihost = jax.process_count() > 1
+        n_global = int(meta["n"])
+        if "parts" in meta:  # multi-host artifact: per-window part files
+            if multihost:
+                _, _, lo, hi = idx._window_layout(n_global)
+            else:
+                lo, hi = 0, n_global
+            values, scales = cls._read_parts(path, meta["parts"], lo, hi)
+            if meta["dtype"] == "bfloat16":
+                values = np.asarray(jnp.asarray(values, jnp.bfloat16))
+            elif meta["dtype"] not in ("int8", "int4"):
+                values = np.asarray(values, np.float32)
+            if multihost:
+                idx._place_window(values, scales, n_global)
+            else:
+                idx._place_native(values, scales)
+            idx.docid = meta.get("docid", [])
+            return idx
         with np.load(path + ".npz") as z:
             if "values" in z:  # native int8/int4: shards straight to mesh
                 if multihost:
                     idx._place_native_multihost(z["values"], z["scales"],
-                                                int(meta["n"]))
+                                                n_global)
                 else:
                     idx._place_native(z["values"], z["scales"])
                 idx.docid = meta.get("docid", [])
@@ -649,7 +683,7 @@ class ShardedFlatIndex:
                 cast = (np.asarray(jnp.asarray(reps, jnp.bfloat16))
                         if meta["dtype"] == "bfloat16" else
                         np.asarray(reps, np.float32))
-                idx._place_native_multihost(cast, None, int(meta["n"]))
+                idx._place_native_multihost(cast, None, n_global)
             elif meta["dtype"] == "bfloat16":
                 idx._place_native(
                     np.asarray(jnp.asarray(reps, jnp.bfloat16)), None)

@@ -49,6 +49,28 @@ from ..index.ivf import IVFRaggedIndex
 from ..index.modes import resolve_ivf_mode
 
 
+def _collective_sample(reps: np.ndarray) -> np.ndarray:
+    """Gather every host's (possibly different-sized, possibly empty)
+    training sample into ONE array identical on all processes.
+
+    Per-host samples pad to the global max count by cyclic repetition (so
+    the allgather shapes agree), then each host's valid prefix concatenates
+    — no rows invented, no host silently dropped."""
+    from jax.experimental import multihost_utils
+
+    reps = np.asarray(reps, np.float32)
+    counts = np.asarray(multihost_utils.process_allgather(
+        jnp.asarray([reps.shape[0]], jnp.int32))).reshape(-1)
+    n_max = int(counts.max())
+    if n_max == 0:
+        return reps
+    padded = (np.resize(reps, (n_max,) + reps.shape[1:]) if reps.shape[0]
+              else np.zeros((n_max,) + reps.shape[1:], np.float32))
+    g = np.asarray(multihost_utils.process_allgather(jnp.asarray(padded)))
+    return np.concatenate([g[h, : int(counts[h])]
+                           for h in range(g.shape[0]) if counts[h]])
+
+
 class CollectivePCATransform:
     """``PCATransform`` whose fit is CONSISTENT across hosts.
 
@@ -71,20 +93,16 @@ class CollectivePCATransform:
         self._t = PCATransform(dim, d_out, rotate=rotate, seed=seed)
 
     def __getattr__(self, name):  # dim/d_out/matrix/apply/save/is_trained...
+        if name == "_t":
+            # unpickle/deepcopy construct without __init__: probing _t here
+            # must not recurse
+            raise AttributeError(name)
         return getattr(self._t, name)
 
     def train(self, reps, block: int = 65536) -> None:
-        reps = np.asarray(reps, np.float32)
         if jax.process_count() > 1:
-            from jax.experimental import multihost_utils
-
-            counts = np.asarray(multihost_utils.process_allgather(
-                jnp.asarray([reps.shape[0]], jnp.int32)))
-            n_min = int(counts.min())
-            gathered = multihost_utils.process_allgather(
-                jnp.asarray(reps[:n_min]), tiled=True)
-            reps = np.asarray(gathered)
-        self._t.train(reps, block=block)
+            reps = _collective_sample(reps)
+        self._t.train(np.asarray(reps, np.float32), block=block)
 
 
 class ShardedIVFIndex:
@@ -103,8 +121,13 @@ class ShardedIVFIndex:
                 raise ValueError("n_devices must divide evenly across hosts")
             pid = jax.process_index()
             self.devices = [d for d in all_devices if d.process_index == pid]
-            if not self.devices:
-                raise ValueError("mesh has no devices on this process")
+            if len(self.devices) != self.n_shards // jax.process_count():
+                # unequal per-host device counts would silently mis-partition
+                # (_first_shard assumes a uniform local block)
+                raise ValueError(
+                    f"process {pid} holds {len(self.devices)} of "
+                    f"{self.n_shards} mesh devices; ShardedIVFIndex needs "
+                    "an equal per-host device count")
         else:
             self.devices = all_devices
         self.local_shards = len(self.devices)
@@ -142,18 +165,11 @@ class ShardedIVFIndex:
         """Global k-means, once (faiss ``train()`` role). All shards probe
         these centroids, so the sharded probe set == the single-device one.
 
-        COLLECTIVE on multi-host: every host's (local-window) sample trims
-        to the global minimum count and gathers, so the fit input — and the
-        centroids — are identical on every process."""
+        COLLECTIVE on multi-host: every host's (local-window) sample gathers
+        (``_collective_sample``), so the fit input — and the centroids —
+        are identical on every process."""
         if jax.process_count() > 1:
-            from jax.experimental import multihost_utils
-
-            reps = np.asarray(reps, np.float32)
-            counts = np.asarray(multihost_utils.process_allgather(
-                jnp.asarray([reps.shape[0]], jnp.int32)))
-            gathered = multihost_utils.process_allgather(
-                jnp.asarray(reps[: int(counts.min())]), tiled=True)
-            reps = np.asarray(gathered)
+            reps = _collective_sample(reps)
         self._template.train(reps, **kw)
 
     def _partition(self, n_global: int) -> List[Tuple[int, int]]:

@@ -282,10 +282,10 @@ for key in ref:
 eval_sig = ",".join(f"{metrics[k]:.6f}" for k in sorted(ref))
 
 # sharded-index checkpoint across hosts: evaluate() saved the index via the
-# COLLECTIVE _save_multihost (window allgather, rank-0 single-file write —
-# previously every process raced writes to one path); restore through
-# _load_index (per-host window placement) and assert search parity
-multihost_utils.sync_global_devices("index_file_written")
+# COLLECTIVE _save_multihost (per-window part files, rank-0 meta, built-in
+# fence — previously every process raced writes to one path; NO manual sync
+# here, the save's own fence must suffice); restore through _load_index
+# (per-host window read+placement) and assert search parity
 live_s, live_i = ev_trainer.index.search(reps[:8], 5)
 ev_trainer.index = None
 ev_trainer._load_index(9)
