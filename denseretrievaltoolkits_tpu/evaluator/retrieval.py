@@ -67,23 +67,40 @@ def write_ranking(corpus_indices, corpus_scores, q_lookup, ranking_save_file: st
                 fh.write(f"{qid}\t{idx}\t{s}\n")
 
 
-def run(query_reps: str, passage_reps: str, save_ranking_to: str,
+def run(query_reps: str, passage_reps: str = "", save_ranking_to: str = "",
         depth: int = 1000, batch_size: int = 128, save_text: bool = False,
         quiet: bool = False, index_dtype: str = "float32",
-        search_mode: str = "exact"):
-    index_files = sorted(glob.glob(passage_reps))
-    if not index_files:
-        raise FileNotFoundError(f"no passage rep shards match {passage_reps}")
-    logger.info("Pattern matched %d shard files; loading into index.", len(index_files))
+        search_mode: str = "exact", index_path: str = ""):
+    if index_path:
+        # serve a SAVED index (flat / IVF / PCAR chain — the faiss
+        # read_index CLI role, DRT/trainer/trainer.py:252-262): docids come
+        # from the index itself, and IVF modes (bulk/probe/i8q) apply
+        from ..index.io import load_index
 
-    look_up: list = []
-    retriever = None
-    for path in index_files:
-        p_reps, p_lookup = pickle_load(path)
-        if retriever is None:
-            retriever = FlatIPIndex(p_reps.shape[1], dtype=index_dtype)
-        retriever.add(p_reps)
-        look_up += p_lookup
+        retriever = load_index(index_path)
+        look_up = list(retriever.docid)
+        if not look_up:
+            raise ValueError(
+                f"index at {index_path} carries no docids; rebuild it with "
+                "docid set (the trainer's _index_corpus does)")
+        logger.info("Loaded %s (%d docs) from %s",
+                    type(retriever).__name__, len(retriever), index_path)
+    else:
+        index_files = sorted(glob.glob(passage_reps))
+        if not index_files:
+            raise FileNotFoundError(
+                f"no passage rep shards match {passage_reps}")
+        logger.info("Pattern matched %d shard files; loading into index.",
+                    len(index_files))
+
+        look_up = []
+        retriever = None
+        for path in index_files:
+            p_reps, p_lookup = pickle_load(path)
+            if retriever is None:
+                retriever = FlatIPIndex(p_reps.shape[1], dtype=index_dtype)
+            retriever.add(p_reps)
+            look_up += p_lookup
 
     q_reps, q_lookup = pickle_load(query_reps)
     logger.info("Index search start (%d docs, %d queries, depth %d)",
@@ -108,7 +125,14 @@ def main():
     )
     parser = ArgumentParser()
     parser.add_argument("--query_reps", required=True)
-    parser.add_argument("--passage_reps", required=True)
+    parser.add_argument("--passage_reps", default="",
+                        help="glob of pickled (reps, lookup) shards to build "
+                        "a flat index from (mutually exclusive with "
+                        "--index_path)")
+    parser.add_argument("--index_path", default="",
+                        help="serve a SAVED index instead (flat/IVF/PCAR "
+                        "chain via index.io.load_index — the faiss "
+                        "read_index role); IVF modes bulk/probe/i8q apply")
     parser.add_argument("--batch_size", type=int, default=128)
     parser.add_argument("--depth", type=int, default=1000)
     parser.add_argument("--save_ranking_to", required=True)
@@ -117,20 +141,22 @@ def main():
     parser.add_argument("--index_dtype", default="float32",
                         choices=["float32", "bfloat16", "int8", "int4"])
     parser.add_argument("--search_mode", default="exact",
-                        choices=["exact", "serve", "partial", "i8q", "approx"],
+                        choices=["exact", "serve", "partial", "i8q", "approx",
+                                 "bulk", "probe"],
                         help="exact: certified Pallas/XLA search; serve: packed "
                         "selection kernel (fastest, recall@100 ~0.9995 measured); "
                         "partial: hardware PartialReduce (fp32/bf16 only); "
                         "i8q: quantized-query native-int8 MXU kernel (int8/int4 "
                         "only); approx: per-dtype alias for the fastest "
-                        "approximate path (fp32/bf16->partial, int8/int4->i8q). "
-                        "This CLI builds FLAT indexes from embedding shards; "
-                        "IVF modes (bulk/probe) belong to the trainer's "
-                        "--index_factory surface. Contract: index/modes.py")
+                        "approximate path (fp32/bf16->partial, int8/int4->i8q); "
+                        "bulk/probe: IVF indexes loaded via --index_path. "
+                        "Contract: index/modes.py")
     args = parser.parse_args()
+    if bool(args.passage_reps) == bool(args.index_path):
+        parser.error("give exactly one of --passage_reps / --index_path")
     run(args.query_reps, args.passage_reps, args.save_ranking_to, args.depth,
         args.batch_size, args.save_text, args.quiet, args.index_dtype,
-        args.search_mode)
+        args.search_mode, index_path=args.index_path)
 
 
 if __name__ == "__main__":

@@ -161,3 +161,38 @@ def test_search_queries_filters_sentinel_rows():
     assert list(ids[1]) == ["doc1", "doc0", "doc3"]  # full row untouched
     assert list(scores[0]) == [3.0, 2.0]
     assert "doc7" not in ids[0][2:]  # the bug would have appended lookup[-1]
+
+
+def test_retrieval_cli_serves_saved_factory_index(tmp_path):
+    """--index_path serves a SAVED trained index (the faiss read_index CLI
+    role, reference trainer.py:252-262): IVF modes apply and docids come
+    from the index itself."""
+    import pickle
+
+    from denseretrievaltoolkits_tpu.evaluator.retrieval import run as rrun
+    from denseretrievaltoolkits_tpu.index.ivf import IVFRaggedIndex
+
+    rng = np.random.default_rng(4)
+    corpus = rng.normal(size=(1024, 16)).astype(np.float32)
+    idx = IVFRaggedIndex(16, nlist=8, nprobe=8, dtype="float32", block=64)
+    idx.train(corpus, iters=4)
+    import jax.numpy as jnp
+
+    idx.add_device(jnp.asarray(corpus))
+    idx.docid = [f"d{i}" for i in range(1024)]
+    index_path = str(tmp_path / "ivf_idx")
+    idx.save(index_path)
+
+    q = corpus[:6] + 0.01 * rng.normal(size=(6, 16)).astype(np.float32)
+    with open(tmp_path / "q.pkl", "wb") as fh:
+        pickle.dump((q, [f"q{i}" for i in range(6)]), fh)
+    out = str(tmp_path / "rank.tsv")
+    rrun(str(tmp_path / "q.pkl"), "", out, depth=5, batch_size=0,
+         save_text=True, index_dtype="float32", search_mode="bulk",
+         index_path=index_path)
+    lines = [l.split("\t") for l in open(out).read().strip().split("\n")]
+    # full probe (nprobe == nlist): top-1 per query is the brute-force top-1
+    truth = np.argsort(-(q @ corpus.T), axis=1)[:, 0]
+    for i in range(6):
+        rows = [l for l in lines if l[0] == f"q{i}"]
+        assert rows[0][1] == f"d{truth[i]}", (i, rows[0])
