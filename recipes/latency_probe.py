@@ -55,9 +55,25 @@ def main():
 
     block = 2048
     n = N_DOCS + ((-N_DOCS) % block)
-    rows = bench._clustered_chunk(centers, 0, n)
-    values, scales = quantize_int8_device(rows, block_rows=1024)
-    rows.delete()
+    # chunk-at-a-time build (same pattern as bench.bench_int8): a one-shot
+    # 2M fp32 generate + quantize peaks >16 GB (concat doubles the fp32
+    # corpus before the int8 copy exists) and OOMs the chip
+    values = jnp.zeros((n, DIM), jnp.int8)
+    scales = jnp.ones((n,), jnp.float32)
+    place = jax.jit(
+        lambda bv, bs, cv, cs, off: (
+            jax.lax.dynamic_update_slice(bv, cv, (off, 0)),
+            jax.lax.dynamic_update_slice(bs, cs, (off,))),
+        donate_argnums=(0, 1))
+    off = 0
+    while off < n:
+        r = min(500_000, n - off)
+        chunk = bench._clustered_chunk(centers, off, r)
+        cv, cs = quantize_int8_device(chunk, block_rows=1024)
+        chunk.delete()
+        values, scales = place(values, scales, cv, cs, off)
+        off += r
+    values.block_until_ready()
     for b in BATCHES:
         pad = max(8, b)
         qb = jax.device_put(jnp.asarray(q_np[:pad], jnp.bfloat16))
