@@ -25,6 +25,10 @@ hot path is machine-checkable round over round (VERDICT r1 item 9):
   - query_qps_int4_21000k_docs_serve — 21M-passage nibble-packed sq4 corpus,
     packed SERVE kernel (selection exact up to the packing quantum; the
     certified-exact sq4 path is pallas_topk(int4=True))
+  - pcar384sq4_qps_8800k_docs_top100 — trained PCAR384,SQ4 factory chain
+    (2 bits per original dim, 4x less HBM than int8) on a power-law-spectrum
+    mixture; vs_baseline = ratio to the same session's spectrumed exact-int8
+    serve; companion recall rows vs that exact reference (target 0.81)
   - train_step_ms_bertbase — bert-base dual-encoder adamw step, 32 q / 64 p
     x156 tok bf16 (vs_baseline = round-1 ms / current ms; >1 is faster)
   - encode_passages_per_s — bert-base corpus encode, batch 256 seq 156
@@ -206,6 +210,7 @@ IVF_SIGMA = 0.5
 _IVF_STATE: dict = {}
 _I8Q_STATE: dict = {}
 _I4Q_STATE: dict = {}
+_PCAR_STATE: dict = {}
 
 # small-batch serving latency (VERDICT r3 weak 4): p50 per-call wall time at
 # these batch sizes, measured on the SAME 8.8M int8 corpus for the flat serve
@@ -643,6 +648,141 @@ def bench_int4_21m(queries: np.ndarray) -> float:
     return qps
 
 
+def bench_pcar_sq4(queries: np.ndarray) -> float:
+    """PCAR384,SQ4 at 8.8M: the trained-factory compression ladder's
+    2-bits-per-original-dim point (reference analog: arbitrary
+    ``faiss.index_factory`` strings, DRT/evaluator/index.py:47-54).
+
+    Data is the clustered mixture with a power-law column spectrum
+    ``lambda_j=(j+1)^-0.35`` — isotropic gaussians have no principal
+    subspace, so a spectrum is what makes the PCA rotation meaningful.
+    Reference ranking AND the qps denominator are exact-int8 serve over the
+    original 768-dim spectrumed rows, measured in-session; the int8 corpus
+    is deleted before the transformed sq4 corpus is built (peak HBM ~7 GB).
+    Returns the PCAR serve qps; companions land in ``_PCAR_STATE``."""
+    import jax
+    import jax.numpy as jnp
+
+    from denseretrievaltoolkits_tpu.index.transforms import PCATransform
+    from denseretrievaltoolkits_tpu.ops.quant import (quantize_int4_device,
+                                                      quantize_int8_device)
+    from denseretrievaltoolkits_tpu.ops.topk import (pallas_topk_serve_scaled,
+                                                     pallas_topk_serve_sq4,
+                                                     pallas_topk_serve_sq4_i8q,
+                                                     quantize_queries)
+
+    block, dout = 2048, 384
+    nq = N_QUERIES
+    tq = 512
+    lam = jnp.asarray((np.arange(DIM) + 1.0) ** -0.35, jnp.float32)
+    centers = _make_centers()
+    n = N_DOCS_INT8 + ((-N_DOCS_INT8) % block)
+
+    def place_fn(bv, bs, cv, cs, off):
+        return (jax.lax.dynamic_update_slice(bv, cv, (off, 0)),
+                jax.lax.dynamic_update_slice(bs, cs, (off,)))
+    place = jax.jit(place_fn, donate_argnums=(0, 1))
+
+    # 1) spectrumed int8 reference corpus -> ranking + serve-qps denominator
+    values = jnp.zeros((n, DIM), jnp.int8)
+    scales = jnp.ones((n,), jnp.float32)
+    off = 0
+    while off < n:
+        rows = min(INT8_CHUNK, n - off)
+        chunk = _clustered_chunk(centers, off, rows) * lam[None, :]
+        cv, cs = quantize_int8_device(chunk, block_rows=1024)
+        chunk.delete()
+        values, scales = place(values, scales, cv, cs, off)
+        off += rows
+    values.block_until_ready()
+    q_np = np.asarray(queries[:nq], np.float32) * np.asarray(lam)[None, :]
+    q = jax.device_put(jnp.asarray(q_np, jnp.bfloat16))
+    rt = _roundtrip()
+    ref = pallas_topk_serve_scaled(q, values, scales, TOPK, 16, block,
+                                   N_DOCS_INT8, tq=tq)
+    ref_ids = np.asarray(ref[1])
+    el8 = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        for _ in range(5):
+            out = pallas_topk_serve_scaled(q, values, scales, TOPK, 4, block,
+                                           N_DOCS_INT8, tq=tq)
+        float(jnp.sum(out[0][0, 0]))
+        el8 = min(el8, (time.time() - t0 - rt) / 5)
+    _PCAR_STATE["int8_qps"] = nq / el8
+    print(f"# pcar ref int8 serve (spectrumed): {nq / el8:.0f} qps",
+          file=sys.stderr)
+    values.delete(), scales.delete()
+
+    # 2) PCA rotation trained on a 262k sample (host SVD)
+    sample = np.asarray(_clustered_chunk(centers, 2 * 10**9, 262_144)
+                        * lam[None, :])
+    pca = PCATransform(DIM, dout, rotate=True)
+    pca.train(sample)
+    kept = float(np.sum(np.var(sample @ pca.matrix, axis=0))
+                 / np.sum(np.var(sample, axis=0)))
+    del sample
+    W = jnp.asarray(pca.matrix)
+    print(f"# pcar pca kept variance {kept:.4f}", file=sys.stderr)
+
+    # 3) transformed nibble-packed corpus (1.7 GB) + serve / i8q timing
+    v4 = jnp.zeros((n, dout // 2), jnp.int8)
+    s4 = jnp.ones((n,), jnp.float32)
+    off = 0
+    while off < n:
+        rows = min(INT8_CHUNK, n - off)
+        chunk = _clustered_chunk(centers, off, rows) * lam[None, :]
+        t = jnp.dot(chunk, W, preferred_element_type=jnp.float32)
+        chunk.delete()
+        cv, cs = quantize_int4_device(t, block_rows=1024)
+        t.delete()
+        v4, s4 = place(v4, s4, cv, cs, off)
+        off += rows
+    v4.block_until_ready()
+
+    qt_f = jnp.dot(jnp.asarray(q_np, jnp.float32), W,
+                   preferred_element_type=jnp.float32)
+    qt = qt_f.astype(jnp.bfloat16)
+    rt = _roundtrip()
+    out = pallas_topk_serve_sq4(qt, v4, s4, TOPK, 4, block, N_DOCS_INT8,
+                                tq=tq)
+    el = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        for _ in range(5):
+            out = pallas_topk_serve_sq4(qt, v4, s4, TOPK, 4, block,
+                                        N_DOCS_INT8, tq=tq)
+        float(jnp.sum(out[0][0, 0]))
+        el = min(el, (time.time() - t0 - rt) / 5)
+    ids = np.asarray(out[1])
+    _PCAR_STATE["recall"] = float(np.mean(
+        [len(set(a) & set(b)) / TOPK for a, b in zip(ids, ref_ids)]))
+    qps = nq / el
+    print(f"# pcar384,sq4 serve: {qps:.0f} qps "
+          f"({qps / _PCAR_STATE['int8_qps']:.2f}x int8-serve) recall@{TOPK} "
+          f"{_PCAR_STATE['recall']:.4f}", file=sys.stderr)
+
+    qi, qs = quantize_queries(qt_f)
+    out = pallas_topk_serve_sq4_i8q(qi, v4, s4, qs, TOPK, 4, block,
+                                    N_DOCS_INT8, tq=tq)
+    eln = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        for _ in range(5):
+            out = pallas_topk_serve_sq4_i8q(qi, v4, s4, qs, TOPK, 4, block,
+                                            N_DOCS_INT8, tq=tq)
+        float(jnp.sum(out[0][0, 0]))
+        eln = min(eln, (time.time() - t0 - rt) / 5)
+    ids = np.asarray(out[1])
+    _PCAR_STATE["qps_i8q"] = nq / eln
+    _PCAR_STATE["recall_i8q"] = float(np.mean(
+        [len(set(a) & set(b)) / TOPK for a, b in zip(ids, ref_ids)]))
+    print(f"# pcar384,sq4 i8q: {nq / eln:.0f} qps recall@{TOPK} "
+          f"{_PCAR_STATE['recall_i8q']:.4f}", file=sys.stderr)
+    v4.delete(), s4.delete()
+    return qps
+
+
 def _bert_base_model():
     import jax
 
@@ -876,6 +1016,39 @@ def main():
                 "value": round(_I4Q_STATE["recall"], 4), "unit": "recall",
                 "vs_baseline": round(_I4Q_STATE["recall"] / 0.95, 3),
             })
+        # PCAR384,SQ4 at 8.8M (2 bits per original dim): vs_baseline is the
+        # ratio to the spectrumed exact-int8 serve measured inside the same
+        # function (same session, same data) — recorded as its own row
+        run_extra(f"pcar384sq4_qps_{N_DOCS_INT8 // 1000}k_docs_top{TOPK}",
+                  "qps", lambda: bench_pcar_sq4(queries),
+                  _IVF_STATE.get("exact_qps") or R1_INT8_QPS)
+        if _PCAR_STATE.get("int8_qps") is not None:
+            # rewrite the row's vs_baseline to the in-function denominator
+            extras[-1]["vs_baseline"] = (
+                round(extras[-1]["value"] / _PCAR_STATE["int8_qps"], 2)
+                if extras[-1]["value"] else None)
+            extras.append({
+                "metric": f"pcar384sq4_recall{TOPK}_"
+                          f"{N_DOCS_INT8 // 1000}k",
+                "value": round(_PCAR_STATE["recall"], 4), "unit": "recall",
+                "vs_baseline": round(_PCAR_STATE["recall"] / 0.81, 3),
+            })
+        if _PCAR_STATE.get("qps_i8q") is not None:
+            extras.append({
+                "metric": f"pcar384sq4_i8q_qps_{N_DOCS_INT8 // 1000}k"
+                          f"_docs_top{TOPK}",
+                "value": round(_PCAR_STATE["qps_i8q"], 1), "unit": "qps",
+                "vs_baseline": round(
+                    _PCAR_STATE["qps_i8q"] / _PCAR_STATE["int8_qps"], 2),
+            })
+            extras.append({
+                "metric": f"pcar384sq4_i8q_recall{TOPK}_"
+                          f"{N_DOCS_INT8 // 1000}k",
+                "value": round(_PCAR_STATE["recall_i8q"], 4),
+                "unit": "recall",
+                "vs_baseline": round(_PCAR_STATE["recall_i8q"] / 0.81, 3),
+            })
+        checkpoint_extras()
         run_extra("train_step_ms_bertbase", "ms", bench_train_step,
                   R1_TRAIN_STEP_MS, invert=True)
         run_extra("encode_passages_per_s", "passages/s", bench_encode,
