@@ -169,9 +169,18 @@ def _encoder_block(x, layer, mask_bias, config: BertConfig, compute_dtype,
             + bias.astype(compute_dtype)
         )
 
-    q = dense(x, layer["q_kernel"], layer["q_bias"])
-    k = dense(x, layer["k_kernel"], layer["k_bias"]).reshape(B, S, nh, hd)
-    v = dense(x, layer["v_kernel"], layer["v_bias"])
+    # Fused QKV: one [H,3H] matmul instead of three [H,H]. XLA does not
+    # horizontally fuse sibling dots sharing an LHS, so the unfused form reads
+    # the [B,S,H] activations from HBM three times; the concat costs one small
+    # [H,3H] weight copy per layer and saves two activation passes.
+    qkv_kernel = jnp.concatenate(
+        [layer["q_kernel"], layer["k_kernel"], layer["v_kernel"]], axis=-1)
+    qkv_bias = jnp.concatenate(
+        [layer["q_bias"], layer["k_bias"], layer["v_bias"]], axis=-1)
+    qkv = dense(x, qkv_kernel, qkv_bias)
+    q = qkv[..., :H]
+    k = qkv[..., H:2 * H].reshape(B, S, nh, hd)
+    v = qkv[..., 2 * H:]
     if "lora_q_A" in layer:  # LoRA adapters on q/v (models/lora.py)
         def delta(a, b):
             h_low = jnp.dot(x, a.astype(compute_dtype), preferred_element_type=compute_dtype)

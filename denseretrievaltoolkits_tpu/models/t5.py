@@ -145,9 +145,23 @@ def _attention(x_q, x_kv, layer, prefix, config, mask_bias, pos_bias, compute_dt
             preferred_element_type=compute_dtype,
         )
 
-    q = proj(x_q, "q")
-    k = proj(x_kv, "k").reshape(B, Sk, nh, dk)
-    v = proj(x_kv, "v")
+    def fused(h, names):
+        # One [D, len(names)*I] matmul instead of siblings sharing an LHS:
+        # XLA won't horizontally fuse them, so the unfused form re-reads the
+        # [B,S,D] activations once per projection (same rationale as
+        # bert.py's fused QKV).
+        kern = jnp.concatenate(
+            [layer[f"{prefix}_{n}"] for n in names], axis=-1).astype(compute_dtype)
+        out = jnp.dot(h, kern, preferred_element_type=compute_dtype)
+        I = config.inner_dim
+        return [out[..., i * I:(i + 1) * I] for i in range(len(names))]
+
+    if x_q is x_kv:  # self-attention: one fused QKV projection
+        q, k, v = fused(x_q, ("q", "k", "v"))
+    else:  # cross-attention: q from the decoder stream, fused KV from memory
+        q = proj(x_q, "q")
+        k, v = fused(x_kv, ("k", "v"))
+    k = k.reshape(B, Sk, nh, dk)
     if prefix == "attn" and "lora_q_A" in layer:  # encoder LoRA (models/lora.py)
         def delta(h, a, b):
             low = jnp.dot(h, a.astype(compute_dtype), preferred_element_type=compute_dtype)
