@@ -102,6 +102,13 @@ class ModelArguments:
                   "fused similarity+CE kernel (never materializes the score "
                   "matrix in HBM)"},
     )
+    attention: str = field(
+        default="xla",
+        metadata={"help": "Attention implementation: 'xla' (einsum+softmax, "
+                  "GSPMD-partitionable) | 'flash' (Pallas flash-attention "
+                  "kernel, BERT tower, single-chip only; falls back to xla "
+                  "off-TPU)"},
+    )
 
 
 @dataclass

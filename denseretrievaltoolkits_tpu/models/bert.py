@@ -156,9 +156,43 @@ def _layer_norm(x, scale, bias, eps):
     return y.astype(dt)
 
 
-def _encoder_block(x, layer, mask_bias, config: BertConfig, compute_dtype,
-                   tag_attn: bool = False):
-    """One post-LN BERT block. ``x``: [B,S,H]; ``mask_bias``: [B,1,1,S] fp32."""
+def _flash_attention(q, k, v, seg, hd):
+    """Pallas flash attention on [B,S,nh,hd] inputs with a [B,S] 0/1 mask.
+
+    Pads S to the kernel's 128-lane block granularity; padding tokens carry
+    segment id 0 (same as input padding), so they attend only among
+    themselves — real rows never see them and no output row is all-masked
+    (keeps pad-row outputs finite; pooling multiplies by the mask, so a NaN
+    there would poison masked-mean/max).  Avoids materializing the
+    [B,nh,S,S] fp32 score/prob tensors in HBM entirely.
+    """
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        SegmentIds,
+        flash_attention,
+    )
+
+    B, S, nh, _ = q.shape
+    Sp = -(-S // 128) * 128
+    pad = Sp - S
+
+    def prep(t):
+        t = jnp.transpose(t, (0, 2, 1, 3))  # [B,nh,S,hd]
+        return jnp.pad(t, ((0, 0), (0, 0), (0, pad), (0, 0))) if pad else t
+
+    segp = jnp.pad(seg, ((0, 0), (0, pad))) if pad else seg
+    out = flash_attention(
+        prep(q), prep(k), prep(v),
+        segment_ids=SegmentIds(segp, segp),
+        sm_scale=1.0 / math.sqrt(hd),
+    )
+    out = jnp.transpose(out[:, :, :S, :], (0, 2, 1, 3))  # [B,S,nh,hd]
+    return out
+
+
+def _encoder_block(x, layer, mask_bias, seg_ids, config: BertConfig, compute_dtype,
+                   tag_attn: bool = False, attention: str = "xla"):
+    """One post-LN BERT block. ``x``: [B,S,H]; ``mask_bias``: [B,1,1,S] fp32;
+    ``seg_ids``: [B,S] int32 0/1 mask (only read on the flash path)."""
     c = config
     B, S, H = x.shape
     nh, hd = c.num_attention_heads, c.head_dim
@@ -191,17 +225,21 @@ def _encoder_block(x, layer, mask_bias, config: BertConfig, compute_dtype,
     q = q.reshape(B, S, nh, hd)
     v = v.reshape(B, S, nh, hd)
 
-    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
-    scores = scores / math.sqrt(hd) + mask_bias
-    probs = jax.nn.softmax(scores, axis=-1).astype(compute_dtype)
-    if tag_attn:
-        # tag the [B,nh,S,S] tensor so remat="attn" recomputes ONLY it in the
-        # backward pass: it dominates residual memory (stacked over the layer
-        # scan, fp32, tile-padded 1.7x for S=156) at ~10% recompute. Tagging
-        # is conditional because the name primitive is not free under
-        # GSPMD+scan at full size (observed an XLA abort when always-on).
-        probs = checkpoint_name(probs, "attn_probs")
-    ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v, preferred_element_type=compute_dtype)
+    if attention == "flash":
+        ctx = _flash_attention(q, k, v, seg_ids, hd)
+    else:
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+        scores = scores / math.sqrt(hd) + mask_bias
+        probs = jax.nn.softmax(scores, axis=-1).astype(compute_dtype)
+        if tag_attn:
+            # tag the [B,nh,S,S] tensor so remat="attn" recomputes ONLY it in
+            # the backward pass: it dominates residual memory (stacked over
+            # the layer scan, fp32, tile-padded 1.7x for S=156) at ~10%
+            # recompute. Tagging is conditional because the name primitive is
+            # not free under GSPMD+scan at full size (observed an XLA abort
+            # when always-on).
+            probs = checkpoint_name(probs, "attn_probs")
+        ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v, preferred_element_type=compute_dtype)
     ctx = ctx.reshape(B, S, H)
 
     attn_out = dense(ctx, layer["o_kernel"], layer["o_bias"])
@@ -222,12 +260,20 @@ def bert_encode(
     token_type_ids: Optional[jax.Array] = None,
     compute_dtype=jnp.float32,
     remat=False,
+    attention: str = "xla",
 ) -> jax.Array:
     """Encoder forward. Returns last_hidden_state [B, S, H] in ``compute_dtype``.
 
     ``remat``: False | True/"full" (checkpoint whole blocks, ~33% recompute)
     | "attn" (selective: recompute only the attention score/prob tensors in
-    the backward — most of full remat's memory win at ~10% recompute)."""
+    the backward — most of full remat's memory win at ~10% recompute).
+
+    ``attention``: "xla" (einsum + softmax; GSPMD-partitionable, the default)
+    | "flash" (Pallas flash-attention kernel — never materializes the
+    [B,nh,S,S] tensors in HBM; single-chip only: the pallas_call has no
+    custom partitioning rule, so under a mesh GSPMD would replicate it.
+    Falls back to "xla" off-TPU so CPU tests and virtual meshes keep one
+    code path)."""
     c = config
     B, S = input_ids.shape
     emb = params["embeddings"]
@@ -243,9 +289,13 @@ def bert_encode(
 
     # additive mask bias, fp32: 0 where attended, -1e9 where padded
     mask_bias = (1.0 - attention_mask.astype(jnp.float32))[:, None, None, :] * -1e9
+    seg_ids = attention_mask.astype(jnp.int32)
 
+    if attention == "flash" and jax.default_backend() != "tpu":
+        attention = "xla"
     block = partial(_encoder_block, config=c, compute_dtype=compute_dtype,
-                    tag_attn=remat == "attn")
+                    tag_attn=remat == "attn" and attention != "flash",
+                    attention=attention)
     if remat == "attn":
         block = jax.checkpoint(
             block,
@@ -256,7 +306,7 @@ def bert_encode(
         block = jax.checkpoint(block, static_argnums=())
 
     def scan_fn(h, layer):
-        return block(h, layer, mask_bias), None
+        return block(h, layer, mask_bias, seg_ids), None
 
     x, _ = jax.lax.scan(scan_fn, x, params["layers"])
     return x

@@ -53,6 +53,7 @@ class DRModelSpec:
     remat: bool = False
     backbone: str = "bert"  # "bert" | "t5" (encoder tower) | "t5_full" (enc+dec step-0 reps)
     fused_loss: bool = False  # Pallas fused similarity+CE kernel (ops/contrastive.py)
+    attention: str = "xla"  # "xla" | "flash" (Pallas kernel; single-chip, bert only)
 
     def __post_init__(self):
         # Fail at build time, not first trace (reference raises in pooling
@@ -61,6 +62,8 @@ class DRModelSpec:
             raise ValueError(f"Unknown pooling type: {self.pooling}")
         if self.backbone not in ("bert", "t5", "t5_full"):
             raise ValueError(f"Unknown backbone: {self.backbone}")
+        if self.attention not in ("xla", "flash"):
+            raise ValueError(f"Unknown attention impl: {self.attention}")
 
 
 class DRModel:
@@ -114,6 +117,7 @@ class DRModel:
                 batch.get("token_type_ids"),
                 compute_dtype=dtype,
                 remat=spec.remat,
+                attention=spec.attention,
             )
             if spec.feature == "pooler_output":
                 reps = bert.bert_pooler(lm_params, hidden, compute_dtype=dtype)
@@ -271,6 +275,7 @@ class DRModel:
                 dtype=getattr(model_args, "dtype", manifest.get("dtype", "float32")),
                 remat=getattr(model_args, "remat", False),
                 fused_loss=getattr(model_args, "fused_loss", False),
+                attention=getattr(model_args, "attention", "xla"),
             )
             return cls(spec), params
 
@@ -330,6 +335,7 @@ class DRModel:
             dtype=model_args.dtype,
             remat=getattr(model_args, "remat", False),
             fused_loss=getattr(model_args, "fused_loss", False),
+            attention=getattr(model_args, "attention", "xla"),
         )
         model = cls(spec)
         if getattr(model_args, "param_efficient_method", None) == "lora" and backbone in ("bert", "t5"):

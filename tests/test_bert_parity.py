@@ -155,3 +155,41 @@ def test_attn_remat_grads_match():
     for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_flash_attention_flag_falls_back_off_tpu():
+    """attention='flash' must be a no-op off-TPU: same outputs as 'xla'.
+
+    On the real chip the flash path replaces the einsum+softmax inner with
+    the Pallas kernel (numerics asserted on hardware in
+    recipes/profile_encoder.py); off-TPU bert_encode silently falls back so
+    one spec serves both environments."""
+    import jax
+    import numpy as np
+
+    from denseretrievaltoolkits_tpu.models import bert
+    from denseretrievaltoolkits_tpu.models.biencoder import DRModel, DRModelSpec
+
+    config = bert.BertConfig(
+        vocab_size=64, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=64,
+        max_position_embeddings=16)
+    rng = np.random.default_rng(0)
+    batch = {"input_ids": rng.integers(1, 64, (3, 10)).astype(np.int32),
+             "attention_mask": np.ones((3, 10), np.int32)}
+    m_x = DRModel(DRModelSpec(bert_config=config, attention="xla"))
+    params = m_x.init_params(jax.random.key(0))
+    m_f = DRModel(DRModelSpec(bert_config=config, attention="flash"))
+    np.testing.assert_array_equal(
+        np.asarray(m_x.encode_passage(params, batch)),
+        np.asarray(m_f.encode_passage(params, batch)))
+
+
+def test_unknown_attention_impl_raises():
+    import pytest
+
+    from denseretrievaltoolkits_tpu.models import bert
+    from denseretrievaltoolkits_tpu.models.biencoder import DRModelSpec
+
+    with pytest.raises(ValueError, match="attention"):
+        DRModelSpec(bert_config=bert.BertConfig(), attention="fancy")
