@@ -82,6 +82,16 @@ def main():
     ms2 = timeit(enc2, p2, iters=iters)
     record("encode_12L", ms12, f"{B * 1000.0 / ms12:.0f} passages/s")
     record("encode_2L", ms2)
+
+    if not args.smoke:
+        encf = jax.jit(lambda p: bert_encode(
+            p, cfg12, ids, mask, compute_dtype=jnp.bfloat16, attention="flash"))
+        out_x = np.asarray(enc(p12), np.float32)
+        out_f = np.asarray(encf(p12), np.float32)
+        err = float(np.max(np.abs(out_x - out_f)))
+        msf = timeit(encf, p12, iters=iters)
+        record("encode_12L_flash", msf,
+               f"{B * 1000.0 / msf:.0f} passages/s, max|Δ| vs xla {err:.2e}")
     per_layer = (ms12 - ms2) / 10.0
     record("per_layer_marginal", per_layer, "(12L-2L)/10")
     record("fixed_cost", ms2 - 2 * per_layer, "embed+LN+dispatch")
@@ -163,6 +173,16 @@ def main():
         vg = jax.jit(lambda p: jax.value_and_grad(
             lambda pp: model.forward(pp, qb, pb)["loss"])(p)[0])
         record("train_value_and_grad", timeit(vg, params, iters=10))
+
+        model_f = DRModel(DRModelSpec(bert_config=cfg12, dtype="bfloat16",
+                                      attention="flash"))
+        vgf = jax.jit(lambda p: jax.value_and_grad(
+            lambda pp: model_f.forward(pp, qb, pb)["loss"])(p)[0])
+        try:
+            record("train_value_and_grad_flash", timeit(vgf, params, iters=10),
+                   "(flash custom VJP)")
+        except Exception as e:  # noqa: BLE001
+            print(f"flash backward failed: {e}", flush=True)
 
         opt = optax.adamw(1e-5)
         opt_state = opt.init(params)
