@@ -228,6 +228,10 @@ def _encoder_block(x, layer, mask_bias, seg_ids, config: BertConfig, compute_dty
     if attention == "flash":
         ctx = _flash_attention(q, k, v, seg_ids, hd)
     else:
+        # Scores stay fp32: storing them in bf16 measured 22% faster on the
+        # ISOLATED inner at S=156 on v5e but exactly 0% in-model (XLA already
+        # fuses the score computation inside the layer scan), so the fp32
+        # logits are kept — see BASELINE.md round-4 encoder profile.
         scores = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
         scores = scores / math.sqrt(hd) + mask_bias
         probs = jax.nn.softmax(scores, axis=-1).astype(compute_dtype)

@@ -170,16 +170,22 @@ def main():
         fwd = jax.jit(lambda p: model.forward(p, qb, pb)["loss"])
         record("train_forward_only", timeit(fwd, params, iters=10))
 
-        vg = jax.jit(lambda p: jax.value_and_grad(
-            lambda pp: model.forward(pp, qb, pb)["loss"])(p)[0])
-        record("train_value_and_grad", timeit(vg, params, iters=10))
+        def grad_probe(model_):
+            # Sum the grads into the output so XLA cannot dead-code-eliminate
+            # the backward pass (returning loss alone DCEs it entirely).
+            def f(p):
+                loss, g = jax.value_and_grad(
+                    lambda pp: model_.forward(pp, qb, pb)["loss"])(p)
+                return loss + 1e-30 * sum(jnp.sum(x) for x in jax.tree.leaves(g))
+            return jax.jit(f)
+
+        record("train_value_and_grad", timeit(grad_probe(model), params, iters=10))
 
         model_f = DRModel(DRModelSpec(bert_config=cfg12, dtype="bfloat16",
                                       attention="flash"))
-        vgf = jax.jit(lambda p: jax.value_and_grad(
-            lambda pp: model_f.forward(pp, qb, pb)["loss"])(p)[0])
         try:
-            record("train_value_and_grad_flash", timeit(vgf, params, iters=10),
+            record("train_value_and_grad_flash",
+                   timeit(grad_probe(model_f), params, iters=10),
                    "(flash custom VJP)")
         except Exception as e:  # noqa: BLE001
             print(f"flash backward failed: {e}", flush=True)
