@@ -33,6 +33,10 @@ hot path is machine-checkable round over round (VERDICT r1 item 9):
     x156 tok bf16 (vs_baseline = round-1 ms / current ms; >1 is faster)
   - encode_passages_per_s — bert-base corpus encode, batch 256 seq 156
     (vs_baseline = ratio to round 1)
+  - encode_passages_per_s_varlen_bucketed — realistic variable-length corpus
+    (lognormal, median ~70 tok) through the bucketed pipeline
+    (--bucketed_encode); vs_baseline = ratio to the fixed-p_max padding arm
+    measured the same session (companion _fixedpad row)
 
 CPU baseline for the headline runs the same brute-force algorithm in numpy
 (a stand-in for FAISS flat) on a sample, scaled to the full corpus size.
@@ -856,6 +860,61 @@ def bench_encode() -> float:
     return pps
 
 
+_VARLEN_STATE: dict = {}
+
+
+def bench_encode_varlen() -> float:
+    """bert-base encode over a realistic VARIABLE-length corpus: bucketed
+    pipeline (length-sorted iteration + per-batch bucket padding,
+    data/collators.bucket_length, step 32) vs always-padding to p_max=156.
+
+    Lengths ~ lognormal (median ~70 tokens, MS MARCO-passage-like), clipped
+    to [16, 156], fixed seed. Both arms encode the SAME 16,384 passages in
+    64 batches of 256 with per-batch host->device transfer (part of the real
+    pipeline; bucketing legitimately shrinks it too). Returns bucketed
+    passages/s; the fixed-pad arm lands in _VARLEN_STATE for the
+    same-session ratio. This is the TPU answer to the reference's
+    per-batch dynamic padding (tokenizer.pad)."""
+    import jax
+
+    from denseretrievaltoolkits_tpu.data.collators import pad_batch
+
+    config, model, params = _bert_base_model()
+    encode = jax.jit(model.encode_passage)
+    rng = np.random.default_rng(0)
+    N, B, MAXL = 16384, 256, 156
+    lens = np.clip(np.exp(rng.normal(4.25, 0.55, N)), 16, MAXL).astype(int)
+    seqs = [rng.integers(1, config.vocab_size, L).tolist() for L in lens]
+
+    fixed = [pad_batch(seqs[i:i + B], MAXL, 0) for i in range(0, N, B)]
+    order = np.argsort(lens, kind="stable")
+    sseqs = [seqs[i] for i in order]
+    bucketed = [pad_batch(sseqs[i:i + B], MAXL, 0, bucket_step=32)
+                for i in range(0, N, B)]
+
+    def run(batches):
+        seen = set()
+        for b in batches:  # compile each distinct bucket once, off the clock
+            shape = b["input_ids"].shape
+            if shape not in seen:
+                seen.add(shape)
+                encode(params, b).block_until_ready()
+        rt = _roundtrip()
+        t0 = time.time()
+        outs = [encode(params, b) for b in batches]
+        jax.block_until_ready(outs)
+        return N / (time.time() - t0 - rt)
+
+    pps_fixed = run(fixed)
+    pps_bucketed = run(bucketed)
+    _VARLEN_STATE["fixed"] = pps_fixed
+    widths = sorted({b["input_ids"].shape[1] for b in bucketed})
+    print(f"# varlen encode: fixed {pps_fixed:.0f} p/s, bucketed "
+          f"{pps_bucketed:.0f} p/s ({pps_bucketed / pps_fixed:.2f}x), "
+          f"buckets {widths}", file=sys.stderr)
+    return pps_bucketed
+
+
 def bench_cpu_baseline(sample: np.ndarray, queries: np.ndarray) -> float:
     """numpy brute-force exact top-k on a corpus sample, scaled to N_DOCS."""
     t0 = time.time()
@@ -1053,6 +1112,18 @@ def main():
                   R1_TRAIN_STEP_MS, invert=True)
         run_extra("encode_passages_per_s", "passages/s", bench_encode,
                   R1_ENCODE_PPS)
+        # varlen: vs_baseline = bucketed / fixed-pad, measured THIS session
+        run_extra("encode_passages_per_s_varlen_bucketed", "passages/s",
+                  bench_encode_varlen, 1.0)
+        if _VARLEN_STATE.get("fixed") is not None and extras[-1]["value"]:
+            extras[-1]["vs_baseline"] = round(
+                extras[-1]["value"] / _VARLEN_STATE["fixed"], 2)
+            extras.append({
+                "metric": "encode_passages_per_s_varlen_fixedpad",
+                "value": round(_VARLEN_STATE["fixed"], 1),
+                "unit": "passages/s", "vs_baseline": None,
+            })
+            checkpoint_extras()
 
     # the cpu baseline was scaled to orig_n docs; rescale if the tpu run shrank
     cpu_qps_at_n = cpu_qps * (orig_n / N_DOCS)

@@ -149,6 +149,20 @@ class DataArguments:
     p_max_len: int = field(
         default=128, metadata={"help": "Max passage length (pad/truncate to static shape)"}
     )
+    bucketed_encode: bool = field(
+        default=False,
+        metadata={"help": "Corpus encode pads each batch to its length "
+                  "bucket (multiples of bucket_step up to p_max_len) over a "
+                  "length-sorted iteration, instead of always padding to "
+                  "p_max_len — the TPU answer to torch's per-batch dynamic "
+                  "padding. At most ceil(p_max_len/bucket_step) compiled "
+                  "encode variants, cached after first use. Single-host "
+                  "corpus encode only"},
+    )
+    bucket_step: int = field(
+        default=32,
+        metadata={"help": "Length-bucket granularity for bucketed_encode"},
+    )
     data_cache_dir: Optional[str] = field(
         default=None, metadata={"help": "Where to cache HF datasets downloads"}
     )

@@ -45,8 +45,28 @@ def create_pair_example(query_encoding, text_encoding, tokenizer, max_len):
     )["input_ids"]
 
 
-def pad_batch(sequences: Sequence[List[int]], max_len: int, pad_id: int) -> Dict[str, np.ndarray]:
-    """Pad token-id lists to [N, max_len]; returns input_ids + attention_mask."""
+def bucket_length(longest: int, max_len: int, step: int = 32) -> int:
+    """Smallest multiple of ``step`` >= ``longest``, capped at ``max_len``.
+
+    The TPU answer to torch's per-batch dynamic padding (the reference pads
+    each batch to its own max via ``tokenizer.pad``): arbitrary per-batch
+    lengths would compile a new XLA program per batch, so lengths are
+    quantized to a handful of buckets — at most ``ceil(max_len/step)``
+    compiled variants, each cached by jit after its first use."""
+    return min(max_len, max(step, -(-longest // step) * step))
+
+
+def pad_batch(sequences: Sequence[List[int]], max_len: int, pad_id: int,
+              bucket_step: int = 0) -> Dict[str, np.ndarray]:
+    """Pad token-id lists to [N, max_len]; returns input_ids + attention_mask.
+
+    ``bucket_step`` > 0 pads to the batch's length bucket instead of the
+    global ``max_len`` (see ``bucket_length``) — pair with a length-sorted
+    loader so batches are length-homogeneous and the saved padding is real
+    compute, not just moved to the longest row."""
+    if bucket_step:
+        max_len = bucket_length(max((len(s) for s in sequences), default=1),
+                                max_len, bucket_step)
     n = len(sequences)
     input_ids = np.full((n, max_len), pad_id, dtype=np.int32)
     attention_mask = np.zeros((n, max_len), dtype=np.int32)
@@ -126,17 +146,23 @@ class QPCollator:
 
 
 class PPCollator:
-    """Corpus passages → (docids, passage batch) (reference data_collator.py:160-193)."""
+    """Corpus passages → (docids, passage batch) (reference data_collator.py:160-193).
 
-    def __init__(self, data_args, tokenizer):
+    ``bucket_step`` > 0 enables bucketed variable-length padding (see
+    ``bucket_length``) — the corpus-encode throughput path for real corpora
+    whose lengths sit well under ``p_max_len``."""
+
+    def __init__(self, data_args, tokenizer, bucket_step: int = 0):
         self.tokenizer = tokenizer
         self.max_p_len = data_args.p_max_len
+        self.bucket_step = bucket_step
 
     def __call__(self, features):
         did = [s["id"] for s in features]
         enp = [create_one_example(s["text"], self.tokenizer, p_max_len=self.max_p_len)
                for s in features]
-        return did, pad_batch(enp, self.max_p_len, _pad_id(self.tokenizer))
+        return did, pad_batch(enp, self.max_p_len, _pad_id(self.tokenizer),
+                              bucket_step=self.bucket_step)
 
 
 class EncodeCollator:

@@ -33,6 +33,7 @@ class DataLoader:
         shard_num: int = 1,
         shard_idx: int = 0,
         shard_bounds: Optional[tuple] = None,
+        sort_by_length: Optional[Callable] = None,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -42,6 +43,15 @@ class DataLoader:
         self.seed = seed
         self.shard_num = shard_num
         self.shard_idx = shard_idx
+        # length-grouped iteration (bucketed encode): examples ordered by
+        # sort_by_length(example) so each batch is length-homogeneous and a
+        # bucketing collator pads to the batch's own bucket. Applied AFTER
+        # shard slicing (each shard sorts its own rows). Deterministic
+        # (stable sort), so downstream docid <-> row mappings reproduce.
+        self.sort_by_length = sort_by_length
+        if sort_by_length is not None:
+            assert not shuffle, "sort_by_length and shuffle are exclusive"
+        self.length_sorted = sort_by_length is not None
         # contiguous [start, stop) row window (multi-host corpus encode, where
         # the window must match the device-sharded index placement —
         # utils.distributed.host_corpus_bounds); mutually exclusive with the
@@ -78,6 +88,14 @@ class DataLoader:
             if total > n:
                 idx = np.concatenate([idx, idx[: total - n]])
             idx = idx[self.shard_idx :: self.shard_num]
+        if self.sort_by_length is not None:
+            if not hasattr(self, "_len_cache"):
+                # one host pass over the rows; cached — cheap next to the
+                # tokenization the collator will do for the same rows
+                self._len_cache = np.fromiter(
+                    (self.sort_by_length(self.dataset[int(i)]) for i in idx),
+                    dtype=np.int64, count=len(idx))
+            idx = idx[np.argsort(self._len_cache, kind="stable")]
         return idx
 
     def __len__(self) -> int:
@@ -229,8 +247,18 @@ class ExactMatchDataloader:
 
     def get_corpus_dataloader(self, batch_size: int):
         ds = self.dataset.load_corpus_data()
-        pp = PPCollator(self.data_args, self.tokenizer)
-        return self._loader(ds, batch_size, pp, False)
+        bucketed = bool(getattr(self.data_args, "bucketed_encode", False))
+        if bucketed and self.shard_num > 1:
+            raise ValueError("bucketed_encode is single-host only (see "
+                             "CorpusDataloader)")
+        step = int(getattr(self.data_args, "bucket_step", 32) or 32)
+        pp = PPCollator(self.data_args, self.tokenizer,
+                        bucket_step=step if bucketed else 0)
+        loader = self._loader(ds, batch_size, pp, False, sharded=False)
+        if bucketed:
+            loader.sort_by_length = lambda ex: len(ex["text"]) + 2
+            loader.length_sorted = True
+        return loader
 
 
 class RelevancyDataloader(ExactMatchDataloader):
@@ -246,7 +274,7 @@ class CorpusDataloader:
 
     def __init__(self, data_args, dataset, tokenizer, batch_size: int = 128,
                  shard_num: int = 1, shard_idx: int = 0,
-                 shard_hosts: bool = False):
+                 shard_hosts: bool = False, bucketed: Optional[bool] = None):
         self.data_args = data_args
         self.corpus = dataset
         self.tokenizer = tokenizer
@@ -256,18 +284,36 @@ class CorpusDataloader:
         # multi-host: each host encodes the contiguous corpus window matching
         # its devices' shards of the global index (host_corpus_bounds)
         self.shard_hosts = shard_hosts
+        # bucketed variable-length encode: length-sorted iteration + per-batch
+        # bucket padding (collators.bucket_length). Single-host only: the
+        # multi-host docid assembly reads ids in DATASET order
+        # (train/trainer.py `loader.dataset["id"]`), which a sorted iteration
+        # would silently mis-align with the per-host index windows.
+        if bucketed is None:
+            bucketed = bool(getattr(data_args, "bucketed_encode", False))
+        if bucketed and (shard_hosts or shard_num > 1):
+            raise ValueError(
+                "bucketed_encode is single-host only: multi-host corpus "
+                "encode maps docids by dataset order, which length-sorted "
+                "iteration would break")
+        self.bucketed = bucketed
 
     def get_dataloader(self):
         self.dataset = self.corpus.load_dataset()
-        pp = PPCollator(self.data_args, self.tokenizer)
+        step = int(getattr(self.data_args, "bucket_step", 32) or 32)
+        pp = PPCollator(self.data_args, self.tokenizer,
+                        bucket_step=step if self.bucketed else 0)
         bounds = None
         if self.shard_hosts:
             from ..utils.distributed import host_corpus_bounds
 
             bounds = host_corpus_bounds(len(self.dataset))
+        # sort key: pre-tokenized passage length (+2 covers [CLS]/[SEP];
+        # exactness is irrelevant — any monotone proxy groups lengths)
+        sort = (lambda ex: len(ex["text"]) + 2) if self.bucketed else None
         return DataLoader(self.dataset, self.batch_size, pp, shuffle=False,
                           shard_num=self.shard_num, shard_idx=self.shard_idx,
-                          shard_bounds=bounds)
+                          shard_bounds=bounds, sort_by_length=sort)
 
     # reference spelling (corpus_dataloader.py `get_dataloder`) kept as alias
     get_dataloder = get_dataloader

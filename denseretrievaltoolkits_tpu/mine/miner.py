@@ -108,7 +108,10 @@ class DenseMiner:
                     # LAST corpus doc as a negative
                     continue
                 docid = trainer.idx[int(row)]
-                doc_tokens = corpus_ds[int(row)]["text"]
+                # length-sorted builds: index row -> dataset row via perm
+                perm = getattr(trainer, "_row2ds", None)
+                ds_row = int(perm[int(row)]) if perm is not None else int(row)
+                doc_tokens = corpus_ds[ds_row]["text"]
                 if exclude_by_id:
                     if docid in own:
                         continue

@@ -413,6 +413,11 @@ class Trainer:
         else:
             self.idx = ids
         self.index.docid = self.idx
+        # bucketed encode iterates length-sorted: index row r holds dataset
+        # row perm[r]; evaluate() translates its text lookups through this
+        # (docids are already order-true — ids followed the iteration)
+        self._row2ds = (np.asarray(loader._indices())
+                        if getattr(loader, "length_sorted", False) else None)
         if save:
             with open(os.path.join(args.encode_corpus_dir, f"{ep}.{rank}.json"),
                       "w", encoding="utf-8") as fh:
@@ -449,9 +454,14 @@ class Trainer:
         if not getattr(args, "save_corpus_artifacts", True):
             return
         self.index.save(args.index_file + str(ep))
+        order = {"id": self.idx}
+        if getattr(self, "_row2ds", None) is not None:
+            # length-sorted build: persist the row->dataset-row permutation so
+            # a reloaded index keeps its text lookups aligned
+            order["perm"] = np.asarray(self._row2ds).tolist()
         with open(os.path.join(args.index_order_dir, f"{ep}.docid.txt"), "w",
                   encoding="utf-8") as fh:
-            json.dump({"id": self.idx}, fh, ensure_ascii=False)
+            json.dump(order, fh, ensure_ascii=False)
 
     def _load_index(self, ep: int):
         """Restore a saved index (reference trainer.py:252-262)."""
@@ -474,7 +484,10 @@ class Trainer:
             self.index = load_index(args.index_file + str(ep))
         with open(os.path.join(args.index_order_dir, f"{ep}.docid.txt"),
                   encoding="utf-8") as fh:
-            self.idx = json.load(fh)["id"]
+            order = json.load(fh)
+        self.idx = order["id"]
+        self._row2ds = (np.asarray(order["perm"], dtype=np.int64)
+                        if "perm" in order else None)
 
     def _label_hit(self, doc_text: str, doc_id, answers) -> bool:
         if self.label_kind == "docids":
@@ -526,11 +539,16 @@ class Trainer:
                 if corpus_ds is not None:
                     uniq = sorted({int(r) for i in range(valid)
                                    for r in indices[i] if r >= 0})
+                    # length-sorted builds: index row -> dataset row via perm
+                    perm = getattr(self, "_row2ds", None)
+                    ds_rows = ([int(perm[r]) for r in uniq] if perm is not None
+                               else uniq)
                     try:
-                        fetched = corpus_ds[uniq]  # HF datasets fancy indexing
+                        fetched = corpus_ds[ds_rows]  # HF datasets fancy indexing
                         texts = dict(zip(uniq, fetched["original"]))
                     except (TypeError, KeyError):
-                        texts = {r: corpus_ds[r]["original"] for r in uniq}
+                        texts = {r: corpus_ds[d]["original"]
+                                 for r, d in zip(uniq, ds_rows)}
                 pos_index = np.zeros((valid, k), dtype=np.int8)
                 for i in range(valid):
                     eval_num += 1
