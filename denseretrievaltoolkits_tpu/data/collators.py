@@ -166,12 +166,17 @@ class PPCollator:
 
 
 class EncodeCollator:
-    """Generic (ids, batch) for offline encoding (reference data_collator.py:196-210)."""
+    """Generic (ids, batch) for offline encoding (reference data_collator.py:196-210).
 
-    def __init__(self, tokenizer, padding="max_length", q_max_len=None, p_max_len=None):
+    ``bucket_step`` > 0 enables bucketed variable-length padding (pair with a
+    length-sorted loader; see ``bucket_length``)."""
+
+    def __init__(self, tokenizer, padding="max_length", q_max_len=None, p_max_len=None,
+                 bucket_step: int = 0):
         self.tokenizer = tokenizer
         self.q_max_len = q_max_len
         self.p_max_len = p_max_len
+        self.bucket_step = bucket_step
 
     def __call__(self, features):
         text_ids = [x["query_id"] if "query_id" in x else x["doc_id"] for x in features]
@@ -182,7 +187,8 @@ class EncodeCollator:
                                p_max_len=self.p_max_len)
             for t in texts
         ]
-        return text_ids, pad_batch(encoded, max_len, _pad_id(self.tokenizer))
+        return text_ids, pad_batch(encoded, max_len, _pad_id(self.tokenizer),
+                                   bucket_step=self.bucket_step)
 
 
 class DRInferenceCollator:

@@ -70,7 +70,14 @@ def main(argv=None):
     else:
         pre = CorpusPreProcessor(tokenizer, data_args.p_max_len,
                                  data_args.passage_field_separator)
-        collator = EncodeCollator(tokenizer, p_max_len=data_args.p_max_len)
+        # --bucketed_encode: per-batch bucket padding over a length-sorted
+        # iteration (data/collators.bucket_length) — the (reps, lookup)
+        # pickle is order-aligned by construction, so downstream consumers
+        # (evaluator/retrieval.py p_lookup) are unaffected
+        step = (data_args.bucket_step
+                if getattr(data_args, "bucketed_encode", False) else 0)
+        collator = EncodeCollator(tokenizer, p_max_len=data_args.p_max_len,
+                                  bucket_step=step)
         encode_fn = jax.jit(model.encode_passage)
         save_path = data_args.encodedp_save_path
     if not save_path:
@@ -87,11 +94,16 @@ def main(argv=None):
             sample[key] = sample.pop("id", None) or sample.get("query_id")
         return sample
 
+    sort = None
+    if getattr(data_args, "bucketed_encode", False) and not data_args.encode_is_qry:
+        sort = lambda ex: len(ex["text"]) + 2  # noqa: E731
+
     loader = DataLoader(
         [norm(r) for r in ds],
         training_args.corpus_batch_size,
         collator,
         shuffle=False,
+        sort_by_length=sort,
     )
 
     lookup, reps = [], []

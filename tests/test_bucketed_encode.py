@@ -185,3 +185,50 @@ def test_bucketed_encode_rejected_multihost():
     args = DataArguments(bucketed_encode=True, p_max_len=24)
     with pytest.raises(ValueError, match="single-host"):
         CorpusDataloader(args, None, None, shard_hosts=True)
+
+
+def test_run_encode_bucketed_matches_fixed(tmp_path):
+    """run_encode --bucketed_encode: same per-docid reps as the fixed-pad
+    run (the pickle is (reps, lookup) order-aligned, so sorting is free)."""
+    import json as _json
+    import pickle
+    import random as _random
+
+    import run_encode
+
+    tokenizer = make_tokenizer(tmp_path)
+    tokdir = tmp_path / "tok"
+    tokenizer.save_pretrained(str(tokdir))
+    from denseretrievaltoolkits_tpu.models.bert import BertConfig, save_config
+    cfg = BertConfig(vocab_size=tokenizer.vocab_size, hidden_size=16,
+                     num_hidden_layers=2, num_attention_heads=2,
+                     intermediate_size=32, max_position_embeddings=48)
+    arch = tmp_path / "arch"
+    save_config(cfg, str(arch))
+
+    rng = _random.Random(0)
+    corpus_path = tmp_path / "corpus.jsonl"
+    with open(corpus_path, "w") as fh:
+        for i in range(40):
+            text = " ".join(WORDS[(i + j) % len(WORDS)] for j in range(2 + i % 20))
+            fh.write(_json.dumps({"docid": f"d{i}", "title": "t", "text": text}) + "\n")
+
+    common = [
+        "--model_name_or_path", str(arch), "--tokenizer_name", str(tokdir),
+        "--cache_train_dir", str(tmp_path / "cache"),
+        "--output_dir", str(tmp_path / "out"),
+        "--data_cache_dir", str(tmp_path / "hf"),
+        "--q_max_len", "16", "--p_max_len", "32", "--corpus_batch_size", "8",
+        "--encode_in_path", str(corpus_path),
+    ]
+    run_encode.main(common + ["--encodedp_save_path", str(tmp_path / "f.pkl")])
+    run_encode.main(common + ["--encodedp_save_path", str(tmp_path / "b.pkl"),
+                              "--bucketed_encode", "--bucket_step", "8"])
+    reps_f, look_f = pickle.load(open(tmp_path / "f.pkl", "rb"))
+    reps_b, look_b = pickle.load(open(tmp_path / "b.pkl", "rb"))
+    assert sorted(look_f) == sorted(look_b)
+    assert look_f != look_b, "bucketed run should iterate length-sorted"
+    by_id_f = {d: reps_f[i] for i, d in enumerate(look_f)}
+    by_id_b = {d: reps_b[i] for i, d in enumerate(look_b)}
+    for d in by_id_f:
+        np.testing.assert_allclose(by_id_f[d], by_id_b[d], rtol=1e-5, atol=1e-5)
