@@ -104,11 +104,16 @@ class EVCollator:
 
 class EVRRCollator:
     """Eval (query, doc) joined pairs → (qids, pair batch, answers, docs, docids)
-    (reference data_collator.py:58-110)."""
+    (reference data_collator.py:58-110).
 
-    def __init__(self, data_args, tokenizer):
+    ``bucket_step`` > 0 enables bucketed variable-length padding (pair with a
+    length-sorted loader; the reranker eval groups scores by qid, so
+    iteration order is free)."""
+
+    def __init__(self, data_args, tokenizer, bucket_step: int = 0):
         self.tokenizer = tokenizer
         self.max_len = data_args.q_max_len + data_args.p_max_len
+        self.bucket_step = bucket_step
 
     def __call__(self, features):
         qid = [s["query_id"] for s in features]
@@ -119,7 +124,8 @@ class EVRRCollator:
             create_pair_example(s["query"], s["document"], self.tokenizer, self.max_len)
             for s in features
         ]
-        batch = pad_batch(pairs, self.max_len, _pad_id(self.tokenizer))
+        batch = pad_batch(pairs, self.max_len, _pad_id(self.tokenizer),
+                          bucket_step=self.bucket_step)
         return qid, batch, ans, doc, did
 
 

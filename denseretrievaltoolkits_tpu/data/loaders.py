@@ -331,5 +331,14 @@ class RerankerDataloader:
 
     def get_eval_dataloader(self):
         ds = self.dataset.load_dataset()
-        collator = EVRRCollator(self.data_args, self.tokenizer)
-        return DataLoader(ds, self.batch_size, collator, shuffle=False)
+        # bucketed variable-length pairs: RRTrainer.evaluate groups scores by
+        # qid, so the length-sorted iteration is transparent
+        bucketed = bool(getattr(self.data_args, "bucketed_encode", False))
+        step = int(getattr(self.data_args, "bucket_step", 32) or 32)
+        collator = EVRRCollator(self.data_args, self.tokenizer,
+                                bucket_step=step if bucketed else 0)
+        # pair length proxy: tokens of both sides + [CLS]/[SEP]/[SEP]
+        sort = ((lambda ex: len(ex["query"]) + len(ex["document"]) + 3)
+                if bucketed else None)
+        return DataLoader(ds, self.batch_size, collator, shuffle=False,
+                          sort_by_length=sort)

@@ -232,3 +232,58 @@ def test_run_encode_bucketed_matches_fixed(tmp_path):
     by_id_b = {d: reps_b[i] for i, d in enumerate(look_b)}
     for d in by_id_f:
         np.testing.assert_allclose(by_id_f[d], by_id_b[d], rtol=1e-5, atol=1e-5)
+
+
+def test_reranker_eval_bucketed_matches_fixed(tmp_path):
+    """RRTrainer.evaluate with a bucketed pair loader: identical metrics to
+    the fixed-pad loader (scores group by qid, so iteration order is free)."""
+    from denseretrievaltoolkits_tpu.config import RRTrainingArguments
+    from denseretrievaltoolkits_tpu.data.loaders import RerankerDataloader
+    from denseretrievaltoolkits_tpu.models.reranker import RRModel, RRModelSpec
+    from denseretrievaltoolkits_tpu.train.trainer import RRTrainer
+
+    tokenizer = make_tokenizer(tmp_path)
+    rng = random.Random(0)
+    rows = []
+    for qi in range(4):
+        answer = WORDS[qi]
+        q = tokenizer(" ".join(WORDS[qi:qi + 3]), add_special_tokens=False)["input_ids"]
+        for di in range(6):
+            text = " ".join(WORDS[(qi + di + j) % len(WORDS)]
+                            for j in range(3 + (qi * 6 + di) % 12))
+            if di == 0:
+                text = text + " " + answer
+            d = tokenizer(text, add_special_tokens=False)["input_ids"]
+            rows.append({"query_id": f"q{qi}", "doc_id": f"d{qi}_{di}",
+                         "query": q, "document": d, "answers": [answer],
+                         "original": text})
+
+    class FakeDS:
+        def load_dataset(self):
+            return rows
+
+    bert_config = BertConfig(
+        vocab_size=tokenizer.vocab_size, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=64, max_position_embeddings=48)
+    model = RRModel(RRModelSpec(bert_config=bert_config, loss_fn="mr"))
+    params = model.init_params(jax.random.key(0))
+
+    def run(bucketed, sub):
+        data_args = DataArguments(train_n_passages=2, q_max_len=8, p_max_len=24,
+                                  bucketed_encode=bucketed, bucket_step=8)
+        args = RRTrainingArguments(
+            output_dir=str(tmp_path / sub / "out"),
+            cache_train_dir=str(tmp_path / sub / "cache"),
+            learning_rate=1e-3, optimizer="adamw", topk="1,5", log_every=0)
+        loader = RerankerDataloader(data_args, FakeDS(), tokenizer,
+                                    batch_size=8).get_eval_dataloader()
+        if bucketed:
+            widths = {b[1]["input_ids"].shape[1] for b in loader}
+            assert len(widths) > 1, "bucketing produced a single pair shape"
+        trainer = RRTrainer(args, model, params)
+        return trainer.evaluate(loader, 0)
+
+    m_fixed = run(False, "f")
+    m_bucket = run(True, "b")
+    for k, v in m_fixed.items():
+        assert abs(v - m_bucket[k]) < 1e-6, (k, v, m_bucket[k])
