@@ -652,7 +652,7 @@ def bench_int4_21m(queries: np.ndarray) -> float:
     return qps
 
 
-def bench_pcar_sq4(queries: np.ndarray) -> float:
+def bench_pcar_sq4() -> float:
     """PCAR384,SQ4 at 8.8M: the trained-factory compression ladder's
     2-bits-per-original-dim point (reference analog: arbitrary
     ``faiss.index_factory`` strings, DRT/evaluator/index.py:47-54).
@@ -660,6 +660,11 @@ def bench_pcar_sq4(queries: np.ndarray) -> float:
     Data is the clustered mixture with a power-law column spectrum
     ``lambda_j=(j+1)^-0.35`` — isotropic gaussians have no principal
     subspace, so a spectrum is what makes the PCA rotation meaningful.
+    QUERIES are drawn from the same mixture (fresh block, offset 1e9), like
+    real query embeddings sharing the corpus spectrum — with ISOTROPIC
+    queries the discarded 384 dims contribute relatively more to rankings
+    and recall@100 drops 0.81 -> 0.65 (measured; recorded in BASELINE.md as
+    the ladder's query-distribution sensitivity).
     Reference ranking AND the qps denominator are exact-int8 serve over the
     original 768-dim spectrumed rows, measured in-session; the int8 corpus
     is deleted before the transformed sq4 corpus is built (peak HBM ~7 GB).
@@ -699,7 +704,8 @@ def bench_pcar_sq4(queries: np.ndarray) -> float:
         values, scales = place(values, scales, cv, cs, off)
         off += rows
     values.block_until_ready()
-    q_np = np.asarray(queries[:nq], np.float32) * np.asarray(lam)[None, :]
+    q_np = (np.asarray(_clustered_chunk(centers, 10**9, nq), np.float32)
+            * np.asarray(lam)[None, :])
     q = jax.device_put(jnp.asarray(q_np, jnp.bfloat16))
     rt = _roundtrip()
     ref = pallas_topk_serve_scaled(q, values, scales, TOPK, 16, block,
@@ -1079,7 +1085,7 @@ def main():
         # ratio to the spectrumed exact-int8 serve measured inside the same
         # function (same session, same data) — recorded as its own row
         run_extra(f"pcar384sq4_qps_{N_DOCS_INT8 // 1000}k_docs_top{TOPK}",
-                  "qps", lambda: bench_pcar_sq4(queries),
+                  "qps", lambda: bench_pcar_sq4(),
                   _IVF_STATE.get("exact_qps") or R1_INT8_QPS)
         if _PCAR_STATE.get("int8_qps") is not None:
             # rewrite the row's vs_baseline to the in-function denominator
