@@ -531,8 +531,34 @@ def index_factory(dim: int, factory_str: str, block_size: int = DEFAULT_BLOCK,
                              rotation (index/transforms.py), chained in front
                              of any of the above ("PCA{d},..." skips the
                              rotation)
+      "PQ{M}"              → product quantizer, M subspaces x 256 centroids
+                             (index/pq.py — fused decode-and-scan serving;
+                             M bytes/row: PQ96 holds ~160M x 768 on one chip)
+      "OPQ{M},PQ{M}"       → trained OPQ rotation (index/transforms.py)
+                             in front of the PQ index
     (flat indexes also serve a hardware-ANN mode via search(mode="approx"))."""
     key = factory_str.strip().lower()
+    if key.startswith("opq"):
+        head, _, tail = key.partition(",")
+        try:
+            m_rot = int(head[3:])
+        except ValueError:
+            m_rot = 0
+        if m_rot > 0 and tail:
+            from .transforms import OPQTransform, TransformedIndex
+
+            inner = index_factory(dim, tail, block_size=block_size,
+                                  nprobe=nprobe)
+            return TransformedIndex(OPQTransform(dim, M=m_rot), inner)
+    if key.startswith("pq"):
+        try:
+            m_sub = int(key[2:])
+        except ValueError:
+            m_sub = 0
+        if m_sub > 0:
+            from .pq import PQIndex
+
+            return PQIndex(dim, M=m_sub)
     if key.startswith("pca"):
         head, _, tail = key.partition(",")
         rotate = head.startswith("pcar")
@@ -588,5 +614,6 @@ def index_factory(dim: int, factory_str: str, block_size: int = DEFAULT_BLOCK,
                                 dtype=cell_dtype)
     raise ValueError(
         f"unsupported factory string {factory_str!r}; supported: Flat, BF16, "
-        "SQ8, IVF{{n}},Flat|BF16|SQ8, PCAR{{d}}/PCA{{d}} + any of the former"
+        "SQ8, SQ4, PQ{{M}}, IVF{{n}},Flat|BF16|SQ8, OPQ{{M}},PQ{{M}}, "
+        "PCAR{{d}}/PCA{{d}} + any of the former"
     )

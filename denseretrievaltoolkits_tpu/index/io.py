@@ -25,6 +25,10 @@ def load_index(path: str):
         raise FileNotFoundError(f"no index found at {path!r}")
     with open(meta_path) as fh:
         meta = json.load(fh)
+    if meta.get("kind") == "pq":
+        from .pq import PQIndex
+
+        return PQIndex.load(path)
     if meta.get("kind") == "ivfr":
         from .ivf import IVFRaggedIndex
 

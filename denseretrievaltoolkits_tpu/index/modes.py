@@ -72,6 +72,15 @@ APPROX_ALIAS = {
 FLAT_MODES = ("exact", "serve", "partial", "i8q", "approx")
 IVF_MODES = ("exact", "bulk", "serve", "probe", "i8q", "approx")
 
+# Product-quantized indexes (index/pq.py): scores are ADC approximations by
+# construction, so "exact" means exact-ADC (fp32 ip against the
+# reconstruction, certified by the one-hot decode); "serve" is the fused
+# decode-and-scan Pallas kernel (bf16 scoring + packed selection).  There is
+# no PartialReduce (scores never exist as a flat fp32 scan) and no i8q
+# (queries already score against lossy reconstructions; quantizing them too
+# would stack a second uncontrolled loss) — both raise.
+PQ_MODES = ("exact", "serve", "approx")
+
 
 def resolve_mode(mode: str, dtype: str) -> str:
     """Resolve a flat-index search mode against the storage dtype.
@@ -93,6 +102,22 @@ def resolve_mode(mode: str, dtype: str) -> str:
             f"mode='partial' (hardware PartialReduce) needs fp32/bf16 rows; "
             f"this index stores {dtype}. Use 'i8q' (or the 'approx' alias).")
     return mode
+
+
+def resolve_pq_mode(mode: str) -> str:
+    """Resolve a PQ-index search mode.  Returns exact|serve."""
+    if mode not in PQ_MODES:
+        if mode == "partial":
+            raise ValueError(
+                "mode='partial' (PartialReduce) needs a flat fp32/bf16 scan; "
+                "PQ scores are decoded in-kernel. Use 'serve' (or 'approx').")
+        if mode == "i8q":
+            raise ValueError(
+                "mode='i8q' quantizes queries against int8 rows; PQ already "
+                "scores against lossy reconstructions. Use 'serve'.")
+        raise ValueError(
+            f"unknown search mode {mode!r}; PQ-index modes: {PQ_MODES}")
+    return "serve" if mode == "approx" else mode
 
 
 def resolve_ivf_mode(mode: str, dtype: str) -> str:

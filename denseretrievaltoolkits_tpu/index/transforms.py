@@ -87,6 +87,52 @@ class PCATransform:
         return t
 
 
+class OPQTransform(PCATransform):
+    """Learned OPQ rotation (FAISS ``OPQ{M}`` pretransform analog).
+
+    Minimizes the product-quantization reconstruction error over orthogonal
+    rotations by alternating (1) PQ codebook fit on the rotated sample and
+    (2) the orthogonal-Procrustes update R = UV^T from SVD(X^T X_hat) — the
+    OPQ-NP algorithm (Ge et al., CVPR'13).  The k-means legs run batched on
+    device (ops/pq.py); the 768x768 SVD is host-trivial.  At apply time this
+    is one matmul, exactly like its PCATransform parent — so persistence and
+    the ``TransformedIndex`` chain logic are inherited unchanged."""
+
+    def __init__(self, dim: int, M: int, seed: int = 0, rounds: int = 6,
+                 kmeans_iters: int = 4):
+        super().__init__(dim, dim, rotate=True, seed=seed)
+        self.M = M
+        self.rounds = rounds
+        self.kmeans_iters = kmeans_iters
+
+    def train(self, reps: np.ndarray, block: int = 65536) -> None:
+        from ..ops.pq import pq_decode, pq_encode_device, pq_train
+
+        x = np.asarray(reps, np.float32)
+        assert x.shape[1] == self.dim
+        # cap the alternation sample: each round runs a full M-way k-means
+        n_cap = min(x.shape[0], 65536)
+        xs = x[:n_cap]
+        rng = np.random.default_rng(self.seed)
+        g = rng.standard_normal((self.dim, self.dim))
+        q, r = np.linalg.qr(g)
+        rot = np.ascontiguousarray(q * np.sign(np.diag(r)), np.float32)
+        xd = jnp.asarray(xs)
+        for t in range(self.rounds):
+            xr = np.asarray(jnp.dot(xd, jnp.asarray(rot),
+                                    preferred_element_type=jnp.float32))
+            cb = pq_train(xr, self.M, iters=self.kmeans_iters,
+                          seed=self.seed + t,
+                          block_rows=min(2048, xr.shape[0]))
+            codes = pq_encode_device(jnp.asarray(xr), jnp.asarray(cb))
+            xhat = pq_decode(codes, jnp.asarray(cb))
+            m = np.asarray(jnp.dot(xd.T, xhat,
+                                   preferred_element_type=jnp.float32))
+            u, _, vt = np.linalg.svd(m)
+            rot = np.ascontiguousarray(u @ vt, np.float32)
+        self.matrix = rot
+
+
 class TransformedIndex:
     """Factory chain head: a vector transform in front of any index built at
     the reduced dimension (FAISS "PCAR64,SQ8" behavior: train codec on
@@ -190,10 +236,20 @@ class TransformedIndex:
     def load(cls, path: str) -> "TransformedIndex":
         with open(os.path.join(path, "transformed_meta.json")) as fh:
             meta = json.load(fh)
+        # OPQ rotations persist in the parent's npz format (a matrix is a
+        # matrix at apply time), so one loader serves both transform kinds
         transform = PCATransform.load(os.path.join(path, "transform.npz"))
+        inner_path = os.path.join(path, "inner")
         if meta["inner_type"] == "IVFFlatIndex":
-            from .ivf import IVFFlatIndex as inner_cls
+            from .ivf import IVFFlatIndex
+
+            inner = IVFFlatIndex.load(inner_path)
+        elif meta["inner_type"] == "PQIndex":
+            from .pq import PQIndex
+
+            inner = PQIndex.load(inner_path)
         else:
-            from .flat import FlatIPIndex as inner_cls
-        inner = inner_cls.load(os.path.join(path, "inner"))
+            from .flat import FlatIPIndex
+
+            inner = FlatIPIndex.load(inner_path)
         return cls(transform, inner)
