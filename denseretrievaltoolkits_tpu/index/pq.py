@@ -52,9 +52,10 @@ class PQIndex:
                  use_pallas: bool = True):
         assert dim % M == 0, f"dim {dim} not divisible by M={M}"
         d_sub = dim // M
-        assert 128 % d_sub == 0 and dim % 128 == 0, (
-            f"PQ{M} at dim {dim} gives d_sub={d_sub}; the decode kernel needs "
-            f"d_sub | 128 and 128 | dim (use M in {{dim//8, dim//16, dim//32}})")
+        # the fused decode kernel's block-diagonal layout needs d_sub | 128
+        # and 128 | dim; other geometries stay valid but serve via the
+        # exact-ADC scan (search() falls back when _bdcb is None)
+        self._pallas_geometry = (128 % d_sub == 0) and (dim % 128 == 0)
         self.dim = dim
         self.M = M
         self.block_size = block_size
@@ -86,10 +87,11 @@ class PQIndex:
         self._set_codebooks()
 
     def _set_codebooks(self):
-        from ..ops.pq import build_bdcb
-
         self._cb_dev = jnp.asarray(self.codebooks)
-        self._bdcb = jnp.asarray(build_bdcb(self.codebooks))
+        if self._pallas_geometry:
+            from ..ops.pq import build_bdcb
+
+            self._bdcb = jnp.asarray(build_bdcb(self.codebooks))
 
     def _encode(self, reps) -> jax.Array:
         from ..ops.pq import pq_encode_device
@@ -145,7 +147,7 @@ class PQIndex:
         assert self.is_trained and self._n, "search on an empty/untrained index"
         self._materialize()
         k = min(k, self._n)
-        if (mode == "serve" and self.use_pallas
+        if (mode == "serve" and self.use_pallas and self._bdcb is not None
                 and jax.default_backend() == "tpu"):
             from ..ops.pq import pallas_topk_pq_fast
 

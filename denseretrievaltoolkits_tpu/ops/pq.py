@@ -50,6 +50,7 @@ from jax.experimental.pallas import tpu as pltpu
 from .topk import _packed_select
 
 K = 256  # centroids per subquantizer (8-bit codes; the FAISS PQ{M} default)
+_PQ_SUB = 1024  # one-hot sub-tile rows: bounds the decode scratch + temporaries
 
 
 # ---------------------------------------------------------------------------
@@ -263,8 +264,9 @@ def _pq_serve_kernel(q_ref, codes_ref, bdcb_hbm, out_v_ref, out_i_ref,
     TN = decoded_ref.shape[1]
     n_groups = bdcb_vmem.shape[0]
     GK = bdcb_vmem.shape[2]
-    # one-hot sub-tiles cap VMEM: split each group's GK rows into <=2048 chunks
-    SUB = min(GK, 2048)
+    G = GK // K  # subspaces per 128-dim output group
+    # one-hot sub-tiles cap VMEM: split each group's GK rows into <=1024 chunks
+    SUB = min(GK, _PQ_SUB)
     n_sub = GK // SUB
     G_sub = SUB // K  # subspaces per one-hot sub-tile
 
@@ -279,12 +281,17 @@ def _pq_serve_kernel(q_ref, codes_ref, bdcb_hbm, out_v_ref, out_i_ref,
         for g in range(n_groups):
             acc = jnp.zeros((128, TN), jnp.float32)
             for j in range(n_sub):
-                for ml in range(G_sub):
-                    m = (g * n_sub + j) * G_sub + ml
-                    cc = codes_ref[m, :].astype(jnp.int32) + 128  # [TN]
-                    oh = (jax.lax.broadcasted_iota(
-                        jnp.int32, (K, TN), 0) == cc[None, :])
-                    onehot_ref[ml * K:(ml + 1) * K, :] = oh.astype(jnp.bfloat16)
+                # vectorized one-hot for the whole sub-tile: row r of the
+                # [SUB, TN] tile is (subspace r//K, code r%K); ONE iota +
+                # compare instead of G_sub unrolled [K, TN] temps (Mosaic
+                # stacks unrolled-loop temporaries — the per-ml version
+                # blew the 16 MB scoped-vmem limit)
+                m0 = g * G + j * G_sub
+                cblk = codes_ref[m0:m0 + G_sub, :].astype(jnp.int32) + 128
+                iota_k = jax.lax.broadcasted_iota(
+                    jnp.int32, (G_sub, K, TN), 1)
+                oh = (iota_k == cblk[:, None, :]).astype(jnp.bfloat16)
+                onehot_ref[:] = oh.reshape(SUB, TN)
                 acc = acc + jax.lax.dot_general(
                     bdcb_vmem[g, :, j * SUB:(j + 1) * SUB], onehot_ref[:],
                     dimension_numbers=(((1,), (0,)), ((), ())),
@@ -341,7 +348,7 @@ def pallas_topk_pq(q, codes, bdcb, k, J, block_size, n_valid, tq=None):
         ),
         scratch_shapes=[
             pltpu.VMEM((H, block_size), jnp.bfloat16),       # decoded_ref
-            pltpu.VMEM((min(GK, 2048), block_size), jnp.bfloat16),  # onehot
+            pltpu.VMEM((min(GK, _PQ_SUB), block_size), jnp.bfloat16),  # onehot
             pltpu.VMEM((n_groups, 128, GK), jnp.bfloat16),   # bdcb_vmem
             pltpu.SemaphoreType.DMA(()),
         ],

@@ -105,6 +105,28 @@ def test_pcar_chain_factory_reachable_from_trainer(tmp_path):
     np.testing.assert_array_equal(i1, i2)
 
 
+def test_pq_factory_reachable_from_trainer(tmp_path):
+    """PQ{M} rides the same trained-index protocol as IVF: trained on the
+    encoded corpus, built through add_chunks, persisted + restored through
+    the generic loader (reference faiss.index_factory("PQ...") parity,
+    DRT/evaluator/index.py:47-54)."""
+    from denseretrievaltoolkits_tpu.index.pq import PQIndex
+
+    trainer, train_args = _run_pipeline(tmp_path, "PQ8", search_mode="exact")
+    assert isinstance(trainer.index, PQIndex)
+    assert trainer.index.is_trained
+    assert len(trainer.index) == 48
+    metrics_files = glob.glob(
+        os.path.join(train_args.cache_train_dir, "*_metrics"))
+    assert metrics_files
+    loaded = load_index(train_args.index_file + "1")
+    assert isinstance(loaded, PQIndex)
+    q = np.random.default_rng(2).standard_normal((3, 32)).astype(np.float32)
+    s1, i1 = trainer.index.search(q, 5, mode="exact")
+    s2, i2 = loaded.search(q, 5, mode="exact")
+    np.testing.assert_array_equal(i1, i2)
+
+
 def test_factory_on_multidevice_mesh(tmp_path):
     """VERDICT r3 weak 3: --index_factory now composes with a >1-device mesh
     (sharded IVF / PCAR chains over sharded flat); only SQ4 stays

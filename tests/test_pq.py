@@ -194,8 +194,22 @@ def test_pq_mode_contract(fitted):
 def test_pq_rejects_bad_geometry():
     with pytest.raises(AssertionError, match="divisible"):
         PQIndex(H, M=48 + 1)
-    with pytest.raises(AssertionError, match="decode kernel"):
-        PQIndex(192, M=96)  # dim % 128 != 0
+
+
+def test_pq_non_pallas_geometry_serves_via_exact_adc():
+    """dim % 128 != 0 disables only the fused kernel: the index still
+    trains/adds/searches (serve falls back to the exact-ADC scan)."""
+    rng = np.random.default_rng(5)
+    reps = rng.standard_normal((1024, 192)).astype(np.float32)
+    idx = PQIndex(192, M=96)  # d_sub=2 divides 128, but 192 % 128 != 0
+    assert idx._pallas_geometry is False
+    idx.train(reps, iters=3)
+    assert idx._bdcb is None
+    idx.add(reps)
+    q = reps[:8]
+    s_serve, i_serve = idx.search(q, 10, mode="serve")
+    s_exact, i_exact = idx.search(q, 10, mode="exact")
+    np.testing.assert_array_equal(i_serve, i_exact)
 
 
 def test_opq_beats_plain_pq_on_correlated_data():
