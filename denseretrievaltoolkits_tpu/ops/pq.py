@@ -306,19 +306,15 @@ def _pq_serve_kernel(q_ref, codes_ref, bdcb_hbm, out_v_ref, out_i_ref,
                    n_valid=n_valid, id_bits=id_bits)
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("k", "J", "block_size", "n_valid", "tq"))
-def pallas_topk_pq(q, codes, bdcb, k, J, block_size, n_valid, tq=None):
-    """PQ serving fast path: fused decode-and-scan kernel + candidate merge.
-
-    q [Q, H] fp32 (Q a multiple of tq); codes [M, N] centered int8 with N a
-    multiple of block_size; bdcb from :func:`build_bdcb`.  Same packed-select
-    contract as ops/topk.py's serve kernels (scores quantized ~2^id_bits ulps,
-    ties break to the smaller id)."""
+def pq_topj_blocks(q, codes, bdcb, J, block_size, n_valid, tq=None):
+    """Run the fused decode-and-scan kernel, returning the raw per-block
+    candidates ``(vals_b, ids_b)`` [n_blocks, J, Q] WITHOUT the final merge
+    — the shard_map building block (parallel/sharded_pq.py): per-shard
+    ``n_valid`` must be the static shard capacity there, with true-validity
+    masking applied by the caller.  Not jitted; call under jit/shard_map."""
     Q, H = q.shape
     M, N = codes.shape
     n_groups, _, GK = bdcb.shape
-    d_sub = H // M
     n_blocks = N // block_size
     TQ = min(Q, tq or 256)
     n_qtiles = Q // TQ
@@ -326,7 +322,7 @@ def pallas_topk_pq(q, codes, bdcb, k, J, block_size, n_valid, tq=None):
     kernel = functools.partial(
         _pq_serve_kernel, J=J, block_size=block_size, n_valid=n_valid,
         id_bits=id_bits)
-    vals_b, ids_b = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         grid=(n_blocks, n_qtiles),
         in_specs=[
@@ -354,6 +350,20 @@ def pallas_topk_pq(q, codes, bdcb, k, J, block_size, n_valid, tq=None):
         ],
         interpret=jax.default_backend() != "tpu",
     )(q.astype(jnp.float32), codes, bdcb)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "J", "block_size", "n_valid", "tq"))
+def pallas_topk_pq(q, codes, bdcb, k, J, block_size, n_valid, tq=None):
+    """PQ serving fast path: fused decode-and-scan kernel + candidate merge.
+
+    q [Q, H] fp32 (Q a multiple of tq); codes [M, N] centered int8 with N a
+    multiple of block_size; bdcb from :func:`build_bdcb`.  Same packed-select
+    contract as ops/topk.py's serve kernels (scores quantized ~2^id_bits ulps,
+    ties break to the smaller id)."""
+    Q = q.shape[0]
+    vals_b, ids_b = pq_topj_blocks(q, codes, bdcb, J, block_size, n_valid,
+                                   tq=tq)
     nb = vals_b.shape[0]
     flat_v = jnp.transpose(vals_b, (2, 0, 1)).reshape(Q, nb * J)
     flat_i = jnp.transpose(ids_b, (2, 0, 1)).reshape(Q, nb * J)

@@ -464,6 +464,30 @@ def sharded_index_factory(mesh: Mesh, dim: int, factory_str: str,
                                           use_pallas=use_pallas)
             return TransformedIndex(
                 CollectivePCATransform(dim, d_out, rotate=rotate), inner)
+    if key.startswith("opq"):
+        # trained OPQ rotation in front of sharded PQ (single-controller:
+        # OPQTransform fits on THIS process's sample; ShardedPQIndex itself
+        # rejects multi-host meshes)
+        head, _, tail = key.partition(",")
+        try:
+            m_rot = int(head[3:])
+        except ValueError:
+            m_rot = 0
+        if m_rot > 0 and tail:
+            from ..index.transforms import OPQTransform, TransformedIndex
+
+            inner = sharded_index_factory(mesh, dim, tail, nprobe=nprobe,
+                                          use_pallas=use_pallas)
+            return TransformedIndex(OPQTransform(dim, M=m_rot), inner)
+    if key.startswith("pq"):
+        try:
+            m_sub = int(key[2:])
+        except ValueError:
+            m_sub = 0
+        if m_sub > 0:
+            from .sharded_pq import ShardedPQIndex
+
+            return ShardedPQIndex(mesh, dim, M=m_sub, use_pallas=use_pallas)
     if key.startswith("ivf"):
         head, _, tail = key.partition(",")
         ragged = head.startswith("ivfr")
@@ -489,6 +513,12 @@ def load_sharded_index(path: str, mesh: Mesh):
     if os.path.isdir(path) and os.path.exists(
             os.path.join(path, "sivf_meta.json")):
         return ShardedIVFIndex.load(path, mesh)
+    if os.path.exists(path + ".meta.json"):
+        with open(path + ".meta.json") as fh:
+            if json.load(fh).get("kind") == "pq":
+                from .sharded_pq import ShardedPQIndex
+
+                return ShardedPQIndex.load(path, mesh)
     if os.path.isdir(path) and os.path.exists(
             os.path.join(path, "transformed_meta.json")):
         from ..index.transforms import PCATransform, TransformedIndex

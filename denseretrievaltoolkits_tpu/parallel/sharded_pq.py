@@ -1,0 +1,238 @@
+"""ICI-sharded product-quantized index: per-shard decode-and-scan + merge.
+
+Extends the corpus-sharding story (parallel/sharded_index.py, reference
+analog ``DRT/trainer/trainer.py:191-262``) to the PQ capacity rung: codes
+shard column-wise over the mesh data axis ([n_shards, M, per] — each chip
+owns ``per = N/n_shards`` rows of code-major storage, 96 B/row at PQ96, so
+an 8-chip v5e pod slice holds ~1.3B x 768 rows), while the codebooks and
+their block-diagonal decode expansion replicate (~6 MB).  Search runs under
+``shard_map``: every device decodes-and-scans only its own code shard
+(ops/pq.py fused kernel), candidates merge with one ``all_gather`` over ICI
++ a final ``lax.top_k`` — identical merge contract to ``ShardedFlatIndex``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..index.modes import resolve_pq_mode
+from .mesh import DATA_AXIS
+
+
+class ShardedPQIndex:
+    """PQ codes sharded over the mesh data axis; global ADC top-k.
+
+    Same trained-index protocol as ``PQIndex`` (is_trained/train/add_chunks)
+    so ``Trainer._build_trained_index`` and ``sharded_index_factory`` drive
+    it unchanged.  Single-controller meshes only (every device addressable
+    from this process); multi-host PQ sharding is guarded with a clear
+    error — the flat/IVF families cover the multi-host corpus axis."""
+
+    def __init__(self, mesh: Mesh, dim: int, M: int = 96,
+                 block_size: int = 512, use_pallas: bool = True):
+        assert dim % M == 0, f"dim {dim} not divisible by M={M}"
+        if jax.process_count() > 1:
+            raise NotImplementedError(
+                "ShardedPQIndex is single-controller; use flat/IVF sharded "
+                "families on multi-host meshes")
+        d_sub = dim // M
+        self._pallas_geometry = (128 % d_sub == 0) and (dim % 128 == 0)
+        self.mesh = mesh
+        self.dim = dim
+        self.M = M
+        self.block_size = block_size
+        self.use_pallas = use_pallas
+        self.n_shards = int(np.prod(mesh.devices.shape))
+        self.codebooks: Optional[np.ndarray] = None
+        self._cb_dev = None
+        self._bdcb = None
+        self._code_slabs: List = []
+        self._codes = None        # [n_shards, M, per] mesh-sharded
+        self._per = 0
+        self._n = 0
+        self.docid: List = []
+        self._search_fn = None
+        self._search_key = None
+
+    def __len__(self):
+        return self._n
+
+    @property
+    def is_trained(self) -> bool:
+        return self.codebooks is not None
+
+    def train(self, reps: np.ndarray, iters: int = 12, seed: int = 0) -> None:
+        from ..ops.pq import pq_train
+
+        reps = np.asarray(reps, np.float32)
+        assert reps.shape[1] == self.dim
+        self.codebooks = pq_train(reps, self.M, iters=iters, seed=seed,
+                                  block_rows=min(2048, reps.shape[0]))
+        self._set_codebooks()
+
+    def _set_codebooks(self):
+        self._cb_dev = jnp.asarray(self.codebooks)
+        if self._pallas_geometry:
+            from ..ops.pq import build_bdcb
+
+            self._bdcb = jnp.asarray(build_bdcb(self.codebooks))
+
+    def _encode(self, reps) -> jax.Array:
+        from ..ops.pq import pq_encode_device
+
+        return pq_encode_device(jnp.asarray(reps, jnp.float32), self._cb_dev)
+
+    def add(self, reps: np.ndarray) -> None:
+        assert self.is_trained, "ShardedPQIndex.add before train()"
+        reps = np.asarray(reps, np.float32)
+        assert reps.shape[1] == self.dim
+        self._code_slabs.append(self._encode(reps))
+        self._n += reps.shape[0]
+        self._codes = None
+
+    add_device = add  # encode accepts host or device reps alike
+
+    def add_chunks(self, chunk_fn, n_rows: int,
+                   chunk_rows: int = 500_000) -> None:
+        assert self.is_trained, "ShardedPQIndex.add_chunks before train()"
+        for start in range(0, int(n_rows), chunk_rows):
+            rows = min(chunk_rows, int(n_rows) - start)
+            chunk = jnp.asarray(chunk_fn(start, rows))
+            self._code_slabs.append(self._encode(chunk))
+            chunk.delete()
+            self._n += rows
+        self._codes = None
+
+    def _materialize(self):
+        if self._codes is not None:
+            return
+        assert self._n, "materialize on an empty index"
+        codes = (self._code_slabs[0] if len(self._code_slabs) == 1
+                 else jnp.concatenate(self._code_slabs, axis=1))
+        # per-shard capacity: block-multiple so the kernel grid tiles evenly
+        per = -(-self._n // self.n_shards)
+        per = per + ((-per) % self.block_size)
+        pad = self.n_shards * per - codes.shape[1]
+        if pad:
+            codes = jnp.pad(codes, ((0, 0), (0, pad)))
+        shards = codes.reshape(self.M, self.n_shards, per).transpose(1, 0, 2)
+        sharding = NamedSharding(self.mesh, P(DATA_AXIS, None, None))
+        self._codes = jax.device_put(shards, sharding)
+        self._per = per
+        self._code_slabs = []
+        self._search_fn = None
+
+    def _build_search(self, k: int, mode: str, tq: int):
+        from ..ops.pq import pq_blockwise_topk, pq_topj_blocks
+
+        mesh = self.mesh
+        per = self._per
+        n_valid_total = self._n
+        block = min(self.block_size, per)
+        cb = self._cb_dev
+        bdcb = self._bdcb
+        use_pallas = (mode == "serve" and self.use_pallas
+                      and bdcb is not None
+                      and jax.default_backend() == "tpu"
+                      and per % block == 0)
+        n_blocks = max(1, per // block)
+        lam = k / n_blocks
+        J = min(k, block, max(4, int(np.ceil(lam + 4.0 * np.sqrt(lam) + 4.0))))
+
+        def local_search(q, codes_shard):
+            shard_idx = jax.lax.axis_index(DATA_AXIS)
+            offset = shard_idx * per
+            local_valid = jnp.clip(n_valid_total - offset, 0, per)
+            if use_pallas and n_blocks * J >= min(k, per):
+                vals_b, ids_b = pq_topj_blocks(q, codes_shard[0], bdcb, J,
+                                               block, per, tq=tq)
+                nb = vals_b.shape[0]
+                Q = q.shape[0]
+                flat_v = jnp.transpose(vals_b, (2, 0, 1)).reshape(Q, nb * J)
+                flat_i = jnp.transpose(ids_b, (2, 0, 1)).reshape(Q, nb * J)
+                # static n_valid=per in-kernel; true-validity mask here
+                flat_v = jnp.where(flat_i < local_valid, flat_v, -jnp.inf)
+                kk = min(k, nb * J)
+                scores, pos = jax.lax.top_k(flat_v, kk)
+                ids = jnp.take_along_axis(flat_i, pos, axis=1)
+                if kk < k:
+                    scores = jnp.pad(scores, ((0, 0), (0, k - kk)),
+                                     constant_values=-jnp.inf)
+                    ids = jnp.pad(ids, ((0, 0), (0, k - kk)))
+            else:
+                scores, ids = pq_blockwise_topk(q, codes_shard[0], cb, k,
+                                                block, valid=local_valid)
+            ids = ids + offset
+            all_scores = jax.lax.all_gather(scores, DATA_AXIS, axis=1,
+                                            tiled=True)
+            all_ids = jax.lax.all_gather(ids, DATA_AXIS, axis=1, tiled=True)
+            top_s, pos = jax.lax.top_k(all_scores, k)
+            return top_s, jnp.take_along_axis(all_ids, pos, axis=1)
+
+        fn = shard_map(local_search, mesh=mesh,
+                       in_specs=(P(), P(DATA_AXIS, None, None)),
+                       out_specs=(P(), P()), check_rep=False)
+        return jax.jit(fn)
+
+    def search(self, q_reps, k: int = 1000,
+               mode: str = "exact") -> Tuple[np.ndarray, np.ndarray]:
+        mode = resolve_pq_mode(mode)
+        assert self.is_trained and self._n, "search on an empty/untrained index"
+        self._materialize()
+        k = min(k, self._n)
+        Q0 = int(np.asarray(q_reps).shape[0])
+        tq = min(256, max(8, -(-Q0 // 8) * 8))
+        key = (k, mode, tq)
+        if self._search_fn is None or self._search_key != key:
+            self._search_fn = self._build_search(k, mode, tq)
+            self._search_key = key
+        q = jnp.asarray(q_reps, jnp.float32)
+        pad_q = (-Q0) % tq
+        if pad_q:
+            q = jnp.pad(q, ((0, pad_q), (0, 0)))
+        s, i = self._search_fn(q, self._codes)
+        return np.asarray(s)[:Q0], np.asarray(i)[:Q0]
+
+    def batch_search(self, q_reps, k: int, batch_size: int, quiet: bool = True,
+                     mode: str = "exact") -> Tuple[np.ndarray, np.ndarray]:
+        all_s, all_i = [], []
+        for start in range(0, q_reps.shape[0], batch_size):
+            s, i = self.search(q_reps[start:start + batch_size], k, mode=mode)
+            all_s.append(s)
+            all_i.append(i)
+        return np.concatenate(all_s), np.concatenate(all_i)
+
+    # -- persistence (PQIndex-compatible payload + shard-agnostic meta) ------
+
+    def save(self, path: str) -> None:
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        self._materialize()
+        codes = np.asarray(self._codes).transpose(1, 0, 2).reshape(
+            self.M, self.n_shards * self._per)[:, : self._n]
+        np.savez(path + ".npz", codes=codes, codebooks=self.codebooks)
+        with open(path + ".meta.json", "w") as fh:
+            json.dump({"kind": "pq", "dim": self.dim, "M": self.M,
+                       "n": self._n, "docid": self.docid}, fh)
+
+    @classmethod
+    def load(cls, path: str, mesh: Mesh) -> "ShardedPQIndex":
+        with open(path + ".meta.json") as fh:
+            meta = json.load(fh)
+        idx = cls(mesh, meta["dim"], M=meta["M"])
+        with np.load(path + ".npz") as z:
+            idx.codebooks = z["codebooks"]
+            codes = z["codes"]
+        idx._set_codebooks()
+        if codes.shape[1]:
+            idx._code_slabs = [jnp.asarray(codes)]
+        idx._n = int(meta["n"])
+        idx.docid = meta.get("docid", [])
+        return idx
