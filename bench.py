@@ -793,6 +793,158 @@ def bench_pcar_sq4() -> float:
     return qps
 
 
+_PQ_STATE = {}
+
+
+def bench_pq() -> float:
+    """PQ96 at 8.8M: the capacity rung past SQ4 (96 B/row — ~160M x 768 rows
+    per 16 GB v5e chip; reference analog: ``faiss.index_factory("PQ96")``,
+    DRT/evaluator/index.py:47-54).
+
+    Same power-law-spectrum clustered mixture as the PCAR row (a principal
+    structure is what gives a trained codec something to fit), same
+    in-session exact-int8 serve reference for ranking AND the qps
+    denominator.  PQ scores are reconstructions, so the recall contract is
+    the candidate-window one (top-10 of the exact reference inside PQ's
+    top-100 — the rerank contract; FAISS reports PQ the same way).
+    Companion rows: OPQ96 recall (trained rotation, same kernel + one query
+    rotation — measures what the Procrustes alternation buys) in
+    ``_PQ_STATE``."""
+    import jax
+    import jax.numpy as jnp
+
+    from denseretrievaltoolkits_tpu.index.transforms import OPQTransform
+    from denseretrievaltoolkits_tpu.ops.pq import (build_bdcb,
+                                                   pallas_topk_pq,
+                                                   pq_encode_device, pq_train)
+    from denseretrievaltoolkits_tpu.ops.quant import quantize_int8_device
+    from denseretrievaltoolkits_tpu.ops.topk import pallas_topk_serve_scaled
+
+    M, block, tq = 96, 512, 256
+    nq = N_QUERIES
+    lam = jnp.asarray((np.arange(DIM) + 1.0) ** -0.35, jnp.float32)
+    centers = _make_centers()
+    n = N_DOCS_INT8 + ((-N_DOCS_INT8) % block)
+
+    def place_fn(buf, chunk, off):
+        return jax.lax.dynamic_update_slice(buf, chunk, (0, off))
+    place_codes = jax.jit(place_fn, donate_argnums=(0,))
+
+    # 1) spectrumed int8 reference -> ranking + serve-qps denominator
+    def place2_fn(bv, bs, cv, cs, off):
+        return (jax.lax.dynamic_update_slice(bv, cv, (off, 0)),
+                jax.lax.dynamic_update_slice(bs, cs, (off,)))
+    place2 = jax.jit(place2_fn, donate_argnums=(0, 1))
+    values = jnp.zeros((n, DIM), jnp.int8)
+    scales = jnp.ones((n,), jnp.float32)
+    off = 0
+    while off < n:
+        rows = min(INT8_CHUNK, n - off)
+        chunk = _clustered_chunk(centers, off, rows) * lam[None, :]
+        cv, cs = quantize_int8_device(chunk, block_rows=1024)
+        chunk.delete()
+        values, scales = place2(values, scales, cv, cs, off)
+        off += rows
+    values.block_until_ready()
+    q_np = (np.asarray(_clustered_chunk(centers, 10**9, nq), np.float32)
+            * np.asarray(lam)[None, :])
+    q_bf = jax.device_put(jnp.asarray(q_np, jnp.bfloat16))
+    rt = _roundtrip()
+    ref = pallas_topk_serve_scaled(q_bf, values, scales, TOPK, 16, 2048,
+                                   N_DOCS_INT8, tq=512)
+    ref10 = np.asarray(ref[1])[:, :10]
+    el8 = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        for _ in range(5):
+            out = pallas_topk_serve_scaled(q_bf, values, scales, TOPK, 4,
+                                           2048, N_DOCS_INT8, tq=512)
+        float(jnp.sum(out[0][0, 0]))
+        el8 = min(el8, (time.time() - t0 - rt) / 5)
+    _PQ_STATE["int8_qps"] = nq / el8
+    print(f"# pq ref int8 serve (spectrumed): {nq / el8:.0f} qps",
+          file=sys.stderr)
+    values.delete(), scales.delete()
+
+    # 2) train PQ96 codebooks on a 262k sample
+    sample = np.asarray(_clustered_chunk(centers, 2 * 10**9, 262_144)
+                        * lam[None, :])
+    t0 = time.time()
+    cb = pq_train(sample, M, iters=8)
+    print(f"# pq_train 262k x 8: {time.time() - t0:.0f}s", file=sys.stderr)
+    cb_dev = jnp.asarray(cb)
+    bdcb = jnp.asarray(build_bdcb(cb))
+
+    # 3) encode the corpus -> code-major [M, n] int8 (845 MB at 8.8M)
+    def encode_pass(rot=None):
+        codes = jnp.zeros((M, n), jnp.int8)
+        o = 0
+        while o < n:
+            rows = min(INT8_CHUNK, n - o)
+            chunk = _clustered_chunk(centers, o, rows) * lam[None, :]
+            if rot is not None:
+                r = jnp.dot(chunk, rot, preferred_element_type=jnp.float32)
+                chunk.delete()
+                chunk = r
+            cc = pq_encode_device(chunk, cb_dev)
+            chunk.delete()
+            codes = place_codes(codes, cc, o)
+            o += rows
+        codes.block_until_ready()
+        return codes
+    t0 = time.time()
+    codes = encode_pass()
+    _PQ_STATE["encode_s"] = time.time() - t0
+    print(f"# pq encode {n} rows: {_PQ_STATE['encode_s']:.0f}s", file=sys.stderr)
+
+    # 4) fused decode-and-scan serve timing + window recall
+    n_blocks = n // block
+    lam_j = TOPK / n_blocks
+    J = max(4, int(np.ceil(lam_j + 4.0 * np.sqrt(lam_j) + 4.0)))
+    q_f = jnp.asarray(q_np, jnp.float32)
+    rt = _roundtrip()
+    out = pallas_topk_pq(q_f, codes, bdcb, TOPK, J, block, N_DOCS_INT8,
+                         tq=tq)
+    el = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        for _ in range(3):
+            out = pallas_topk_pq(q_f, codes, bdcb, TOPK, J, block,
+                                 N_DOCS_INT8, tq=tq)
+        float(jnp.sum(out[0][0, 0]))
+        el = min(el, (time.time() - t0 - rt) / 3)
+    ids = np.asarray(out[1])
+    _PQ_STATE["recall"] = float(np.mean(
+        [len(set(a) & set(b)) / 10 for a, b in zip(ids, ref10)]))
+    qps = nq / el
+    print(f"# pq96 serve: {qps:.0f} qps "
+          f"({qps / _PQ_STATE['int8_qps']:.2f}x int8-serve) recall10@{TOPK} "
+          f"{_PQ_STATE['recall']:.4f}", file=sys.stderr)
+    codes.delete()
+
+    # 5) OPQ96: trained rotation, re-encode, same kernel + rotated queries
+    t0 = time.time()
+    opq = OPQTransform(DIM, M=M)
+    opq.train(sample)
+    print(f"# opq train: {time.time() - t0:.0f}s", file=sys.stderr)
+    rot = jnp.asarray(opq.matrix)
+    rot_sample = sample @ opq.matrix
+    cb = pq_train(rot_sample, M, iters=8)
+    cb_dev = jnp.asarray(cb)
+    bdcb = jnp.asarray(build_bdcb(cb))
+    codes = encode_pass(rot=rot)
+    q_rot = jnp.dot(q_f, rot, preferred_element_type=jnp.float32)
+    out = pallas_topk_pq(q_rot, codes, bdcb, TOPK, J, block, N_DOCS_INT8,
+                         tq=tq)
+    ids = np.asarray(out[1])
+    _PQ_STATE["recall_opq"] = float(np.mean(
+        [len(set(a) & set(b)) / 10 for a, b in zip(ids, ref10)]))
+    print(f"# opq96 recall10@{TOPK}: {_PQ_STATE['recall_opq']:.4f}",
+          file=sys.stderr)
+    codes.delete()
+    return qps
+
+
 def _bert_base_model():
     import jax
 
@@ -1112,6 +1264,32 @@ def main():
                 "value": round(_PCAR_STATE["recall_i8q"], 4),
                 "unit": "recall",
                 "vs_baseline": round(_PCAR_STATE["recall_i8q"] / 0.81, 3),
+            })
+        checkpoint_extras()
+        # PQ96 at 8.8M (96 B/row — the capacity rung past SQ4): vs_baseline
+        # is the ratio to the spectrumed exact-int8 serve measured inside the
+        # same function; recall rows use the candidate-window contract
+        # (top-10 of the exact reference within PQ's top-100) with the r4
+        # measured values as regression anchors
+        run_extra(f"pq96_qps_{N_DOCS_INT8 // 1000}k_docs_top{TOPK}",
+                  "qps", lambda: bench_pq(),
+                  _IVF_STATE.get("exact_qps") or R1_INT8_QPS)
+        if _PQ_STATE.get("int8_qps") is not None:
+            extras[-1]["vs_baseline"] = (
+                round(extras[-1]["value"] / _PQ_STATE["int8_qps"], 2)
+                if extras[-1]["value"] else None)
+            extras.append({
+                "metric": f"pq96_recall10in{TOPK}_{N_DOCS_INT8 // 1000}k",
+                "value": round(_PQ_STATE["recall"], 4), "unit": "recall",
+                # r4 measured anchors (BASELINE.md PQ section): 0.309 plain /
+                # 0.760 OPQ at 8.8M on the spectrumed mixture
+                "vs_baseline": round(_PQ_STATE["recall"] / 0.31, 3),
+            })
+        if _PQ_STATE.get("recall_opq") is not None:
+            extras.append({
+                "metric": f"opq96_recall10in{TOPK}_{N_DOCS_INT8 // 1000}k",
+                "value": round(_PQ_STATE["recall_opq"], 4), "unit": "recall",
+                "vs_baseline": round(_PQ_STATE["recall_opq"] / 0.76, 3),
             })
         checkpoint_extras()
         run_extra("train_step_ms_bertbase", "ms", bench_train_step,
