@@ -124,8 +124,12 @@ def test_factory_parses_ivf_strings():
     assert index_factory(64, "ivf32,bf16").dtype == "bfloat16"
     with pytest.raises(ValueError):
         index_factory(64, "IVFx,Flat")
+    # PQ joined the factory surface in round 4 (index/pq.py)
+    from denseretrievaltoolkits_tpu.index.pq import PQIndex
+
+    assert isinstance(index_factory(64, "PQ16"), PQIndex)
     with pytest.raises(ValueError):
-        index_factory(64, "PQ16")
+        index_factory(64, "LSH32")  # genuinely unsupported stays an error
 
 
 def test_add_device_matches_add():
