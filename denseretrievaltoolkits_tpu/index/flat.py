@@ -540,8 +540,10 @@ def index_factory(dim: int, factory_str: str, block_size: int = DEFAULT_BLOCK,
     key = factory_str.strip().lower()
     if key.startswith("opq"):
         head, _, tail = key.partition(",")
+        spec, _, bits = head[3:].partition("x")
         try:
-            m_rot = int(head[3:])
+            m_rot = int(spec)
+            rot_bits = int(bits) if bits else 8
         except ValueError:
             m_rot = 0
         if m_rot > 0 and tail:
@@ -549,16 +551,21 @@ def index_factory(dim: int, factory_str: str, block_size: int = DEFAULT_BLOCK,
 
             inner = index_factory(dim, tail, block_size=block_size,
                                   nprobe=nprobe)
-            return TransformedIndex(OPQTransform(dim, M=m_rot), inner)
+            rot_bits = getattr(inner, "nbits", rot_bits)
+            return TransformedIndex(
+                OPQTransform(dim, M=m_rot, nbits=rot_bits), inner)
     if key.startswith("pq"):
+        # "PQ96" (8-bit) or FAISS-style "PQ192x4" (nibble-packed 4-bit)
+        spec, _, bits = key[2:].partition("x")
         try:
-            m_sub = int(key[2:])
+            m_sub = int(spec)
+            nbits = int(bits) if bits else 8
         except ValueError:
             m_sub = 0
         if m_sub > 0:
             from .pq import PQIndex
 
-            return PQIndex(dim, M=m_sub)
+            return PQIndex(dim, M=m_sub, nbits=nbits)
     if key.startswith("pca"):
         head, _, tail = key.partition(",")
         rotate = head.startswith("pcar")
@@ -614,6 +621,6 @@ def index_factory(dim: int, factory_str: str, block_size: int = DEFAULT_BLOCK,
                                 dtype=cell_dtype)
     raise ValueError(
         f"unsupported factory string {factory_str!r}; supported: Flat, BF16, "
-        "SQ8, SQ4, PQ{{M}}, IVF{{n}},Flat|BF16|SQ8, OPQ{{M}},PQ{{M}}, "
+        "SQ8, SQ4, PQ{{M}}[x4], IVF{{n}},Flat|BF16|SQ8, OPQ{{M}},PQ{{M}}[x4], "
         "PCAR{{d}}/PCA{{d}} + any of the former"
     )

@@ -10,16 +10,18 @@ HBM), training is M batched 256-centroid k-means on device.
 
 Where this sits on the memory ladder (H=768, 16 GB v5e):
 
-========  ==========  ============  =======================================
-storage   bytes/row   rows/chip     scores
-========  ==========  ============  =======================================
-fp32      3072        ~5M           exact
-bf16      1536        ~10M          exact (bf16 rounding)
-SQ8       768+4       ~21M          exact vs int8 rows
-SQ4       384+4       ~42M          exact vs int4 rows
-PQ96      96          ~160M         ADC (reconstruction) — recall measured
-PQ48      48          ~320M         coarser ADC
-========  ==========  ============  =======================================
+=========  ==========  ============  ======================================
+storage    bytes/row   rows/chip     scores
+=========  ==========  ============  ======================================
+fp32       3072        ~5M           exact
+bf16       1536        ~10M          exact (bf16 rounding)
+SQ8        768+4       ~21M          exact vs int8 rows
+SQ4        384+4       ~42M          exact vs int4 rows
+PQ96       96          ~160M         ADC (reconstruction) — recall measured
+PQ192x4    96          ~160M         4-bit ADC: 8x cheaper decode (serve
+                                     ~3x PQ96's qps), nibble-packed codes
+PQ96x4     48          ~320M         coarser 4-bit ADC
+=========  ==========  ============  ======================================
 
 PQ is the ONLY rung whose scores are reconstructions rather than quantized
 rows, so its recall contract is the codebook fit, not a rounding bound —
@@ -48,9 +50,11 @@ class PQIndex:
     trained-index protocol (``is_trained`` + ``train`` + streamed
     ``add_chunks``) matches ``IVFFlatIndex``."""
 
-    def __init__(self, dim: int, M: int = 96, block_size: int = 512,
-                 use_pallas: bool = True):
+    def __init__(self, dim: int, M: int = 96, block_size: Optional[int] = None,
+                 use_pallas: bool = True, nbits: int = 8):
         assert dim % M == 0, f"dim {dim} not divisible by M={M}"
+        assert nbits in (4, 8), f"PQ nbits must be 4 or 8, got {nbits}"
+        assert nbits == 8 or M % 2 == 0, "4-bit PQ packs code pairs: M even"
         d_sub = dim // M
         # the fused decode kernel's block-diagonal layout needs d_sub | 128
         # and 128 | dim; other geometries stay valid but serve via the
@@ -58,11 +62,18 @@ class PQIndex:
         self._pallas_geometry = (128 % d_sub == 0) and (dim % 128 == 0)
         self.dim = dim
         self.M = M
-        self.block_size = block_size
+        self.nbits = nbits
+        # hardware-swept kernel blocks (BASELINE.md r4): the 4-bit family's
+        # small decode scratch fits 2048-row blocks (fewer blocks -> a far
+        # smaller candidate merge, measured 2x over 512); 8-bit is
+        # VMEM-bound at 512
+        self.block_size = block_size or (2048 if nbits == 4 else 1024)
         self.use_pallas = use_pallas
         self.codebooks: Optional[np.ndarray] = None  # [M, 256, d_sub] fp32
         self._cb_dev = None
         self._bdcb = None
+        self._bdcb_i8 = None
+        self._bdcb_scale = None
         self._code_slabs: List = []   # [M, n] int8 device slabs
         self._codes = None            # materialized [M, N]
         self._n = 0
@@ -83,14 +94,22 @@ class PQIndex:
         reps = np.asarray(reps, np.float32)
         assert reps.shape[1] == self.dim
         self.codebooks = pq_train(reps, self.M, iters=iters, seed=seed,
-                                  block_rows=min(2048, reps.shape[0]))
+                                  block_rows=min(2048, reps.shape[0]),
+                                  k=1 << self.nbits)
         self._set_codebooks()
 
     def _set_codebooks(self):
         self._cb_dev = jnp.asarray(self.codebooks)
         if self._pallas_geometry:
-            from ..ops.pq import build_bdcb
+            from ..ops.pq import build_bdcb, build_bdcb_i8
 
+            if self.nbits == 8:
+                # the s8 MXU decode is the measured-faster 8-bit serve path
+                # (1.66x over bf16 decode at 2M, BASELINE.md r4); the bf16
+                # operand stays available for the exact-vs-serve tests
+                bd8, sc = build_bdcb_i8(self.codebooks)
+                self._bdcb_i8 = jnp.asarray(bd8)
+                self._bdcb_scale = jnp.asarray(sc)
             self._bdcb = jnp.asarray(build_bdcb(self.codebooks))
 
     def _encode(self, reps) -> jax.Array:
@@ -151,9 +170,12 @@ class PQIndex:
                 and jax.default_backend() == "tpu"):
             from ..ops.pq import pallas_topk_pq_fast
 
+            i8 = self._bdcb_i8 is not None
             return pallas_topk_pq_fast(
                 jnp.asarray(q_reps, jnp.float32), self._codes, self._cb_dev,
-                self._bdcb, k, block_size=self.block_size, valid=self._n)
+                self._bdcb_i8 if i8 else self._bdcb, k,
+                block_size=self.block_size, valid=self._n, nbits=self.nbits,
+                scale=self._bdcb_scale if i8 else None)
         from ..ops.pq import pq_blockwise_topk
 
         s, i = pq_blockwise_topk(
@@ -189,13 +211,14 @@ class PQIndex:
         np.savez(path + ".npz", codes=codes, codebooks=self.codebooks)
         with open(path + ".meta.json", "w") as fh:
             json.dump({"kind": "pq", "dim": self.dim, "M": self.M,
-                       "n": self._n, "docid": self.docid}, fh)
+                       "nbits": self.nbits, "n": self._n,
+                       "docid": self.docid}, fh)
 
     @classmethod
     def load(cls, path: str) -> "PQIndex":
         with open(path + ".meta.json") as fh:
             meta = json.load(fh)
-        idx = cls(meta["dim"], M=meta["M"])
+        idx = cls(meta["dim"], M=meta["M"], nbits=meta.get("nbits", 8))
         with np.load(path + ".npz") as z:
             idx.codebooks = z["codebooks"]
             codes = z["codes"]

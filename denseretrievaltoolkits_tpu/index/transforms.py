@@ -99,11 +99,12 @@ class OPQTransform(PCATransform):
     the ``TransformedIndex`` chain logic are inherited unchanged."""
 
     def __init__(self, dim: int, M: int, seed: int = 0, rounds: int = 6,
-                 kmeans_iters: int = 4):
+                 kmeans_iters: int = 4, nbits: int = 8):
         super().__init__(dim, dim, rotate=True, seed=seed)
         self.M = M
         self.rounds = rounds
         self.kmeans_iters = kmeans_iters
+        self.nbits = nbits
 
     def train(self, reps: np.ndarray, block: int = 65536) -> None:
         from ..ops.pq import pq_decode, pq_encode_device, pq_train
@@ -123,7 +124,8 @@ class OPQTransform(PCATransform):
                                     preferred_element_type=jnp.float32))
             cb = pq_train(xr, self.M, iters=self.kmeans_iters,
                           seed=self.seed + t,
-                          block_rows=min(2048, xr.shape[0]))
+                          block_rows=min(2048, xr.shape[0]),
+                          k=1 << self.nbits)
             codes = pq_encode_device(jnp.asarray(xr), jnp.asarray(cb))
             xhat = pq_decode(codes, jnp.asarray(cb))
             m = np.asarray(jnp.dot(xd.T, xhat,

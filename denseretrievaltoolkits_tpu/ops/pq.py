@@ -67,6 +67,7 @@ def _kmeans_step(x_sub: jax.Array, cb: jax.Array, block_rows: int):
     (argmax x.c - |c|^2/2); the update accumulates one-hot sums blockwise so
     peak memory is one [M, block_rows, K] one-hot."""
     M, n, d = x_sub.shape
+    k_cb = cb.shape[1]
     half_norm = 0.5 * jnp.sum(cb * cb, axis=2)  # [M, K]
 
     def body(carry, xb):  # xb [M, block_rows, d]
@@ -74,7 +75,7 @@ def _kmeans_step(x_sub: jax.Array, cb: jax.Array, block_rows: int):
         scores = jnp.einsum("mbd,mkd->mbk", xb, cb,
                             preferred_element_type=jnp.float32)
         assign = jnp.argmax(scores - half_norm[:, None, :], axis=2)  # [M, B]
-        onehot = jax.nn.one_hot(assign, K, dtype=jnp.float32)  # [M, B, K]
+        onehot = jax.nn.one_hot(assign, k_cb, dtype=jnp.float32)  # [M, B, K]
         sums = sums + jnp.einsum("mbk,mbd->mkd", onehot, xb,
                                  preferred_element_type=jnp.float32)
         counts = counts + jnp.sum(onehot, axis=1)
@@ -83,7 +84,8 @@ def _kmeans_step(x_sub: jax.Array, cb: jax.Array, block_rows: int):
     n_blocks = n // block_rows
     xs = x_sub[:, : n_blocks * block_rows].reshape(
         M, n_blocks, block_rows, d).transpose(1, 0, 2, 3)
-    init = (jnp.zeros((M, K, d), jnp.float32), jnp.zeros((M, K), jnp.float32))
+    init = (jnp.zeros((M, k_cb, d), jnp.float32),
+            jnp.zeros((M, k_cb), jnp.float32))
     (sums, counts), _ = jax.lax.scan(body, init, xs)
     new_cb = jnp.where(counts[..., None] > 0,
                        sums / jnp.maximum(counts[..., None], 1.0), cb)
@@ -91,10 +93,11 @@ def _kmeans_step(x_sub: jax.Array, cb: jax.Array, block_rows: int):
 
 
 def pq_train(sample: np.ndarray, M: int, iters: int = 12, seed: int = 0,
-             block_rows: int = 2048) -> np.ndarray:
-    """Train M subspace codebooks (256 centroids each) on a sample.
+             block_rows: int = 2048, k: int = K) -> np.ndarray:
+    """Train M subspace codebooks (``k`` centroids each; 256 for 8-bit
+    codes, 16 for the packed 4-bit family) on a sample.
 
-    sample [n, H] fp32 (H % M == 0).  Returns codebooks [M, 256, d_sub] fp32.
+    sample [n, H] fp32 (H % M == 0).  Returns codebooks [M, k, d_sub] fp32.
     All M k-means run batched on device; empty cells re-seed from the sample
     rows most distant from their assigned centroid (one re-seed pass per
     iteration, the cheap stand-in for FAISS's split heuristic)."""
@@ -109,7 +112,7 @@ def pq_train(sample: np.ndarray, M: int, iters: int = 12, seed: int = 0,
         sample[:n].reshape(n, M, d).transpose(1, 0, 2))  # [M, n, d]
 
     rng = np.random.default_rng(seed)
-    init_rows = rng.choice(n, size=K, replace=n < K)
+    init_rows = rng.choice(n, size=k, replace=n < k)
     cb = x_sub[:, jnp.asarray(init_rows), :]
 
     for it in range(iters):
@@ -139,11 +142,21 @@ def pq_train(sample: np.ndarray, M: int, iters: int = 12, seed: int = 0,
 # ---------------------------------------------------------------------------
 
 
+def pq4_unpack(codes: jax.Array) -> jax.Array:
+    """Unpack nibble codes [M/2, n] int8 -> [M, n] int32 (values 0..15):
+    subspace 2i lives in the low nibble of packed row i, 2i+1 in the high."""
+    v = codes.astype(jnp.int32) & 255
+    return jnp.stack([v & 15, v >> 4], axis=1).reshape(
+        2 * codes.shape[0], codes.shape[1])
+
+
 @jax.jit
 def pq_encode_device(reps: jax.Array, codebooks: jax.Array) -> jax.Array:
-    """Encode reps [n, H] against codebooks [M, K, d] -> centered codes
-    [M, n] int8 (value = argmin_c ||x - c||^2 - 128).  One chunk; callers
-    stream big corpora chunk-at-a-time (PQIndex.add_chunks)."""
+    """Encode reps [n, H] against codebooks [M, k, d].  8-bit codebooks
+    (k=256) -> centered codes [M, n] int8 (value = argmin - 128); 4-bit
+    codebooks (k<=16) -> nibble-PACKED codes [M/2, n] int8 (module layout:
+    subspace 2i low nibble, 2i+1 high).  One chunk; callers stream big
+    corpora chunk-at-a-time (PQIndex.add_chunks)."""
     n, H = reps.shape
     M, k, d = codebooks.shape
     x = reps.astype(jnp.float32).reshape(n, M, d).transpose(1, 0, 2)
@@ -151,17 +164,24 @@ def pq_encode_device(reps: jax.Array, codebooks: jax.Array) -> jax.Array:
     scores = jnp.einsum("mnd,mkd->mnk", x, codebooks,
                         preferred_element_type=jnp.float32)
     assign = jnp.argmax(scores - half_norm[:, None, :], axis=2)  # [M, n]
+    if k <= 16:
+        even, odd = assign[0::2], assign[1::2]
+        return (even | (odd << 4)).astype(jnp.int8)  # wraps 128..255 -> int8
     return (assign - 128).astype(jnp.int8)
 
 
 @jax.jit
 def pq_decode(codes: jax.Array, codebooks: jax.Array) -> jax.Array:
-    """Reconstruct [n, H] fp32 from centered codes [M, n] (parity checks and
-    OPQ training; one-hot matmul so it is TPU-safe)."""
-    M, n = codes.shape
-    _, k, d = codebooks.shape
-    onehot = jax.nn.one_hot(codes.astype(jnp.int32) + 128, k,
-                            dtype=jnp.float32)  # [M, n, K]
+    """Reconstruct [n, H] fp32 from codes (centered [M, n] for 8-bit
+    codebooks, nibble-packed [M/2, n] for 4-bit; parity checks and OPQ
+    training; one-hot matmul so it is TPU-safe)."""
+    M, k, d = codebooks.shape
+    if k <= 16:
+        idx = pq4_unpack(codes)
+    else:
+        idx = codes.astype(jnp.int32) + 128
+    n = codes.shape[1]
+    onehot = jax.nn.one_hot(idx, k, dtype=jnp.float32)  # [M, n, K]
     dec = jnp.einsum("mnk,mkd->nmd", onehot, codebooks,
                      preferred_element_type=jnp.float32)
     return dec.reshape(n, M * d)
@@ -185,10 +205,12 @@ def pq_blockwise_topk(
     fp32 (the one-hot decode is exact — each output sums one codebook entry),
     streamed blockwise like index/flat.py:blockwise_topk.
 
-    q_reps [Q, H]; codes [M, N] centered int8 (N % block_size == 0 after the
-    caller pads); codebooks [M, 256, d_sub]."""
+    q_reps [Q, H]; codes [M, N] centered int8 for 8-bit codebooks or
+    nibble-packed [M/2, N] for 4-bit (N % block_size == 0 after the caller
+    pads); codebooks [M, k, d_sub]."""
     Q, H = q_reps.shape
-    M, N = codes.shape
+    M, N = codes.shape  # M is the STORAGE row count (M_sub/2 when packed)
+    k_cb = codebooks.shape[1]
     n_valid = jnp.asarray(N if valid is None else valid, jnp.int32)
     pad = (-N) % block_size
     if pad:
@@ -206,8 +228,11 @@ def pq_blockwise_topk(
     def body(carry, blk):
         run_s, run_i = carry
         cblk, offset = blk  # [M, B] int8, scalar
-        onehot = jax.nn.one_hot(cblk.astype(jnp.int32) + 128, K,
-                                dtype=jnp.float32)  # [M, B, K]
+        if k_cb <= 16:
+            idx = pq4_unpack(cblk)
+        else:
+            idx = cblk.astype(jnp.int32) + 128
+        onehot = jax.nn.one_hot(idx, k_cb, dtype=jnp.float32)  # [M, B, K]
         dec = jnp.einsum("mbk,mkd->bmd", onehot, codebooks,
                          preferred_element_type=jnp.float32)
         dec = dec.reshape(block_size, H)
@@ -231,20 +256,21 @@ def pq_blockwise_topk(
 
 
 def build_bdcb(codebooks: np.ndarray) -> np.ndarray:
-    """Expand codebooks [M, 256, d_sub] into the block-diagonal decode
-    operand [n_groups, 128, G*256] bf16 (module docstring layout)."""
+    """Expand codebooks [M, k, d_sub] into the block-diagonal decode
+    operand [n_groups, 128, G*k] bf16 (module docstring layout; k=256 for
+    the 8-bit family, 16 for the 4-bit — the layout generalizes, only the
+    per-subspace column count changes)."""
     M, k, d = codebooks.shape
-    assert k == K
     assert 128 % d == 0, f"d_sub={d} must divide 128 for the Pallas path"
     G = 128 // d
     assert M % G == 0
     n_groups = M // G
-    bdcb = np.zeros((n_groups, 128, G * K), np.float32)
+    bdcb = np.zeros((n_groups, 128, G * k), np.float32)
     for g in range(n_groups):
         for ml in range(G):
             m = g * G + ml
-            # rows ml*d..(ml+1)*d, cols ml*K..(ml+1)*K <- codebook[m].T
-            bdcb[g, ml * d:(ml + 1) * d, ml * K:(ml + 1) * K] = codebooks[m].T
+            # rows ml*d..(ml+1)*d, cols ml*k..(ml+1)*k <- codebook[m].T
+            bdcb[g, ml * d:(ml + 1) * d, ml * k:(ml + 1) * k] = codebooks[m].T
     return bdcb.astype(jnp.bfloat16)
 
 
@@ -294,13 +320,15 @@ def _pq_serve_kernel_i8dec(q_ref, codes_ref, bdcb_hbm, scale_ref, out_v_ref,
         # hoisted CENTERED iota (Mosaic has no sub-32-bit compare on this
         # target, so the compare runs int32; hoisting still shares one iota
         # across all g/j sub-tiles)
-        iota_c = jax.lax.broadcasted_iota(jnp.int32, (G_sub, K, TN), 1) - 128
+        # 2D iota broadcast over the subspace axis in the compare: the
+        # materialized 3D iota was the largest VMEM temp at big blocks
+        iota_c = jax.lax.broadcasted_iota(jnp.int32, (K, TN), 0) - 128
         for g in range(n_groups):
             acc = jnp.zeros((128, TN), jnp.int32)
             for j in range(n_sub):
                 m0 = g * G + j * G_sub
                 cblk = codes_ref[m0:m0 + G_sub, :].astype(jnp.int32)
-                oh = (iota_c == cblk[:, None, :]).astype(jnp.int8)
+                oh = (iota_c[None] == cblk[:, None, :]).astype(jnp.int8)
                 onehot_ref[:] = oh.reshape(SUB, TN)
                 acc = acc + jax.lax.dot_general(
                     bdcb_vmem[g, :, j * SUB:(j + 1) * SUB], onehot_ref[:],
@@ -354,13 +382,15 @@ def _pq_serve_kernel(q_ref, codes_ref, bdcb_hbm, out_v_ref, out_i_ref,
         # unrolled-loop temporaries — the per-ml version blew the 16 MB
         # scoped-vmem limit). int32 compare: the target has no sub-32-bit
         # compare ("Target does not support this comparison")
-        iota_c = jax.lax.broadcasted_iota(jnp.int32, (G_sub, K, TN), 1) - 128
+        # 2D iota broadcast over the subspace axis in the compare: the
+        # materialized 3D iota was the largest VMEM temp at big blocks
+        iota_c = jax.lax.broadcasted_iota(jnp.int32, (K, TN), 0) - 128
         for g in range(n_groups):
             acc = jnp.zeros((128, TN), jnp.float32)
             for j in range(n_sub):
                 m0 = g * G + j * G_sub
                 cblk = codes_ref[m0:m0 + G_sub, :].astype(jnp.int32)
-                oh = (iota_c == cblk[:, None, :]).astype(jnp.bfloat16)
+                oh = (iota_c[None] == cblk[:, None, :]).astype(jnp.bfloat16)
                 onehot_ref[:] = oh.reshape(SUB, TN)
                 acc = acc + jax.lax.dot_general(
                     bdcb_vmem[g, :, j * SUB:(j + 1) * SUB], onehot_ref[:],
@@ -376,8 +406,61 @@ def _pq_serve_kernel(q_ref, codes_ref, bdcb_hbm, out_v_ref, out_i_ref,
                    n_valid=n_valid, id_bits=id_bits)
 
 
+def _pq4_serve_kernel(q_ref, codes_ref, bdcb_hbm, out_v_ref, out_i_ref,
+                      decoded_ref, onehot_ref, bdcb_vmem, dma_sem, *,
+                      J: int, block_size: int, n_valid: int, id_bits: int):
+    """4-bit twin of :func:`_pq_serve_kernel` (FAISS ``PQ{M}x4`` fast-scan
+    analog): nibble-packed codes unpack in-kernel (sq4-kernel idiom), the
+    one-hot has 16 columns per subspace instead of 256 — 8x fewer VPU
+    compares AND 8x fewer decode MACs per row, which turns decode from ~2/3
+    of serve time into a ~20% tax on the scan.  Same packed-select
+    contract."""
+    b = pl.program_id(0)
+    qi = pl.program_id(1)
+    TN = decoded_ref.shape[1]
+    n_groups = bdcb_vmem.shape[0]
+    GK = bdcb_vmem.shape[2]
+    G = GK // 16  # subspaces per 128-dim output group
+    SUB = min(GK, _PQ_SUB)
+    n_sub = GK // SUB
+    G_sub = SUB // 16
+
+    @pl.when((b == 0) & (qi == 0))
+    def _():
+        dma = pltpu.make_async_copy(bdcb_hbm, bdcb_vmem, dma_sem)
+        dma.start()
+        dma.wait()
+
+    @pl.when(qi == 0)
+    def _():
+        iota4 = jax.lax.broadcasted_iota(jnp.int32, (16, TN), 0)
+        for g in range(n_groups):
+            acc = jnp.zeros((128, TN), jnp.float32)
+            for j in range(n_sub):
+                m0 = g * G + j * G_sub
+                v = codes_ref[m0 // 2:m0 // 2 + G_sub // 2, :].astype(
+                    jnp.int32) & 255
+                # subspace 2i low nibble, 2i+1 high (pq4_unpack layout)
+                code32 = jnp.stack([v & 15, v >> 4], axis=1).reshape(
+                    G_sub, TN)
+                oh = (iota4[None] == code32[:, None, :]).astype(jnp.bfloat16)
+                onehot_ref[:] = oh.reshape(SUB, TN)
+                acc = acc + jax.lax.dot_general(
+                    bdcb_vmem[g, :, j * SUB:(j + 1) * SUB], onehot_ref[:],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            decoded_ref[g * 128:(g + 1) * 128, :] = acc.astype(jnp.bfloat16)
+
+    q = q_ref[:].astype(jnp.bfloat16)
+    s = jax.lax.dot_general(
+        q, decoded_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    _packed_select(s, b, out_v_ref, out_i_ref, J=J, block_size=block_size,
+                   n_valid=n_valid, id_bits=id_bits)
+
+
 def pq_topj_blocks(q, codes, bdcb, J, block_size, n_valid, tq=None,
-                   scale=None):
+                   scale=None, nbits=8):
     """Run the fused decode-and-scan kernel, returning the raw per-block
     candidates ``(vals_b, ids_b)`` [n_blocks, J, Q] WITHOUT the final merge
     — the shard_map building block (parallel/sharded_pq.py): per-shard
@@ -396,8 +479,10 @@ def pq_topj_blocks(q, codes, bdcb, J, block_size, n_valid, tq=None,
     n_qtiles = Q // TQ
     id_bits = max(1, (block_size - 1).bit_length())
     i8dec = scale is not None
+    assert not (i8dec and nbits == 4), "int8 decode is an 8-bit-family option"
     kernel = functools.partial(
-        _pq_serve_kernel_i8dec if i8dec else _pq_serve_kernel,
+        _pq4_serve_kernel if nbits == 4
+        else (_pq_serve_kernel_i8dec if i8dec else _pq_serve_kernel),
         J=J, block_size=block_size, n_valid=n_valid, id_bits=id_bits)
     in_specs = [
         pl.BlockSpec((TQ, H), lambda b, qi: (qi, 0),
@@ -438,9 +523,10 @@ def pq_topj_blocks(q, codes, bdcb, J, block_size, n_valid, tq=None,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("k", "J", "block_size", "n_valid", "tq"))
+                   static_argnames=("k", "J", "block_size", "n_valid", "tq",
+                                    "nbits"))
 def pallas_topk_pq(q, codes, bdcb, k, J, block_size, n_valid, tq=None,
-                   scale=None):
+                   scale=None, nbits=8):
     """PQ serving fast path: fused decode-and-scan kernel + candidate merge.
 
     q [Q, H] fp32 (Q a multiple of tq); codes [M, N] centered int8 with N a
@@ -450,7 +536,7 @@ def pallas_topk_pq(q, codes, bdcb, k, J, block_size, n_valid, tq=None,
     quantized ~2^id_bits ulps, ties break to the smaller id)."""
     Q = q.shape[0]
     vals_b, ids_b = pq_topj_blocks(q, codes, bdcb, J, block_size, n_valid,
-                                   tq=tq, scale=scale)
+                                   tq=tq, scale=scale, nbits=nbits)
     nb = vals_b.shape[0]
     flat_v = jnp.transpose(vals_b, (2, 0, 1)).reshape(Q, nb * J)
     flat_i = jnp.transpose(ids_b, (2, 0, 1)).reshape(Q, nb * J)
@@ -472,10 +558,13 @@ def pallas_topk_pq_fast(
     k: int,
     block_size: int = PQ_BLOCK,
     valid: Optional[int] = None,
+    nbits: int = 8,
+    scale=None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Serving entry: pad (N, Q), pick J by the per-block Poisson rule (see
-    ops/topk.py:pallas_topk_fast), run the fused decode-and-scan kernel.
-    Tiny corpora fall back to the exact-ADC scan (no slot ceiling)."""
+    ops/topk.py:pallas_topk_fast), run the fused decode-and-scan kernel
+    (``scale`` routes 8-bit decode through the s8 MXU variant).  Tiny
+    corpora fall back to the exact-ADC scan (no slot ceiling)."""
     q_reps = jnp.asarray(q_reps, jnp.float32)
     Q0 = q_reps.shape[0]
     M, N = codes.shape
@@ -495,5 +584,5 @@ def pallas_topk_pq_fast(
     pad_q = (-Q0) % TQ
     qc = jnp.pad(q_reps, ((0, pad_q), (0, 0))) if pad_q else q_reps
     s, i = pallas_topk_pq(qc, codes_p, bdcb, min(k, n_valid), J, block_size,
-                          n_valid, tq=TQ)
+                          n_valid, tq=TQ, nbits=nbits, scale=scale)
     return np.asarray(s[:Q0]), np.asarray(i[:Q0])

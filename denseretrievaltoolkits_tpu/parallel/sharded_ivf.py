@@ -480,14 +480,17 @@ def sharded_index_factory(mesh: Mesh, dim: int, factory_str: str,
                                           use_pallas=use_pallas)
             return TransformedIndex(OPQTransform(dim, M=m_rot), inner)
     if key.startswith("pq"):
+        spec, _, bits = key[2:].partition("x")
         try:
-            m_sub = int(key[2:])
+            m_sub = int(spec)
+            nbits = int(bits) if bits else 8
         except ValueError:
             m_sub = 0
         if m_sub > 0:
             from .sharded_pq import ShardedPQIndex
 
-            return ShardedPQIndex(mesh, dim, M=m_sub, use_pallas=use_pallas)
+            return ShardedPQIndex(mesh, dim, M=m_sub, use_pallas=use_pallas,
+                                  nbits=nbits)
     if key.startswith("ivf"):
         head, _, tail = key.partition(",")
         ragged = head.startswith("ivfr")

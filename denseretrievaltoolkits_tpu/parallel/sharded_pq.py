@@ -37,8 +37,11 @@ class ShardedPQIndex:
     error — the flat/IVF families cover the multi-host corpus axis."""
 
     def __init__(self, mesh: Mesh, dim: int, M: int = 96,
-                 block_size: int = 512, use_pallas: bool = True):
+                 block_size: Optional[int] = None, use_pallas: bool = True,
+                 nbits: int = 8):
         assert dim % M == 0, f"dim {dim} not divisible by M={M}"
+        assert nbits in (4, 8), f"PQ nbits must be 4 or 8, got {nbits}"
+        assert nbits == 8 or M % 2 == 0, "4-bit PQ packs code pairs: M even"
         if jax.process_count() > 1:
             raise NotImplementedError(
                 "ShardedPQIndex is single-controller; use flat/IVF sharded "
@@ -48,12 +51,18 @@ class ShardedPQIndex:
         self.mesh = mesh
         self.dim = dim
         self.M = M
-        self.block_size = block_size
+        self.nbits = nbits
+        # storage rows in the code-major layout (nibble pairs pack for 4-bit)
+        self.m_rows = M // 2 if nbits == 4 else M
+        # same swept defaults as PQIndex (BASELINE.md r4)
+        self.block_size = block_size or (2048 if nbits == 4 else 1024)
         self.use_pallas = use_pallas
         self.n_shards = int(np.prod(mesh.devices.shape))
         self.codebooks: Optional[np.ndarray] = None
         self._cb_dev = None
         self._bdcb = None
+        self._bdcb_i8 = None
+        self._bdcb_scale = None
         self._code_slabs: List = []
         self._codes = None        # [n_shards, M, per] mesh-sharded
         self._per = 0
@@ -75,14 +84,19 @@ class ShardedPQIndex:
         reps = np.asarray(reps, np.float32)
         assert reps.shape[1] == self.dim
         self.codebooks = pq_train(reps, self.M, iters=iters, seed=seed,
-                                  block_rows=min(2048, reps.shape[0]))
+                                  block_rows=min(2048, reps.shape[0]),
+                                  k=1 << self.nbits)
         self._set_codebooks()
 
     def _set_codebooks(self):
         self._cb_dev = jnp.asarray(self.codebooks)
         if self._pallas_geometry:
-            from ..ops.pq import build_bdcb
+            from ..ops.pq import build_bdcb, build_bdcb_i8
 
+            if self.nbits == 8:
+                bd8, sc = build_bdcb_i8(self.codebooks)
+                self._bdcb_i8 = jnp.asarray(bd8)
+                self._bdcb_scale = jnp.asarray(sc)
             self._bdcb = jnp.asarray(build_bdcb(self.codebooks))
 
     def _encode(self, reps) -> jax.Array:
@@ -123,7 +137,8 @@ class ShardedPQIndex:
         pad = self.n_shards * per - codes.shape[1]
         if pad:
             codes = jnp.pad(codes, ((0, 0), (0, pad)))
-        shards = codes.reshape(self.M, self.n_shards, per).transpose(1, 0, 2)
+        shards = codes.reshape(self.m_rows, self.n_shards,
+                               per).transpose(1, 0, 2)
         sharding = NamedSharding(self.mesh, P(DATA_AXIS, None, None))
         self._codes = jax.device_put(shards, sharding)
         self._per = per
@@ -138,7 +153,9 @@ class ShardedPQIndex:
         n_valid_total = self._n
         block = min(self.block_size, per)
         cb = self._cb_dev
-        bdcb = self._bdcb
+        i8 = self._bdcb_i8 is not None
+        bdcb = self._bdcb_i8 if i8 else self._bdcb
+        bd_scale = self._bdcb_scale if i8 else None
         use_pallas = (mode == "serve" and self.use_pallas
                       and bdcb is not None
                       and jax.default_backend() == "tpu"
@@ -153,7 +170,9 @@ class ShardedPQIndex:
             local_valid = jnp.clip(n_valid_total - offset, 0, per)
             if use_pallas and n_blocks * J >= min(k, per):
                 vals_b, ids_b = pq_topj_blocks(q, codes_shard[0], bdcb, J,
-                                               block, per, tq=tq)
+                                               block, per, tq=tq,
+                                               nbits=self.nbits,
+                                               scale=bd_scale)
                 nb = vals_b.shape[0]
                 Q = q.shape[0]
                 flat_v = jnp.transpose(vals_b, (2, 0, 1)).reshape(Q, nb * J)
@@ -216,17 +235,19 @@ class ShardedPQIndex:
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         self._materialize()
         codes = np.asarray(self._codes).transpose(1, 0, 2).reshape(
-            self.M, self.n_shards * self._per)[:, : self._n]
+            self.m_rows, self.n_shards * self._per)[:, : self._n]
         np.savez(path + ".npz", codes=codes, codebooks=self.codebooks)
         with open(path + ".meta.json", "w") as fh:
             json.dump({"kind": "pq", "dim": self.dim, "M": self.M,
-                       "n": self._n, "docid": self.docid}, fh)
+                       "nbits": self.nbits, "n": self._n,
+                       "docid": self.docid}, fh)
 
     @classmethod
     def load(cls, path: str, mesh: Mesh) -> "ShardedPQIndex":
         with open(path + ".meta.json") as fh:
             meta = json.load(fh)
-        idx = cls(mesh, meta["dim"], M=meta["M"])
+        idx = cls(mesh, meta["dim"], M=meta["M"],
+                  nbits=meta.get("nbits", 8))
         with np.load(path + ".npz") as z:
             idx.codebooks = z["codebooks"]
             codes = z["codes"]

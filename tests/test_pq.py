@@ -273,3 +273,123 @@ def test_pcar_pq_chain():
     recall = np.mean([
         len(set(i[q]) & set(true_top[q])) / 10 for q in range(16)])
     assert recall > 0.6, recall
+
+
+# ---------------------------------------------------------------------------
+# 4-bit family (FAISS PQ{M}x4 fast-scan analog): nibble-packed codes,
+# 16-centroid subquantizers, 8x cheaper decode
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def fitted4():
+    rng = np.random.default_rng(9)
+    corpus = _clustered(rng, 6000)
+    queries = _clustered(rng, 32)
+    m4 = 2 * M  # same bytes/row as the 8-bit fixture (M x 8 bits == 2M x 4)
+    cb = pq_ops.pq_train(corpus[:4096], m4, iters=6, block_rows=1024, k=16)
+    codes = np.asarray(
+        pq_ops.pq_encode_device(jnp.asarray(corpus), jnp.asarray(cb)))
+    return corpus, queries, cb, codes
+
+
+def test_pq4_pack_unpack_roundtrip():
+    rng = np.random.default_rng(0)
+    raw = rng.integers(0, 16, size=(64, 200)).astype(np.int32)
+    even, odd = raw[0::2], raw[1::2]
+    packed = jnp.asarray((even | (odd << 4)).astype(np.int8))
+    back = np.asarray(pq_ops.pq4_unpack(packed))
+    np.testing.assert_array_equal(back, raw)
+
+
+def test_pq4_shapes_and_decode_parity(fitted4):
+    corpus, _, cb, codes = fitted4
+    m4 = cb.shape[0]
+    assert cb.shape == (m4, 16, H // m4)
+    assert codes.shape == (m4 // 2, len(corpus))  # nibble-packed storage
+    dec = np.asarray(pq_ops.pq_decode(jnp.asarray(codes), jnp.asarray(cb)))
+    # numpy oracle reconstruction from unpacked nibbles
+    up = np.asarray(pq_ops.pq4_unpack(jnp.asarray(codes)))
+    d = H // m4
+    oracle = np.concatenate(
+        [cb[m, up[m]] for m in range(m4)], axis=1).reshape(len(corpus), H)
+    np.testing.assert_allclose(dec, oracle, atol=1e-5)
+    # the 4-bit reconstruction must actually compress (error bounded)
+    rel = np.linalg.norm(dec - corpus) / np.linalg.norm(corpus)
+    assert rel < 0.9
+
+
+def test_pq4_exact_adc_matches_numpy_oracle(fitted4):
+    corpus, queries, cb, codes = fitted4
+    m4 = cb.shape[0]
+    up = np.asarray(pq_ops.pq4_unpack(jnp.asarray(codes)))
+    recon = np.concatenate(
+        [cb[m, up[m]] for m in range(m4)], axis=1).reshape(len(corpus), H)
+    oracle_scores = queries @ recon.T
+    s, i = pq_ops.pq_blockwise_topk(
+        jnp.asarray(queries), jnp.asarray(codes), jnp.asarray(cb), 20, 1000)
+    s, i = np.asarray(s), np.asarray(i)
+    ref = np.sort(oracle_scores, axis=1)[:, ::-1][:, :20]
+    np.testing.assert_allclose(s, ref, atol=1e-3)
+
+
+def test_pq4_serve_kernel_matches_adc(fitted4):
+    corpus, queries, cb, codes = fitted4
+    bdcb = jnp.asarray(pq_ops.build_bdcb(cb))
+    n = len(corpus)
+    block = 500
+    pad = (-n) % block
+    codes_p = jnp.pad(jnp.asarray(codes), ((0, 0), (0, pad)))
+    q = jnp.asarray(np.repeat(queries, 8, axis=0))  # Q=256, tq-divisible
+    s_k, i_k = pq_ops.pallas_topk_pq(q, codes_p, bdcb, 10, 10, block, n,
+                                     tq=32, nbits=4)
+    s_e, i_e = pq_ops.pq_blockwise_topk(q, jnp.asarray(codes),
+                                        jnp.asarray(cb), 10, 1000)
+    # candidate sets agree up to bf16-scoring near-ties: compare the exact
+    # ADC scores of the selected candidates
+    m4 = cb.shape[0]
+    up = np.asarray(pq_ops.pq4_unpack(jnp.asarray(codes)))
+    recon = np.concatenate(
+        [cb[m, up[m]] for m in range(m4)], axis=1).reshape(n, H)
+    qs = np.asarray(q) @ recon.T
+    got = np.take_along_axis(qs, np.asarray(i_k), axis=1)
+    ref = np.take_along_axis(qs, np.asarray(i_e), axis=1)
+    # bf16 scoring resolves ~2^-8 relative (~0.16 at scores ~40): boundary
+    # candidates may swap with exact-ADC neighbors inside that band
+    np.testing.assert_allclose(np.sort(got, axis=1), np.sort(ref, axis=1),
+                               atol=0.2)
+
+
+def test_pq4_index_and_factory(tmp_path, fitted4):
+    corpus, queries, _, _ = fitted4
+    idx = index_factory(H, f"PQ{2 * M}x4")
+    assert isinstance(idx, PQIndex) and idx.nbits == 4
+    idx.train(corpus[:4096], iters=4)
+    idx.add(corpus)
+    s, i = idx.search(queries, 100, mode="exact")
+    # window contract on compressible data
+    oracle = queries @ corpus.T
+    otop = np.argsort(-oracle, axis=1)[:, :10]
+    rec = np.mean([len(set(i[q, :100]) & set(otop[q])) / 10
+                   for q in range(len(queries))])
+    assert rec >= 0.5, rec
+    p = str(tmp_path / "pq4")
+    idx.save(p)
+    idx2 = load_index(p)
+    assert idx2.nbits == 4
+    s2, i2 = idx2.search(queries, 10, mode="exact")
+    np.testing.assert_allclose(np.sort(s[:, :10], axis=1),
+                               np.sort(s2, axis=1), atol=1e-4)
+
+
+def test_opq_pq4_chain():
+    rng = np.random.default_rng(11)
+    corpus = _clustered(rng, 4000)
+    chained = index_factory(H, f"OPQ{2 * M}x4,PQ{2 * M}x4")
+    assert isinstance(chained, TransformedIndex)
+    assert chained.inner.nbits == 4
+    assert chained.transform.nbits == 4  # rotation fits against 16-centroid PQ
+    chained.train(corpus[:2048])
+    chained.add(corpus)
+    s, i = chained.search(corpus[:8] + 0.01, k=20)
+    assert s.shape == (8, 20)
