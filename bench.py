@@ -820,11 +820,10 @@ def bench_pq() -> float:
     from denseretrievaltoolkits_tpu.ops.quant import quantize_int8_device
     from denseretrievaltoolkits_tpu.ops.topk import pallas_topk_serve_scaled
 
-    M, block, tq = 96, 512, 256
     nq = N_QUERIES
     lam = jnp.asarray((np.arange(DIM) + 1.0) ** -0.35, jnp.float32)
     centers = _make_centers()
-    n = N_DOCS_INT8 + ((-N_DOCS_INT8) % block)
+    n = N_DOCS_INT8 + ((-N_DOCS_INT8) % 2048)  # divisible by every block
 
     def place_fn(buf, chunk, off):
         return jax.lax.dynamic_update_slice(buf, chunk, (0, off))
@@ -866,82 +865,98 @@ def bench_pq() -> float:
           file=sys.stderr)
     values.delete(), scales.delete()
 
-    # 2) train PQ96 codebooks on a 262k sample
+    # 2) shared 262k training sample; per-arm codebooks/encodes below.
+    # Arm configs are the hardware-swept serving defaults (index/pq.py):
+    # 8-bit = s8-MXU decode at block 1024; 4-bit = bf16 decode at block
+    # 2048 (small scratch -> big blocks -> 4x smaller candidate merge).
     sample = np.asarray(_clustered_chunk(centers, 2 * 10**9, 262_144)
                         * lam[None, :])
-    t0 = time.time()
-    cb = pq_train(sample, M, iters=8)
-    print(f"# pq_train 262k x 8: {time.time() - t0:.0f}s", file=sys.stderr)
-    cb_dev = jnp.asarray(cb)
-    bdcb = jnp.asarray(build_bdcb(cb))
+    q_f = jnp.asarray(q_np, jnp.float32)
 
-    # 3) encode the corpus -> code-major [M, n] int8 (845 MB at 8.8M)
-    def encode_pass(rot=None):
-        codes = jnp.zeros((M, n), jnp.int8)
+    def arm(m_sub, nbits, block, rot=None, time_it=True):
+        """Train + encode + serve one PQ configuration; returns (qps|None,
+        recall10@TOPK vs the exact-int8 reference)."""
+        from denseretrievaltoolkits_tpu.ops.pq import build_bdcb_i8
+
+        kq = 1 << nbits
+        smp = sample @ rot if rot is not None else sample
+        cb = pq_train(smp, m_sub, iters=8, k=kq)
+        cb_dev = jnp.asarray(cb)
+        if nbits == 8:
+            bd8, sc = build_bdcb_i8(cb)
+            bdcb, scale = jnp.asarray(bd8), jnp.asarray(sc)
+        else:
+            bdcb, scale = jnp.asarray(build_bdcb(cb)), None
+        rows = m_sub // 2 if nbits == 4 else m_sub
+        rot_dev = jnp.asarray(rot) if rot is not None else None
+        codes = jnp.zeros((rows, n), jnp.int8)
         o = 0
+        t0 = time.time()
         while o < n:
-            rows = min(INT8_CHUNK, n - o)
-            chunk = _clustered_chunk(centers, o, rows) * lam[None, :]
-            if rot is not None:
-                r = jnp.dot(chunk, rot, preferred_element_type=jnp.float32)
+            r = min(INT8_CHUNK, n - o)
+            chunk = _clustered_chunk(centers, o, r) * lam[None, :]
+            if rot_dev is not None:
+                rc = jnp.dot(chunk, rot_dev,
+                             preferred_element_type=jnp.float32)
                 chunk.delete()
-                chunk = r
+                chunk = rc
             cc = pq_encode_device(chunk, cb_dev)
             chunk.delete()
             codes = place_codes(codes, cc, o)
-            o += rows
+            o += r
         codes.block_until_ready()
-        return codes
-    t0 = time.time()
-    codes = encode_pass()
-    _PQ_STATE["encode_s"] = time.time() - t0
-    print(f"# pq encode {n} rows: {_PQ_STATE['encode_s']:.0f}s", file=sys.stderr)
+        _PQ_STATE["encode_s"] = time.time() - t0
+        n_blocks = n // block
+        lam_j = TOPK / n_blocks
+        J = max(4, int(np.ceil(lam_j + 4.0 * np.sqrt(lam_j) + 4.0)))
+        qq = (jnp.dot(q_f, rot_dev, preferred_element_type=jnp.float32)
+              if rot_dev is not None else q_f)
+        out = pallas_topk_pq(qq, codes, bdcb, TOPK, J, block, N_DOCS_INT8,
+                             tq=512, nbits=nbits, scale=scale)
+        qps_arm = None
+        if time_it:
+            el = float("inf")
+            for _ in range(3):
+                t0 = time.time()
+                for _ in range(3):
+                    out = pallas_topk_pq(qq, codes, bdcb, TOPK, J, block,
+                                         N_DOCS_INT8, tq=512, nbits=nbits,
+                                         scale=scale)
+                float(jnp.sum(out[0][0, 0]))
+                el = min(el, (time.time() - t0 - rt) / 3)
+            qps_arm = nq / el
+        ids = np.asarray(out[1])
+        rec = float(np.mean(
+            [len(set(a) & set(b)) / 10 for a, b in zip(ids, ref10)]))
+        codes.delete()
+        return qps_arm, rec
 
-    # 4) fused decode-and-scan serve timing + window recall
-    n_blocks = n // block
-    lam_j = TOPK / n_blocks
-    J = max(4, int(np.ceil(lam_j + 4.0 * np.sqrt(lam_j) + 4.0)))
-    q_f = jnp.asarray(q_np, jnp.float32)
-    rt = _roundtrip()
-    out = pallas_topk_pq(q_f, codes, bdcb, TOPK, J, block, N_DOCS_INT8,
-                         tq=tq)
-    el = float("inf")
-    for _ in range(3):
-        t0 = time.time()
-        for _ in range(3):
-            out = pallas_topk_pq(q_f, codes, bdcb, TOPK, J, block,
-                                 N_DOCS_INT8, tq=tq)
-        float(jnp.sum(out[0][0, 0]))
-        el = min(el, (time.time() - t0 - rt) / 3)
-    ids = np.asarray(out[1])
-    _PQ_STATE["recall"] = float(np.mean(
-        [len(set(a) & set(b)) / 10 for a, b in zip(ids, ref10)]))
-    qps = nq / el
-    print(f"# pq96 serve: {qps:.0f} qps "
+    # PQ96: the 8-bit rung (s8-MXU decode serve path, as shipped)
+    qps, _PQ_STATE["recall"] = arm(96, 8, 1024)
+    print(f"# pq96 serve(i8dec): {qps:.0f} qps "
           f"({qps / _PQ_STATE['int8_qps']:.2f}x int8-serve) recall10@{TOPK} "
           f"{_PQ_STATE['recall']:.4f}", file=sys.stderr)
-    codes.delete()
 
-    # 5) OPQ96: trained rotation, re-encode, same kernel + rotated queries
+    # OPQ96: what the trained rotation buys the 8-bit rung (recall only)
+    opq = OPQTransform(DIM, M=96)
     t0 = time.time()
-    opq = OPQTransform(DIM, M=M)
     opq.train(sample)
-    print(f"# opq train: {time.time() - t0:.0f}s", file=sys.stderr)
-    rot = jnp.asarray(opq.matrix)
-    rot_sample = sample @ opq.matrix
-    cb = pq_train(rot_sample, M, iters=8)
-    cb_dev = jnp.asarray(cb)
-    bdcb = jnp.asarray(build_bdcb(cb))
-    codes = encode_pass(rot=rot)
-    q_rot = jnp.dot(q_f, rot, preferred_element_type=jnp.float32)
-    out = pallas_topk_pq(q_rot, codes, bdcb, TOPK, J, block, N_DOCS_INT8,
-                         tq=tq)
-    ids = np.asarray(out[1])
-    _PQ_STATE["recall_opq"] = float(np.mean(
-        [len(set(a) & set(b)) / 10 for a, b in zip(ids, ref10)]))
+    print(f"# opq96 train: {time.time() - t0:.0f}s", file=sys.stderr)
+    _, _PQ_STATE["recall_opq"] = arm(96, 8, 1024, rot=opq.matrix,
+                                     time_it=False)
     print(f"# opq96 recall10@{TOPK}: {_PQ_STATE['recall_opq']:.4f}",
           file=sys.stderr)
-    codes.delete()
+
+    # OPQ192x4: the 4-bit flagship — same 96 B/row, ~2.7x the serve qps
+    opq4 = OPQTransform(DIM, M=192, nbits=4)
+    t0 = time.time()
+    opq4.train(sample)
+    print(f"# opq192x4 train: {time.time() - t0:.0f}s", file=sys.stderr)
+    q4, r4 = arm(192, 4, 2048, rot=opq4.matrix)
+    _PQ_STATE["qps_x4"], _PQ_STATE["recall_x4"] = q4, r4
+    print(f"# opq192x4 serve: {q4:.0f} qps "
+          f"({q4 / _PQ_STATE['int8_qps']:.2f}x int8-serve) recall10@{TOPK} "
+          f"{r4:.4f}", file=sys.stderr)
     return qps
 
 
@@ -1290,6 +1305,22 @@ def main():
                 "metric": f"opq96_recall10in{TOPK}_{N_DOCS_INT8 // 1000}k",
                 "value": round(_PQ_STATE["recall_opq"], 4), "unit": "recall",
                 "vs_baseline": round(_PQ_STATE["recall_opq"] / 0.76, 3),
+            })
+        if _PQ_STATE.get("qps_x4") is not None:
+            # 4-bit flagship (same 96 B/row as PQ96, ~2.7x serve qps);
+            # vs_baseline = ratio to the same session's exact-int8 serve
+            extras.append({
+                "metric": f"opq192x4_qps_{N_DOCS_INT8 // 1000}k_docs"
+                          f"_top{TOPK}",
+                "value": round(_PQ_STATE["qps_x4"], 1), "unit": "qps",
+                "vs_baseline": round(
+                    _PQ_STATE["qps_x4"] / _PQ_STATE["int8_qps"], 2),
+            })
+            extras.append({
+                "metric": f"opq192x4_recall10in{TOPK}_"
+                          f"{N_DOCS_INT8 // 1000}k",
+                "value": round(_PQ_STATE["recall_x4"], 4), "unit": "recall",
+                "vs_baseline": round(_PQ_STATE["recall_x4"] / 0.76, 3),
             })
         checkpoint_extras()
         run_extra("train_step_ms_bertbase", "ms", bench_train_step,

@@ -1,12 +1,14 @@
-"""Measures the "~100M docs per chip" OPQ96 claim instead of extrapolating it.
+"""Measures the "~100M docs per chip" OPQ192x4 claim instead of extrapolating.
 
-PQ96 stores 96 B/row — 100M x 768 rows are 9.6 GB of HBM codes, 2.4x past
-nibble-packed SQ4's ~42M one-chip ceiling and 11x past SQ8's ~21M (the
-memory-ladder table in index/pq.py).  This recipe builds the real thing on
-one v5e: an OPQ96-rotated PQ96 corpus at 100M rows from the same
+PQ192x4 stores 96 B/row (192 nibble-packed 4-bit codes) — 100M x 768 rows
+are 9.6 GB of HBM codes, 2.4x past nibble-packed SQ4's ~42M one-chip
+ceiling and 11x past SQ8's ~21M (the memory-ladder table in index/pq.py);
+the 4-bit family also serves ~2.7x faster than 8-bit PQ96 at the same
+bytes (BASELINE.md r4 sweep).  This recipe builds the real thing on one
+v5e: an OPQ-rotated PQ192x4 corpus at 100M rows from the same
 power-law-spectrum clustered mixture as the bench (bench._clustered_chunk
 is deterministic, so nothing has to coexist with the fp32 corpus), and
-serves it with the fused decode-and-scan kernel (ops/pq.py).
+serves it with the fused 4-bit decode-and-scan kernel (ops/pq.py).
 
 The exact reference ranking cannot be held on device at this scale (100M x
 768 int8 = 77 GB), so it is computed SLAB-WISE like the 38M PCAR recipe
@@ -35,9 +37,9 @@ N = int(os.environ.get("PQCAP_DOCS", 100_000_000))
 NQ = int(os.environ.get("PQCAP_QUERIES", 256))
 SLAB = int(os.environ.get("PQCAP_SLAB", 4_000_000))
 CHUNK = int(os.environ.get("PQCAP_CHUNK", 2_000_000))
-M = 96
+M = 192          # 4-bit subquantizers -> M/2 = 96 packed B/row
 TOPK = 100
-BLOCK = 512
+BLOCK = 2048
 
 
 def main():
@@ -102,10 +104,10 @@ def main():
     t_train = time.time()
     sample = np.asarray(_clustered_chunk(centers, 2 * 10**9, 262_144)
                         * lam[None, :])
-    opq = OPQTransform(DIM, M=M)
+    opq = OPQTransform(DIM, M=M, nbits=4)
     opq.train(sample)
     rot = jnp.asarray(opq.matrix)
-    cb = pq_train(sample @ opq.matrix, M, iters=8)
+    cb = pq_train(sample @ opq.matrix, M, iters=8, k=16)
     cb_dev = jnp.asarray(cb)
     bdcb = jnp.asarray(build_bdcb(cb))
     t_train = time.time() - t_train
@@ -113,7 +115,7 @@ def main():
     # 3) encode 100M rows -> [M, n] codes (9.6 GB), chunk-streamed
     t_enc = time.time()
     n_pad = N + ((-N) % BLOCK)
-    codes = jnp.zeros((M, n_pad), jnp.int8)
+    codes = jnp.zeros((M // 2, n_pad), jnp.int8)  # nibble-packed storage
     off = 0
     while off < N:
         r = min(CHUNK, N - off)
@@ -140,22 +142,24 @@ def main():
     pad_q = (-NQ) % tq
     if pad_q:
         q_rot = jnp.pad(q_rot, ((0, pad_q), (0, 0)))
-    out = pallas_topk_pq(q_rot, codes, bdcb, TOPK, J, BLOCK, N, tq=tq)
+    out = pallas_topk_pq(q_rot, codes, bdcb, TOPK, J, BLOCK, N, tq=tq,
+                         nbits=4)
     el = float("inf")
     for _ in range(3):
         t0 = time.time()
         for _ in range(3):
-            out = pallas_topk_pq(q_rot, codes, bdcb, TOPK, J, BLOCK, N, tq=tq)
+            out = pallas_topk_pq(q_rot, codes, bdcb, TOPK, J, BLOCK, N,
+                                 tq=tq, nbits=4)
         float(jnp.sum(out[0][0, 0]))
         el = min(el, (time.time() - t0 - rt) / 3)
     ids = np.asarray(out[1])[:NQ]
     recall = float(np.mean(
         [len(set(a) & set(b)) / 10 for a, b in zip(ids, ref10)]))
     print(json.dumps({
-        "metric": f"opq96_qps_{N // 1000}k_docs_top{TOPK}",
+        "metric": f"opq192x4_qps_{N // 1000}k_docs_top{TOPK}",
         "value": round(NQ / el, 1), "unit": "qps",
         "recall10in100": round(recall, 4),
-        "hbm_codes_gb": round(n_pad * M / 2**30, 2),
+        "hbm_codes_gb": round(n_pad * M // 2 / 2**30, 2),
         "ref_pass_s": round(t_ref), "train_s": round(t_train),
         "encode_s": round(t_enc),
     }), flush=True)
