@@ -514,6 +514,22 @@ class FlatIPIndex:
         return idx
 
 
+def _ivfpq_from_spec(dim: int, nlist: int, tail: str, nprobe: int):
+    """Parse the "pq{M}[x{b}]" tail of an IVF factory string (lowercased)
+    into an ``IVFPQIndex``; None when the spec does not parse."""
+    spec, _, bits = tail[2:].partition("x")
+    try:
+        m_sub = int(spec)
+        nbits = int(bits) if bits else 8
+    except ValueError:
+        return None
+    if m_sub <= 0:
+        return None
+    from .ivf_pq import IVFPQIndex
+
+    return IVFPQIndex(dim, nlist=nlist, nprobe=nprobe, M=m_sub, nbits=nbits)
+
+
 def index_factory(dim: int, factory_str: str, block_size: int = DEFAULT_BLOCK,
                   nprobe: int = 32):
     """FAISS ``index_factory``-style constructor (reference index.py:47-54).
@@ -536,6 +552,12 @@ def index_factory(dim: int, factory_str: str, block_size: int = DEFAULT_BLOCK,
                              M bytes/row: PQ96 holds ~160M x 768 on one chip)
       "OPQ{M},PQ{M}"       → trained OPQ rotation (index/transforms.py)
                              in front of the PQ index
+      "IVF{n},PQ{M}[x4]"   → probe-pruned PQ cells (index/ivf_pq.py):
+                             residual codes decoded in the bulk cell kernel
+                             — faiss's canonical large-scale string; the
+                             4-bit family is the serving sweet spot
+                             ("OPQ{M}x4,IVF{n},PQ{M}x4" chains the trained
+                             rotation in front)
     (flat indexes also serve a hardware-ANN mode via search(mode="approx"))."""
     key = factory_str.strip().lower()
     if key.startswith("opq"):
@@ -597,6 +619,10 @@ def index_factory(dim: int, factory_str: str, block_size: int = DEFAULT_BLOCK,
             nlist = int(head[4:])
         except ValueError:
             nlist = 0
+        if nlist > 0 and tail.startswith("pq"):
+            idx = _ivfpq_from_spec(dim, nlist, tail, nprobe)
+            if idx is not None:
+                return idx
         if nlist > 0 and cell_dtype in ("float32", "bfloat16", "int8"):
             from .ivf import IVFRaggedIndex
 
@@ -604,6 +630,16 @@ def index_factory(dim: int, factory_str: str, block_size: int = DEFAULT_BLOCK,
                                   dtype=cell_dtype)
     if key.startswith("ivf"):
         head, _, tail = key.partition(",")
+        try:
+            _nl = int(head[3:])
+        except ValueError:
+            _nl = 0
+        if _nl > 0 and tail.startswith("pq"):
+            # "IVF{n},PQ{M}[x{b}]": probe-pruned PQ cells (faiss's canonical
+            # large-scale string; residual decode-and-scan, index/ivf_pq.py)
+            idx = _ivfpq_from_spec(dim, _nl, tail, nprobe)
+            if idx is not None:
+                return idx
         cell_dtype = flat_dtypes.get(tail or "flat")
         if cell_dtype == "int4":
             raise ValueError(
@@ -621,6 +657,6 @@ def index_factory(dim: int, factory_str: str, block_size: int = DEFAULT_BLOCK,
                                 dtype=cell_dtype)
     raise ValueError(
         f"unsupported factory string {factory_str!r}; supported: Flat, BF16, "
-        "SQ8, SQ4, PQ{{M}}[x4], IVF{{n}},Flat|BF16|SQ8, OPQ{{M}},PQ{{M}}[x4], "
-        "PCAR{{d}}/PCA{{d}} + any of the former"
+        "SQ8, SQ4, PQ{{M}}[x4], IVF{{n}},Flat|BF16|SQ8|PQ{{M}}[x4], "
+        "OPQ{{M}},PQ{{M}}[x4], PCAR{{d}}/PCA{{d}} + any of the former"
     )

@@ -29,6 +29,10 @@ def load_index(path: str):
         from .pq import PQIndex
 
         return PQIndex.load(path)
+    if meta.get("kind") == "ivfpq":
+        from .ivf_pq import IVFPQIndex
+
+        return IVFPQIndex.load(path)
     if meta.get("kind") == "ivfr":
         from .ivf import IVFRaggedIndex
 

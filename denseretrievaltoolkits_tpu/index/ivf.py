@@ -793,6 +793,11 @@ class IVFRaggedIndex(IVFFlatIndex):
     or ``mode="exact"``.
     """
 
+    # [Qcap, block] fp32 scores + packed int32 copy VMEM budget for the bulk
+    # kernel (see IVFFlatIndex._bulk_tiles); subclasses with extra scratch
+    # (IVFPQIndex's decode buffers) lower it
+    QCAP_ELEMS = 262144
+
     def __init__(self, dim: int, nlist: int = 1024, nprobe: int = 32,
                  dtype: str = "int8", block: int = 512,
                  train_block: int = 8192, qcap_factor: float = 2.0):
@@ -816,18 +821,9 @@ class IVFRaggedIndex(IVFFlatIndex):
 
         self.add_chunks(chunk, n, chunk_rows=max(1, min(500_000, n)))
 
-    def add_chunks(self, chunk_fn, n_rows: int,
-                   chunk_rows: int = 500_000) -> None:
-        """Two-pass ragged build (see IVFFlatIndex.add_chunks for the chunk
-        contract).  Every row lands in its cell's contiguous block range —
-        no capacity cap, no overflow."""
-        if not self.is_trained:
-            raise RuntimeError("IVFRaggedIndex.add_chunks before train()")
-        if self._values is not None:
-            raise RuntimeError("IVFRaggedIndex build is one-shot")
-        N = int(n_rows)
-        block = self.block
-
+    def _assign_pass(self, chunk_fn, N: int, chunk_rows: int) -> np.ndarray:
+        """Pass 1 of the two-pass build: nearest-centroid assignment, chunk
+        at a time (each chunk CONSUMED; host work is the [N] int32 vector)."""
         assign_all = np.empty(N, np.int32)
         for start in range(0, N, chunk_rows):
             rows = min(chunk_rows, N - start)
@@ -838,6 +834,14 @@ class IVFRaggedIndex(IVFFlatIndex):
                 self.centroids, min(8192, max(8, rows)))
             assign_all[start:start + rows] = np.asarray(a)
             chunk.delete()
+        return assign_all
+
+    def _ragged_layout(self, assign_all: np.ndarray, N: int):
+        """Ragged padded-flat layout from the assignment vector: sets
+        ``_nb_max``/``_block_cell``/``_block_start`` and returns
+        ``(dest [N] int64 padded-flat position per row, row_ids_flat
+        [nb_total*block] int32 with -1 in segment-tail padding)``."""
+        block = self.block
         counts = np.bincount(assign_all, minlength=self.nlist)
         blocks_c = -(-counts // block)  # 0 blocks for empty cells
         block_start = np.zeros(self.nlist + 1, np.int64)
@@ -856,6 +860,26 @@ class IVFRaggedIndex(IVFFlatIndex):
         dest[order] = dest_sorted
         row_ids_flat = np.full(nb_total * block, -1, np.int32)
         row_ids_flat[dest_sorted] = order.astype(np.int32)
+        self._block_cell = jnp.asarray(
+            np.repeat(np.arange(self.nlist, dtype=np.int32), blocks_c))
+        self._block_start = jnp.asarray(block_start.astype(np.int32))
+        return dest, row_ids_flat
+
+    def add_chunks(self, chunk_fn, n_rows: int,
+                   chunk_rows: int = 500_000) -> None:
+        """Two-pass ragged build (see IVFFlatIndex.add_chunks for the chunk
+        contract).  Every row lands in its cell's contiguous block range —
+        no capacity cap, no overflow."""
+        if not self.is_trained:
+            raise RuntimeError("IVFRaggedIndex.add_chunks before train()")
+        if self._values is not None:
+            raise RuntimeError("IVFRaggedIndex build is one-shot")
+        N = int(n_rows)
+        block = self.block
+
+        assign_all = self._assign_pass(chunk_fn, N, chunk_rows)
+        dest, row_ids_flat = self._ragged_layout(assign_all, N)
+        nb_total = int(np.asarray(self._block_start)[-1])
 
         int8 = self.dtype == "int8"
         cell_dtype = (jnp.int8 if int8 else
@@ -891,9 +915,6 @@ class IVFRaggedIndex(IVFFlatIndex):
         self._values = values            # [nb_total*block, dim] padded-flat
         self._scales = scales
         self._row_ids = jnp.asarray(row_ids_flat)
-        self._block_cell = jnp.asarray(
-            np.repeat(np.arange(self.nlist, dtype=np.int32), blocks_c))
-        self._block_start = jnp.asarray(block_start.astype(np.int32))
         self._n = N
         self._search_fn = None
         self._bulk_state = None
@@ -1013,7 +1034,7 @@ class IVFRaggedIndex(IVFFlatIndex):
         lam = B * nprobe / self.nlist
         qcap_cap = min(int(-(-B * nprobe // 8) * 8),
                        max(64, int(-(-4.0 * lam // 8) * 8)),
-                       262144 // block)
+                       self.QCAP_ELEMS // block)
         state = getattr(self, "_bulk_state", None)
         if state is None or state["key"] != (nprobe,):
             hot = np.zeros((0,), np.int64)

@@ -120,6 +120,34 @@ def resolve_pq_mode(mode: str) -> str:
     return "serve" if mode == "approx" else mode
 
 
+# IVF-PQ (index/ivf_pq.py): cells store PQ codes, so every score is
+# reconstruction ADC — "exact" means exact-ADC over every reconstruction
+# (parity checks), "bulk"/"serve" the fused decode-and-scan cell kernel.
+# No per-query probe path (the ragged layout serves bulk only), no i8q
+# (reconstructions are already lossy), no partial (no flat fp32 scan).
+IVFPQ_MODES = ("exact", "bulk", "serve", "approx")
+
+
+def resolve_ivfpq_mode(mode: str) -> str:
+    """Resolve an IVF-PQ search mode.  Returns exact|bulk."""
+    if mode not in IVFPQ_MODES:
+        if mode == "partial":
+            raise ValueError(
+                "mode='partial' (PartialReduce) needs a flat fp32/bf16 scan; "
+                "IVF-PQ scores decode in-kernel. Use 'bulk' (or 'approx').")
+        if mode == "i8q":
+            raise ValueError(
+                "mode='i8q' quantizes queries against int8 rows; IVF-PQ "
+                "already scores against lossy reconstructions. Use 'bulk'.")
+        if mode == "probe":
+            raise ValueError(
+                "mode='probe' is the per-query gathered path of the dense "
+                "IVF families; IVF-PQ serves through the bulk kernel only.")
+        raise ValueError(
+            f"unknown search mode {mode!r}; IVF-PQ modes: {IVFPQ_MODES}")
+    return "exact" if mode == "exact" else "bulk"
+
+
 def resolve_ivf_mode(mode: str, dtype: str) -> str:
     """Resolve an IVF search mode against the storage dtype.
 

@@ -241,17 +241,11 @@ class TransformedIndex:
         # OPQ rotations persist in the parent's npz format (a matrix is a
         # matrix at apply time), so one loader serves both transform kinds
         transform = PCATransform.load(os.path.join(path, "transform.npz"))
-        inner_path = os.path.join(path, "inner")
-        if meta["inner_type"] == "IVFFlatIndex":
-            from .ivf import IVFFlatIndex
+        del meta  # inner kind dispatch lives in io.load_index
+        # the kind-tagged dispatcher handles every inner family (flat, PQ,
+        # all three IVF kinds) — the hardcoded type map it replaces silently
+        # loaded IVFRaggedIndex inners as FlatIPIndex
+        from .io import load_index
 
-            inner = IVFFlatIndex.load(inner_path)
-        elif meta["inner_type"] == "PQIndex":
-            from .pq import PQIndex
-
-            inner = PQIndex.load(inner_path)
-        else:
-            from .flat import FlatIPIndex
-
-            inner = FlatIPIndex.load(inner_path)
+        inner = load_index(os.path.join(path, "inner"))
         return cls(transform, inner)

@@ -280,6 +280,48 @@ def _ivf_ragged_topj(block_cell, qslab, values, row_ids, scales,
     )(block_cell, *args)
 
 
+def invert_probe_pairs(cells, B: int, nprobe: int, nlist: int, Qcap: int,
+                       n_real):
+    """Invert (query, cell) probe pairs into the fixed-capacity per-cell
+    query table — the shared step-2 of every bulk search (module docstring).
+
+    Rank-major slotting inside each cell: a hot cell's Qcap slots fill with
+    the pairs for which it is the TOP-ranked probe first, so capacity drops
+    land on low-ranked (least important) probes and recall degrades
+    gracefully under query-locality hot spots.  Padding queries (rows
+    >= ``n_real``, a TRACED operand) sort after every real rank and go
+    straight to the drop bucket — an all-zero padding query scores every
+    cell 0.0, so its rank-0 probes would otherwise evict real queries'
+    rank-1+ probes from cells 0..nprobe-1 (advisor r3, medium).
+
+    Returns ``(qtab [nlist*Qcap] int32, dest [P] int32, sc [P], slot [P],
+    in_cap [P] bool, order [P], counts [nlist], n_dropped scalar)`` where
+    pair arrays are in (cell, rank)-sorted order and ``order`` maps sorted
+    position -> original pair index."""
+    P = B * nprobe
+    pair_cell = cells.reshape(-1)
+    pair_q = jnp.repeat(jnp.arange(B, dtype=jnp.int32), nprobe)
+    pair_rank = jnp.tile(jnp.arange(nprobe, dtype=jnp.int32), B)
+    real = pair_q < n_real  # traced mask; all-true when the batch is unpadded
+    rank_key = jnp.where(real, pair_rank, nprobe)
+    counts_all = jnp.zeros((nlist,), jnp.int32).at[pair_cell].add(1)
+    starts = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts_all)[:-1]])
+    order = jnp.argsort(pair_cell * (nprobe + 1) + rank_key)  # stable
+    sc = pair_cell[order]
+    slot = jnp.arange(P, dtype=jnp.int32) - starts[sc]
+    qidx = pair_q[order]
+    real_s = real[order]
+    in_cap = (slot < Qcap) & real_s
+    counts = jnp.zeros((nlist,), jnp.int32).at[pair_cell].add(
+        real.astype(jnp.int32))
+    n_dropped = jnp.sum(real_s & ~in_cap)
+    dest = jnp.where(in_cap, sc * Qcap + slot, nlist * Qcap)  # OOB -> dropped
+    qtab = jnp.zeros((nlist * Qcap,), jnp.int32).at[dest].set(
+        qidx, mode="drop")
+    return qtab, dest, sc, slot, in_cap, order, counts, n_dropped
+
+
 def serve_j(k: int, block: int, C: int) -> int:
     """Per-block candidate density: a query's top-k members inside ONE probed
     cell spread ~uniformly over the cell's blocks (within-cell row order is
@@ -340,32 +382,10 @@ def ivf_bulk_search(q, centroids, values, row_ids, scales,
         cell_scores = cell_scores + hot_penalty[None, :]
     _, cells = jax.lax.top_k(cell_scores, nprobe)             # [B, nprobe]
 
-    # 2) invert to cell-major: sort pairs by (cell, probe rank) and slot them
-    # into Qtab.  Rank-major order inside each cell means a hot cell's Qcap
-    # slots fill with the pairs for which it is the TOP-ranked probe first —
-    # capacity drops land on low-ranked (least important) probes, so recall
-    # degrades gracefully under query-locality hot spots.  Padding queries'
-    # pairs sort AFTER every real rank and go straight to the drop bucket.
-    pair_cell = cells.reshape(-1)
-    pair_q = jnp.repeat(jnp.arange(B, dtype=jnp.int32), nprobe)
-    pair_rank = jnp.tile(jnp.arange(nprobe, dtype=jnp.int32), B)
-    real = pair_q < n_real  # traced mask; all-true when the batch is unpadded
-    rank_key = jnp.where(real, pair_rank, nprobe)
-    counts_all = jnp.zeros((nlist,), jnp.int32).at[pair_cell].add(1)
-    starts = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts_all)[:-1]])
-    order = jnp.argsort(pair_cell * (nprobe + 1) + rank_key)  # stable
-    sc = pair_cell[order]
-    slot = jnp.arange(P, dtype=jnp.int32) - starts[sc]
-    qidx = pair_q[order]
-    real_s = real[order]
-    in_cap = (slot < Qcap) & real_s
-    counts = jnp.zeros((nlist,), jnp.int32).at[pair_cell].add(
-        real.astype(jnp.int32))
-    n_dropped = jnp.sum(real_s & ~in_cap)
-    dest = jnp.where(in_cap, sc * Qcap + slot, nlist * Qcap)  # OOB -> dropped
-    qtab = jnp.zeros((nlist * Qcap,), jnp.int32).at[dest].set(
-        qidx, mode="drop")
+    # 2) invert to cell-major (rank-major slotting, padding-pair exclusion;
+    # see invert_probe_pairs)
+    qtab, _, sc, slot, in_cap, order, counts, n_dropped = invert_probe_pairs(
+        cells, B, nprobe, nlist, Qcap, n_real)
 
     # 3) shared-operand scoring: gather the query slab, run the cell kernel.
     # i8_native (int8 cells only): queries quantize to int8 once, the slab
@@ -493,27 +513,9 @@ def ivf_ragged_search(q, centroids, values, row_ids, scales,
     _, cells = jax.lax.top_k(cell_scores, nprobe)
 
     # invert to cell-major (rank-major slotting, padding-pair exclusion;
-    # see ivf_bulk_search)
-    pair_cell = cells.reshape(-1)
-    pair_q = jnp.repeat(jnp.arange(B, dtype=jnp.int32), nprobe)
-    pair_rank = jnp.tile(jnp.arange(nprobe, dtype=jnp.int32), B)
-    real = pair_q < n_real  # traced mask (see ivf_bulk_search)
-    rank_key = jnp.where(real, pair_rank, nprobe)
-    counts_all = jnp.zeros((nlist,), jnp.int32).at[pair_cell].add(1)
-    starts = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts_all)[:-1]])
-    order = jnp.argsort(pair_cell * (nprobe + 1) + rank_key)
-    sc = pair_cell[order]
-    slot = jnp.arange(P, dtype=jnp.int32) - starts[sc]
-    qidx = pair_q[order]
-    real_s = real[order]
-    in_cap = (slot < Qcap) & real_s
-    counts = jnp.zeros((nlist,), jnp.int32).at[pair_cell].add(
-        real.astype(jnp.int32))
-    n_dropped = jnp.sum(real_s & ~in_cap)
-    dest = jnp.where(in_cap, sc * Qcap + slot, nlist * Qcap)
-    qtab = jnp.zeros((nlist * Qcap,), jnp.int32).at[dest].set(
-        qidx, mode="drop")
+    # see invert_probe_pairs)
+    qtab, _, sc, slot, in_cap, order, counts, n_dropped = invert_probe_pairs(
+        cells, B, nprobe, nlist, Qcap, n_real)
 
     qc = q.astype(jnp.bfloat16 if values.dtype != jnp.float32 else jnp.float32)
     qi = qsq = None
