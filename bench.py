@@ -226,17 +226,21 @@ LAT_BATCHES = (1, 8, 64)
 _LAT_STATE: dict = {}
 
 
-def _p50_latency_ms(fn, rt: float, n: int = 20) -> float:
+def _p50_latency_ms(fn, rt: float | None = None, n: int = 20) -> float:
     """p50 per-call latency in ms with a per-call device sync (a serving
-    request pays that sync); ``rt`` (the measured host<->device roundtrip)
-    is subtracted, as everywhere else in this file."""
+    request pays that sync).  The host<->device roundtrip is re-measured
+    IMMEDIATELY before the timing loop (a stale ``rt`` from minutes earlier
+    over- or under-corrects by whole milliseconds under relay variance —
+    the r04 capture clamped real ~7 ms calls to 0.0 that way); the passed
+    ``rt`` is ignored and kept only for call-site compatibility."""
     import jax
 
+    fresh_rt = _roundtrip()
     ts = []
     for _ in range(n):
         t0 = time.time()
         jax.block_until_ready(fn())
-        ts.append(time.time() - t0 - rt)
+        ts.append(time.time() - t0 - fresh_rt)
     return max(0.0, float(np.median(ts)) * 1e3)
 
 
@@ -957,6 +961,59 @@ def bench_pq() -> float:
     print(f"# opq192x4 serve: {q4:.0f} qps "
           f"({q4 / _PQ_STATE['int8_qps']:.2f}x int8-serve) recall10@{TOPK} "
           f"{r4:.4f}", file=sys.stderr)
+
+    # IVF256,PQ192x4: the composition rung (probe-pruned decode-and-scan,
+    # index/ivf_pq.py) on the SAME spectrumed corpus/reference — residual
+    # encoding, no OPQ rotation (FAISS IVFPQ by_residual defaults)
+    from denseretrievaltoolkits_tpu.index.ivf_pq import IVFPQIndex
+
+    nlist = int(os.environ.get("BENCH_IVFPQ_NLIST", 256))
+    nprobe = int(os.environ.get("BENCH_IVFPQ_NPROBE", 32))
+    idx = IVFPQIndex(DIM, nlist=nlist, nprobe=nprobe, M=192, nbits=4,
+                     block=2048)
+    idx.bulk_j = int(os.environ.get("BENCH_IVFPQ_J", 8))
+    idx.max_hot = int(os.environ.get("BENCH_IVFPQ_MAXHOT", 16))
+    t0 = time.time()
+    idx.train(sample, iters=8)
+    train_s = time.time() - t0
+    t0 = time.time()
+
+    def spec_chunk(s, r):
+        c = _clustered_chunk(centers, s, r)
+        out = c * lam[None, :]
+        c.delete()
+        return out
+
+    idx.add_chunks(spec_chunk, N_DOCS_INT8, chunk_rows=500_000)
+    jax.block_until_ready(idx._values)
+    print(f"# ivfpq192x4: train {train_s:.0f}s build {time.time()-t0:.0f}s "
+          f"blocks={int(idx._block_cell.shape[0])}", file=sys.stderr)
+    # tuning call learns Qcap + hot set; its host result scores recall
+    _, doc_np = idx.search_bulk(np.asarray(q_np, np.float32), TOPK,
+                                nprobe=nprobe)
+    rec_ivf = float(np.mean(
+        [len(set(a) & set(b)) / 10 for a, b in zip(doc_np, ref10)]))
+    st = idx._bulk_state
+    print(f"# ivfpq192x4: Qcap={st['qcap']} hot={st['hot'].size} "
+          f"dropped={idx.last_dropped}", file=sys.stderr)
+    rt = _roundtrip()
+    el = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        for _ in range(3):
+            tv, doc = idx.search_bulk_async(q_f, TOPK, nprobe=nprobe)
+        float(jnp.sum(tv[0]))
+        el = min(el, (time.time() - t0 - rt) / 3)
+    _PQ_STATE["qps_ivf"] = nq / el
+    _PQ_STATE["recall_ivf"] = rec_ivf
+    print(f"# ivfpq192x4 serve: {nq / el:.0f} qps "
+          f"({nq / el / _PQ_STATE['int8_qps']:.2f}x int8-serve) "
+          f"recall10@{TOPK} {rec_ivf:.4f}", file=sys.stderr)
+    sv, ss, si, _ = st["side"]
+    for a in (idx._values, idx._row_ids, idx.centroids, idx._block_cell,
+              idx._block_start, sv, ss, si):
+        if a is not None and hasattr(a, "delete"):
+            a.delete()
     return qps
 
 
@@ -1023,11 +1080,13 @@ def bench_encode() -> float:
     reps.block_until_ready()
     rt = _roundtrip()
     iters = 20
-    t0 = time.time()
-    for _ in range(iters):
-        reps = encode(params, batch)
-    float(jnp.sum(reps[0, 0]))
-    per_batch = (time.time() - t0 - rt) / iters
+    per_batch = float("inf")  # best-of-3: a relay stall inside one timing
+    for _ in range(3):        # loop tanked the r04 row 5.7x (459 vs 2635)
+        t0 = time.time()
+        for _ in range(iters):
+            reps = encode(params, batch)
+        float(jnp.sum(reps[0, 0]))
+        per_batch = min(per_batch, (time.time() - t0 - rt) / iters)
     pps = 256 / per_batch
     print(f"# encode: {pps:.0f} passages/s", file=sys.stderr)
     return pps
@@ -1321,6 +1380,23 @@ def main():
                           f"{N_DOCS_INT8 // 1000}k",
                 "value": round(_PQ_STATE["recall_x4"], 4), "unit": "recall",
                 "vs_baseline": round(_PQ_STATE["recall_x4"] / 0.76, 3),
+            })
+        # IVF256,PQ192x4 composition rung: vs_baseline is the ratio to the
+        # spectrumed exact-int8 serve qps measured THIS run (same denominator
+        # as the flat PQ arms); recall contract is the candidate-window one
+        if _PQ_STATE.get("qps_ivf") is not None:
+            extras.append({
+                "metric": f"ivfpq192x4_qps_{N_DOCS_INT8 // 1000}k_docs"
+                          f"_top{TOPK}",
+                "value": round(_PQ_STATE["qps_ivf"], 1), "unit": "qps",
+                "vs_baseline": round(
+                    _PQ_STATE["qps_ivf"] / _PQ_STATE["int8_qps"], 2),
+            })
+            extras.append({
+                "metric": f"ivfpq192x4_recall10in{TOPK}_"
+                          f"{N_DOCS_INT8 // 1000}k",
+                "value": round(_PQ_STATE["recall_ivf"], 4), "unit": "recall",
+                "vs_baseline": round(_PQ_STATE["recall_ivf"] / 0.76, 3),
             })
         checkpoint_extras()
         run_extra("train_step_ms_bertbase", "ms", bench_train_step,
