@@ -69,15 +69,21 @@ class IVFPQIndex(IVFRaggedIndex):
     def __init__(self, dim: int, nlist: int = 1024, nprobe: int = 32,
                  M: int = 96, nbits: int = 8, block: int = 512,
                  train_block: int = 8192, qcap_factor: float = 2.0):
-        assert dim % M == 0, f"dim {dim} not divisible by M={M}"
-        assert nbits in (4, 8), f"IVFPQ nbits must be 4 or 8, got {nbits}"
-        assert nbits == 8 or M % 2 == 0, "4-bit PQ packs code pairs: M even"
+        # ValueError (not assert): index_factory's contract is that an
+        # unserveable string/geometry raises ValueError
+        if M <= 0 or dim % M:
+            raise ValueError(f"dim {dim} not divisible by M={M}")
+        if nbits not in (4, 8):
+            raise ValueError(f"IVFPQ nbits must be 4 or 8, got {nbits}")
+        if nbits == 4 and M % 2:
+            raise ValueError("4-bit PQ packs code pairs: M must be even")
         d_sub = dim // M
         # the block-diagonal decode needs d_sub | 128 and 128 | dim
         # (ops/pq.py layout); other geometries have no fused kernel here
-        assert 128 % d_sub == 0 and dim % 128 == 0, (
-            f"IVFPQ needs d_sub={d_sub} dividing 128 and dim % 128 == 0 "
-            f"(the ops/pq.py block-diagonal decode layout)")
+        if 128 % d_sub or dim % 128:
+            raise ValueError(
+                f"IVFPQ needs d_sub={d_sub} dividing 128 and dim % 128 == 0 "
+                f"(the ops/pq.py block-diagonal decode layout)")
         super().__init__(dim, nlist=nlist, nprobe=nprobe, dtype="pq",
                          block=block, train_block=train_block,
                          qcap_factor=qcap_factor)

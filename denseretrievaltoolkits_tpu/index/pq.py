@@ -52,9 +52,14 @@ class PQIndex:
 
     def __init__(self, dim: int, M: int = 96, block_size: Optional[int] = None,
                  use_pallas: bool = True, nbits: int = 8):
-        assert dim % M == 0, f"dim {dim} not divisible by M={M}"
-        assert nbits in (4, 8), f"PQ nbits must be 4 or 8, got {nbits}"
-        assert nbits == 8 or M % 2 == 0, "4-bit PQ packs code pairs: M even"
+        # ValueError (not assert): index_factory rejects unserveable
+        # strings/geometry with ValueError
+        if M <= 0 or dim % M:
+            raise ValueError(f"dim {dim} not divisible by M={M}")
+        if nbits not in (4, 8):
+            raise ValueError(f"PQ nbits must be 4 or 8, got {nbits}")
+        if nbits == 4 and M % 2:
+            raise ValueError("4-bit PQ packs code pairs: M must be even")
         d_sub = dim // M
         # the fused decode kernel's block-diagonal layout needs d_sub | 128
         # and 128 | dim; other geometries stay valid but serve via the

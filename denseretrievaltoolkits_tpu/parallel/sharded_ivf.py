@@ -109,7 +109,8 @@ class ShardedIVFIndex:
     """Row-partitioned IVF over a mesh's devices (module docstring)."""
 
     def __init__(self, mesh: Mesh, dim: int, nlist: int = 1024,
-                 nprobe: int = 32, dtype: str = "int8", block: int = 512):
+                 nprobe: int = 32, dtype: str = "int8", block: int = 512,
+                 M: Optional[int] = None, nbits: int = 8):
         self.mesh = mesh
         all_devices = list(mesh.devices.flatten())
         self.n_shards = len(all_devices)
@@ -137,10 +138,16 @@ class ShardedIVFIndex:
         self.nprobe = min(nprobe, nlist)
         self.dtype = dtype
         self.block = block
-        # template holds the trained centroids; shards copy a device-local
-        # reference so every shard probes the SAME global cells
-        self._template = IVFRaggedIndex(dim, nlist=nlist, nprobe=nprobe,
-                                        dtype=dtype, block=block)
+        # "pq": per-shard IVFPQIndex (residual PQ cells, index/ivf_pq.py);
+        # shards share the template's codebooks as well as its centroids
+        self.M = M
+        self.nbits = nbits
+        if dtype == "pq" and not M:
+            raise ValueError("ShardedIVFIndex dtype='pq' needs M (subspaces)")
+        # template holds the trained centroids (+ PQ codebooks); shards copy
+        # a device-local reference so every shard probes the SAME global
+        # cells (and decodes with the same codebooks)
+        self._template = self._new_index()
         self._shards: List[IVFRaggedIndex] = []  # this process's shards
         self._bases: List[int] = []  # GLOBAL row offset per local shard
         self._n = 0  # GLOBAL row count
@@ -149,6 +156,23 @@ class ShardedIVFIndex:
         # multi-host: total corpus rows across ALL hosts; each process adds
         # only its host_corpus_bounds window (like ShardedFlatIndex)
         self.global_rows: Optional[int] = None
+
+    def _new_index(self):
+        """A fresh (untrained, empty) index of this family's shard class."""
+        if self.dtype == "pq":
+            from ..index.ivf_pq import IVFPQIndex
+
+            return IVFPQIndex(self.dim, nlist=self.nlist, nprobe=self.nprobe,
+                              M=self.M, nbits=self.nbits, block=self.block)
+        return IVFRaggedIndex(self.dim, nlist=self.nlist, nprobe=self.nprobe,
+                              dtype=self.dtype, block=self.block)
+
+    def _fit_shard(self, shard, dev) -> None:
+        """Copy the template's trained state onto a shard, device-local."""
+        shard.centroids = jax.device_put(self._template.centroids, dev)
+        if self.dtype == "pq":
+            shard.codebooks = self._template.codebooks  # host fp32, shared
+            shard._set_codebooks()  # under caller's default_device -> dev
 
     def __len__(self):
         return self._n
@@ -221,11 +245,8 @@ class ShardedIVFIndex:
         for i, (lo, hi) in enumerate(local):
             dev = self.devices[i]
             with jax.default_device(dev):
-                shard = IVFRaggedIndex(self.dim, nlist=self.nlist,
-                                       nprobe=self.nprobe, dtype=self.dtype,
-                                       block=self.block)
-                shard.centroids = jax.device_put(
-                    self._template.centroids, dev)
+                shard = self._new_index()
+                self._fit_shard(shard, dev)
                 if hi > lo:
                     shard.add_chunks(
                         lambda a, r, off=lo - win_start: jnp.asarray(
@@ -262,7 +283,12 @@ class ShardedIVFIndex:
         ``parallel/sharded_index.py:local_search``)."""
         if not self._shards:
             raise RuntimeError("ShardedIVFIndex.search before add()")
-        mode = resolve_ivf_mode(mode, self.dtype)
+        if self.dtype == "pq":
+            from ..index.modes import resolve_ivfpq_mode
+
+            mode = resolve_ivfpq_mode(mode)  # exact|bulk (i8q/partial raise)
+        else:
+            mode = resolve_ivf_mode(mode, self.dtype)
         k = min(k, self._n)
         live = [(s, shard) for s, shard in enumerate(self._shards)
                 if len(shard) > 0]
@@ -361,6 +387,9 @@ class ShardedIVFIndex:
             # EMPTY shard — more devices than rows — has no file for them)
             np.save(os.path.join(path, "centroids.npy"),
                     np.asarray(self._template.centroids, np.float32))
+            if self.dtype == "pq":
+                np.save(os.path.join(path, "codebooks.npy"),
+                        np.asarray(self._template.codebooks, np.float32))
         local_pop = np.full((self.local_shards,), -1, np.int64)
         for i, shard in enumerate(self._shards):
             g = self._first_shard + i
@@ -382,6 +411,7 @@ class ShardedIVFIndex:
                 json.dump({"kind": "sivf", "dim": self.dim,
                            "nlist": self.nlist, "nprobe": self.nprobe,
                            "dtype": self.dtype, "block": self.block,
+                           "M": self.M, "nbits": self.nbits,
                            "n": self._n, "n_shards": self.n_shards,
                            "bases": bases, "populated": populated,
                            "docid": self.docid}, fh)
@@ -397,27 +427,29 @@ class ShardedIVFIndex:
             meta = json.load(fh)
         idx = cls(mesh, meta["dim"], nlist=meta["nlist"],
                   nprobe=meta["nprobe"], dtype=meta["dtype"],
-                  block=meta["block"])
+                  block=meta["block"], M=meta.get("M"),
+                  nbits=meta.get("nbits", 8))
         if idx.n_shards != meta["n_shards"]:
             raise ValueError(
                 f"index saved with {meta['n_shards']} shards, mesh has "
                 f"{idx.n_shards} devices")
         cents = np.load(os.path.join(path, "centroids.npy"))
         idx._template.centroids = jnp.asarray(cents)
+        if idx.dtype == "pq":
+            idx._template.codebooks = np.load(
+                os.path.join(path, "codebooks.npy"))
+            idx._template._set_codebooks()
         populated = set(meta.get("populated", range(meta["n_shards"])))
         bases = meta["bases"]
+        shard_cls = type(idx._template)
         for i in range(idx.local_shards):
             g = idx._first_shard + i
             with jax.default_device(idx.devices[i]):
                 if g in populated:
-                    shard = IVFRaggedIndex.load(
-                        os.path.join(path, f"shard{g}"))
-                else:  # empty shard: no rows to restore, centroids only
-                    shard = IVFRaggedIndex(
-                        meta["dim"], nlist=meta["nlist"],
-                        nprobe=meta["nprobe"], dtype=meta["dtype"],
-                        block=meta["block"])
-                    shard.centroids = jnp.asarray(cents)
+                    shard = shard_cls.load(os.path.join(path, f"shard{g}"))
+                else:  # empty shard: no rows to restore, trained state only
+                    shard = idx._new_index()
+                    idx._fit_shard(shard, idx.devices[i])
             idx._shards.append(shard)
             idx._bases.append(int(bases[g]))
         idx._n = int(meta["n"])
@@ -434,8 +466,11 @@ def sharded_index_factory(mesh: Mesh, dim: int, factory_str: str,
                                       shards nibble-packed: ~42M x 768 rows
                                       per v5e chip)
       PCAR{d},<flat tail>          -> replicated PCATransform + sharded flat
+      PQ{M}[x4] / OPQ{M}[x4],...   -> ShardedPQIndex (codes column-sharded),
+                                      optional trained OPQ rotation in front
       IVF{n},<tail> / IVFR{n},<tail> -> ShardedIVFIndex (ragged layout;
-                                      Flat/BF16/SQ8 cell dtypes)
+                                      Flat/BF16/SQ8 cell dtypes, or
+                                      PQ{M}[x4] residual-PQ cells)
     """
     from ..index.flat import index_factory  # dtype tables stay in one place
     from .sharded_index import ShardedFlatIndex
@@ -469,8 +504,10 @@ def sharded_index_factory(mesh: Mesh, dim: int, factory_str: str,
         # OPQTransform fits on THIS process's sample; ShardedPQIndex itself
         # rejects multi-host meshes)
         head, _, tail = key.partition(",")
+        spec, _, bits = head[3:].partition("x")
         try:
-            m_rot = int(head[3:])
+            m_rot = int(spec)
+            rot_bits = int(bits) if bits else 8
         except ValueError:
             m_rot = 0
         if m_rot > 0 and tail:
@@ -478,7 +515,9 @@ def sharded_index_factory(mesh: Mesh, dim: int, factory_str: str,
 
             inner = sharded_index_factory(mesh, dim, tail, nprobe=nprobe,
                                           use_pallas=use_pallas)
-            return TransformedIndex(OPQTransform(dim, M=m_rot), inner)
+            rot_bits = getattr(inner, "nbits", rot_bits) or rot_bits
+            return TransformedIndex(
+                OPQTransform(dim, M=m_rot, nbits=rot_bits), inner)
     if key.startswith("pq"):
         spec, _, bits = key[2:].partition("x")
         try:
@@ -502,6 +541,17 @@ def sharded_index_factory(mesh: Mesh, dim: int, factory_str: str,
         if nlist > 0 and cell_dtype in ("float32", "bfloat16", "int8"):
             return ShardedIVFIndex(mesh, dim, nlist=nlist, nprobe=nprobe,
                                    dtype=cell_dtype)
+        if nlist > 0 and tail.startswith("pq"):
+            # "IVF{n},PQ{M}[x4]": row-partitioned residual-PQ cells — every
+            # shard decodes with the template's codebooks
+            spec, _, bits = tail[2:].partition("x")
+            try:
+                m_sub, nbits = int(spec), (int(bits) if bits else 8)
+            except ValueError:
+                m_sub = 0
+            if m_sub > 0:
+                return ShardedIVFIndex(mesh, dim, nlist=nlist, nprobe=nprobe,
+                                       dtype="pq", M=m_sub, nbits=nbits)
     # unknown string: surface the single-device parser's error text
     index_factory(dim, factory_str, nprobe=nprobe)
     raise ValueError(

@@ -63,7 +63,7 @@ def test_factory_opq_chain_over_ivfpq():
 
 
 def test_factory_rejects_bad_geometry():
-    with pytest.raises(AssertionError):
+    with pytest.raises(ValueError):
         index_factory(DIM, "IVF16,PQ51")  # 256 % 51 != 0
 
 

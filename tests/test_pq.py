@@ -192,7 +192,7 @@ def test_pq_mode_contract(fitted):
 
 
 def test_pq_rejects_bad_geometry():
-    with pytest.raises(AssertionError, match="divisible"):
+    with pytest.raises(ValueError, match="divisible"):
         PQIndex(H, M=48 + 1)
 
 

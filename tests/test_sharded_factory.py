@@ -317,3 +317,167 @@ def test_collective_pca_single_process_equals_plain():
     mesh = make_mesh(jax.device_count(), 1)
     chain = sharded_index_factory(mesh, 16, "PCAR8,SQ8")
     assert isinstance(chain.transform, CollectivePCATransform)
+
+
+def test_sharded_ivfpq_parity_vs_single_device(tmp_path):
+    """IVF-PQ shards (round 4: the composition rung could not shard).
+
+    Shared centroids AND codebooks mean the sharded probe/decode state is
+    the single-device index's by construction; pins recall parity, the
+    mode contract (i8q/partial/probe rejected), the factory string, and
+    the save/load roundtrip including the rank-0 codebooks file."""
+    from denseretrievaltoolkits_tpu.index.ivf_pq import IVFPQIndex
+
+    rng = np.random.default_rng(7)
+    dim, k = 128, 10
+    centers = rng.normal(size=(12, dim)).astype(np.float32)
+    corpus = np.concatenate(
+        [c + 0.15 * rng.normal(size=(300, dim)).astype(np.float32)
+         for c in centers])
+    rng.shuffle(corpus)  # partitions must not align with clusters
+    queries = corpus[rng.choice(len(corpus), 24, replace=False)] \
+        + 0.05 * rng.normal(size=(24, dim)).astype(np.float32)
+    exact = FlatIPIndex(dim)
+    exact.add(corpus)
+    _, ref = exact.search(queries, k)
+
+    mesh = make_mesh(jax.device_count(), 1)
+    sharded = sharded_index_factory(mesh, dim, "IVF12,PQ64", nprobe=6)
+    assert isinstance(sharded, ShardedIVFIndex) and sharded.dtype == "pq"
+    sharded.train(corpus, iters=5)
+    sharded.add(corpus)
+    assert len(sharded) == len(corpus)
+    # single-device twin sharing the SAME trained state
+    single = IVFPQIndex(dim, nlist=12, nprobe=6, M=64)
+    single.centroids = jnp.asarray(sharded.centroids)
+    single.codebooks = sharded._template.codebooks
+    single._set_codebooks()
+    single.add_chunks(lambda s, r: jnp.asarray(corpus[s:s + r]), len(corpus),
+                      chunk_rows=1024)
+    _, got_sh = sharded.search(queries, k)
+    _, got_si = single.search(queries, k)
+    r_sh, r_si = _recall(got_sh, ref, k), _recall(got_si, ref, k)
+    # same probed cells + same codebooks -> same candidate reconstruction
+    # set; only per-shard Qcap tuning can differ
+    assert r_sh >= r_si - 0.05, (r_sh, r_si)
+    assert r_sh >= 0.6, r_sh  # PQ64 reconstructions at d_sub=2
+    # mode contract: the PQ table, not the dense-IVF one
+    for bad, msg in (("i8q", "i8q"), ("partial", "partial"),
+                     ("probe", "probe")):
+        with pytest.raises(ValueError, match=msg):
+            sharded.search(queries[:4], k, mode=bad)
+    s_e, i_e = sharded.search(queries[:4], k, mode="exact")
+    # exact-ADC scans every row, so on the SAME queries it matches or beats
+    # the probe-pruned bulk path up to score-precision tie swaps (the bulk
+    # kernel scores in bf16; exact decodes in fp32)
+    assert _recall(i_e, ref[:4], k) >= _recall(got_sh[:4], ref[:4], k) - 0.05
+    # save/load roundtrip (exact mode: deterministic, no re-tuning noise)
+    path = str(tmp_path / "sivfpq")
+    sharded.docid = [f"d{i}" for i in range(len(corpus))]
+    sharded.save(path)
+    assert os.path.exists(os.path.join(path, "codebooks.npy"))
+    loaded = load_sharded_index(path, mesh)
+    assert isinstance(loaded, ShardedIVFIndex) and loaded.dtype == "pq"
+    assert loaded.M == 64 and loaded.nbits == 8
+    s2, i2 = loaded.search(queries[:4], k, mode="exact")
+    np.testing.assert_array_equal(i_e, i2)
+
+
+def test_sharded_ivfpq_4bit_factory_and_opq_chain():
+    """IVF{n},PQ{M}x4 parses to 4-bit shards; OPQ{M}x4 chains the trained
+    rotation in front; rejected geometry surfaces ValueError."""
+    from denseretrievaltoolkits_tpu.index.transforms import (
+        OPQTransform,
+        TransformedIndex,
+    )
+
+    mesh = make_mesh(jax.device_count(), 1)
+    idx = sharded_index_factory(mesh, 128, "IVF8,PQ64x4", nprobe=4)
+    assert isinstance(idx, ShardedIVFIndex)
+    assert idx.dtype == "pq" and idx.M == 64 and idx.nbits == 4
+    chain = sharded_index_factory(mesh, 128, "OPQ64x4,IVF8,PQ64x4")
+    assert isinstance(chain, TransformedIndex)
+    assert isinstance(chain.transform, OPQTransform)
+    assert chain.transform.nbits == 4
+    inner = chain.inner
+    assert isinstance(inner, ShardedIVFIndex) and inner.nbits == 4
+    with pytest.raises(ValueError):  # dim 32 has no 128-lane decode layout
+        sharded_index_factory(mesh, 32, "IVF8,PQ16")
+
+
+def test_trainer_evaluate_on_mesh_with_ivfpq_factory(tmp_path):
+    """The full trainer pipeline (encode -> spill -> train -> streamed
+    sharded build -> search -> metrics -> persist -> restore) with the
+    IVF-PQ composition string: residual codebooks fit on the capped
+    training sample, shards share them, and _load_index restores the
+    pq-dtype family."""
+    from denseretrievaltoolkits_tpu.config import (
+        DataArguments,
+        TrainingArguments,
+    )
+    from denseretrievaltoolkits_tpu.data.datasets import (
+        CorpusDataset,
+        ExactMatchDataset,
+    )
+    from denseretrievaltoolkits_tpu.data.loaders import (
+        CorpusDataloader,
+        ExactMatchDataloader,
+    )
+    from denseretrievaltoolkits_tpu.data.samplers import RandomSampleNegatives
+    from denseretrievaltoolkits_tpu.models.bert import BertConfig
+    from denseretrievaltoolkits_tpu.models.biencoder import (
+        DRModel,
+        DRModelSpec,
+    )
+    from denseretrievaltoolkits_tpu.train.trainer import Trainer
+
+    from helpers import make_exactmatch_dataset, make_tokenizer
+
+    tokenizer = make_tokenizer(tmp_path)
+    rng = random.Random(0)
+    data_dir, corpus_path, _, _ = make_exactmatch_dataset(
+        tmp_path, rng, n_train=8, n_eval=4, n_corpus=48, n_neg=4)
+    data_args = DataArguments(
+        data_dir=data_dir, corpus_path=corpus_path, train_n_passages=2,
+        q_max_len=16, p_max_len=24, data_cache_dir=str(tmp_path / "hf"))
+    train_args = TrainingArguments(
+        output_dir=str(tmp_path / "out"),
+        cache_train_dir=str(tmp_path / "cache"),
+        train_batch_size=8, eval_batch_size=4, corpus_batch_size=16,
+        max_epochs=1, eval_per_train=1, save_per_train=1,
+        learning_rate=1e-3, optimizer="adamw", topk="1,5,10",
+        retrieve_num=10, log_every=0, index_factory="IVF8,PQ64x4", nprobe=4,
+        index_train_rows=48, search_mode="approx",
+    )
+    # the fused PQ decode needs a 128-lane rep dim
+    bert_config = BertConfig(
+        vocab_size=tokenizer.vocab_size, hidden_size=128,
+        num_hidden_layers=2, num_attention_heads=4, intermediate_size=128,
+        max_position_embeddings=48)
+    model = DRModel(DRModelSpec(bert_config=bert_config))
+    params = model.init_params(jax.random.key(0))
+    dataset = ExactMatchDataset(data_args, tokenizer)
+    sampler = RandomSampleNegatives(data_args, seed=0)
+    train_dl, eval_dl, _ = ExactMatchDataloader(
+        data_args, dataset, tokenizer, sampler,
+        batch_size=[8, 4, 4]).get_dataloader()
+    corpus_dl = CorpusDataloader(
+        data_args, CorpusDataset(data_args, tokenizer), tokenizer,
+        batch_size=16).get_dataloader()
+    mesh = make_mesh(jax.device_count() // 2, 2)
+    trainer = Trainer(train_args, model, params, corpus_dataloader=corpus_dl,
+                      train_loader=train_dl, eval_loader=eval_dl, mesh=mesh)
+    trainer.train()
+    assert isinstance(trainer.index, ShardedIVFIndex)
+    assert trainer.index.dtype == "pq" and trainer.index.nbits == 4
+    assert trainer.index.is_trained and len(trainer.index) == 48
+    metrics_files = glob.glob(
+        os.path.join(train_args.cache_train_dir, "*_metrics"))
+    assert metrics_files
+    with open(metrics_files[0]) as fh:
+        m = json.load(fh)
+    assert m["query_num"] == 4
+    trainer.index = None
+    trainer._load_index(1)
+    assert isinstance(trainer.index, ShardedIVFIndex)
+    assert trainer.index.dtype == "pq" and len(trainer.index) == 48
