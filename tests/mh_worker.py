@@ -373,5 +373,44 @@ s2_ivf, i2_ivf = sivf_loaded.search(ivf_q, 7)
 np.testing.assert_array_equal(i_ivf, i2_ivf)
 ivf_sig = hashlib.sha1(np.ascontiguousarray(i_ivf).tobytes()).hexdigest()[:10]
 
+# --- 10: multi-host sharded IVF-PQ --------------------------------------------
+# the composition rung across hosts: the collective fit must produce
+# identical centroids AND codebooks on every process (a per-host fit would
+# decode with disagreeing codebooks — an inconsistent index), persistence
+# adds the rank-0 codebooks.npy, and the merged ranking must agree across
+# hosts bit-for-bit (asserted via ivfpqsig equality in test_multihost.py)
+PQ_DIM = 128
+pq_corpus = np.random.default_rng(31).normal(
+    size=(203, PQ_DIM)).astype(np.float32)
+sipq = ShardedIVFIndex(mesh, PQ_DIM, nlist=4, nprobe=4, dtype="pq",
+                       M=64, nbits=4, block=8)
+sipq.global_rows = len(pq_corpus)
+# per-host samples DIFFER (size and content): the collective gather must
+# still fit one shared codebook set
+sipq.train(pq_corpus[proc_id * 80 : proc_id * 80 + 48 + 16 * proc_id],
+           iters=3)
+assert sipq._template.codebooks is not None
+sipq.add_chunks(
+    lambda a, r: pq_corpus[w_start + a : w_start + a + r],
+    w_stop - w_start, chunk_rows=64)
+assert len(sipq) == 203
+pq_q = pq_corpus[:6] + 0.01 * np.random.default_rng(32).normal(
+    size=(6, PQ_DIM)).astype(np.float32)
+s_pq, i_pq = sipq.search(pq_q, 7)  # full probe; PQ reconstruction ranking
+pq_ref = np.argsort(-(pq_q @ pq_corpus.T), axis=1)[:, :7]
+pq_hits = np.mean([len(set(i_pq[r]) & set(pq_ref[r])) / 7
+                   for r in range(6)])
+assert pq_hits >= 0.5, pq_hits  # 4-bit reconstructions on random data
+sipq_path = os.path.join(tmp, "sipq_ckpt")
+sipq.save(sipq_path)
+assert os.path.exists(os.path.join(sipq_path, "codebooks.npy"))
+sipq_loaded = load_sharded_index(sipq_path, mesh)
+assert sipq_loaded.dtype == "pq" and sipq_loaded.M == 64
+s2_pq, i2_pq = sipq_loaded.search(pq_q, 7, mode="exact")
+s1_pq, i1_pq = sipq.search(pq_q, 7, mode="exact")
+np.testing.assert_array_equal(i1_pq, i2_pq)
+ivfpq_sig = hashlib.sha1(np.ascontiguousarray(i_pq).tobytes()).hexdigest()[:10]
+
 print(f"MH_OK proc={proc_id} loss={loss:.6f} evalsig={eval_sig} "
-      f"evalsig2={eval_sig2} ctsig={ct_sig} ivfsig={ivf_sig}", flush=True)
+      f"evalsig2={eval_sig2} ctsig={ct_sig} ivfsig={ivf_sig} "
+      f"ivfpqsig={ivfpq_sig}", flush=True)

@@ -137,6 +137,10 @@ def test_two_process_distributed_run():
     # multi-host sharded IVF returns identical results on every host (step 9)
     ivfs = [out.split("ivfsig=")[1].split()[0] for out in outs]
     assert ivfs[0] == ivfs[1], f"sharded IVF results mismatch: {ivfs}"
+    # multi-host sharded IVF-PQ: collective codebook fit + merged ranking
+    # agree bit-for-bit across hosts (step 10)
+    pqs = [out.split("ivfpqsig=")[1].split()[0] for out in outs]
+    assert pqs[0] == pqs[1], f"sharded IVF-PQ results mismatch: {pqs}"
     # ...and the factory-index evaluate() metrics agree too (step 7b)
     sig2 = [out.split("evalsig2=")[1].split()[0] for out in outs]
     assert sig2[0] == sig2[1], f"factory eval metrics mismatch: {sig2}"
