@@ -61,7 +61,9 @@ DIM = 768
 # so larger batches measure the device rather than the tunnel
 N_QUERIES = int(os.environ.get("BENCH_QUERIES", 2048))
 TOPK = 100
-CPU_SAMPLE_DOCS = 100_000
+# the CPU baseline is a scaled FAISS-flat stand-in; 25k rows keeps its wall
+# cost ~20 s on this container's shared core (it measured 78-260 s at 100k)
+CPU_SAMPLE_DOCS = 25_000
 ITERS = 20
 
 # int8 regression config (round-1 conditions: BASELINE.md "8.8M int8" row)
@@ -79,6 +81,63 @@ N_DOCS_INT4 = int(os.environ.get("BENCH_DOCS_INT4", 21_000_000))
 R1_INT8_QPS = 4959.0
 R1_TRAIN_STEP_MS = 134.0
 R1_ENCODE_PPS = 2799.0
+
+# ---------------------------------------------------------------------------
+# Wall-clock budget (VERDICT r4 #1): the r04 driver capture died at rc=124
+# mid-OPQ because the arm list outgrew the driver's timeout.  The bench now
+# runs core arms first and gates each expensive arm on the remaining budget
+# (estimated arm cost, cold vs warm cache), so the final JSON line ALWAYS
+# lands.  BENCH_BUDGET_S=0 disables gating (run everything).
+_T0 = time.monotonic()
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", 1380))
+
+
+def _remaining() -> float:
+    if BUDGET_S <= 0:
+        return float("inf")
+    return BUDGET_S - (time.monotonic() - _T0)
+
+
+def _gate(name: str, est_s: float) -> bool:
+    """True if the arm fits; logs the decision either way."""
+    rem = _remaining()
+    ok = rem > est_s
+    print(f"# budget: {name} est {est_s:.0f}s, remaining "
+          f"{min(rem, 9e6):.0f}s -> {'run' if ok else 'SKIP'}",
+          file=sys.stderr)
+    return ok
+
+
+# Disk cache for trained artifacts (VERDICT r4 #1: "cache built indexes to
+# disk across runs").  Everything cached here is a deterministic function of
+# the fixed bench seeds (centers key 77, sample offset 2e9, lam exponent
+# -0.35), so reuse across processes is exact.  Gitignored; delete the dir to
+# retrain.  Keys carry a version tag — bump it when a generator changes.
+_CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          ".bench_cache")
+
+
+def _cache_get(name: str):
+    path = os.path.join(_CACHE_DIR, name + ".npz")
+    if not os.path.exists(path):
+        return None
+    try:
+        with np.load(path) as z:
+            return {k: z[k] for k in z.files}
+    except Exception as exc:
+        print(f"# cache read {name} failed: {exc}", file=sys.stderr)
+        return None
+
+
+def _cache_put(name: str, **arrays) -> None:
+    try:
+        os.makedirs(_CACHE_DIR, exist_ok=True)
+        path = os.path.join(_CACHE_DIR, name + ".npz")
+        np.savez(path + ".tmp.npz", **arrays)
+        os.replace(path + ".tmp.npz", path)
+        print(f"# cache write {name}", file=sys.stderr)
+    except OSError as exc:
+        print(f"# cache write {name} failed: {exc}", file=sys.stderr)
 
 
 def _tpu_reachable(timeout_s: int = 240, attempts: int | None = None,
@@ -442,15 +501,26 @@ def bench_ivf_int8(queries: np.ndarray) -> float:
     idx.bulk_j = int(os.environ.get("BENCH_IVF_J", 8))
     idx.max_hot = int(os.environ.get("BENCH_IVF_MAXHOT", 16))
     t0 = time.time()
-    sample = _clustered_chunk(centers, 2 * 10**9, 262144)
-    idx.train(sample, iters=8)
-    sample.delete()
+    tkey = f"ivf_train_v1_nlist{nlist}"
+    cached = _cache_get(tkey)
+    if cached is not None:
+        idx.centroids = jnp.asarray(cached["centroids"])
+    else:
+        sample = _clustered_chunk(centers, 2 * 10**9, 262144)
+        idx.train(sample, iters=8)
+        sample.delete()
+        _cache_put(tkey, centroids=np.asarray(idx.centroids, np.float32))
     jax.block_until_ready(idx.centroids)
     train_s = time.time() - t0
+    akey = f"ivf_assign_v1_nlist{nlist}_n{N_DOCS_INT8}"
+    acache = _cache_get(akey)
     t0 = time.time()
     idx.add_chunks(lambda s, r: _clustered_chunk(centers, s, r),
-                   N_DOCS_INT8, chunk_rows=500_000)
+                   N_DOCS_INT8, chunk_rows=500_000,
+                   assign=acache["assign"] if acache is not None else None)
     jax.block_until_ready(idx._values)
+    if acache is None:
+        _cache_put(akey, assign=idx.last_assign)
     build_s = time.time() - t0
     nb_total = int(idx._block_cell.shape[0])
     print(f"# ivf8.8M: train {train_s:.0f}s build {build_s:.0f}s "
@@ -656,6 +726,96 @@ def bench_int4_21m(queries: np.ndarray) -> float:
     return qps
 
 
+_SPEC_STATE: dict = {}
+
+
+def _spec_reference() -> dict:
+    """Shared exact-int8 reference over the SPECTRUMED 8.8M mixture — ranking
+    ids + serve-qps denominator for the PCAR and PQ ladders.  r4 built this
+    corpus twice (once in each arm); now it is computed once per process and
+    memoized: {"q_np": [2048, 768] fp32, "ref_ids": [2048, TOPK] int,
+    "int8_qps": float}."""
+    if _SPEC_STATE:
+        return _SPEC_STATE
+    import jax
+    import jax.numpy as jnp
+
+    from denseretrievaltoolkits_tpu.ops.quant import quantize_int8_device
+    from denseretrievaltoolkits_tpu.ops.topk import pallas_topk_serve_scaled
+
+    block = 2048
+    nq = N_QUERIES
+    lam = jnp.asarray((np.arange(DIM) + 1.0) ** -0.35, jnp.float32)
+    centers = _make_centers()
+    n = N_DOCS_INT8 + ((-N_DOCS_INT8) % block)
+
+    def place_fn(bv, bs, cv, cs, off):
+        return (jax.lax.dynamic_update_slice(bv, cv, (off, 0)),
+                jax.lax.dynamic_update_slice(bs, cs, (off,)))
+    place = jax.jit(place_fn, donate_argnums=(0, 1))
+
+    values = jnp.zeros((n, DIM), jnp.int8)
+    scales = jnp.ones((n,), jnp.float32)
+    off = 0
+    while off < n:
+        rows = min(INT8_CHUNK, n - off)
+        chunk = _clustered_chunk(centers, off, rows) * lam[None, :]
+        cv, cs = quantize_int8_device(chunk, block_rows=1024)
+        chunk.delete()
+        values, scales = place(values, scales, cv, cs, off)
+        off += rows
+    values.block_until_ready()
+    q_np = (np.asarray(_clustered_chunk(centers, 10**9, nq), np.float32)
+            * np.asarray(lam)[None, :])
+    q = jax.device_put(jnp.asarray(q_np, jnp.bfloat16))
+    rt = _roundtrip()
+    ref = pallas_topk_serve_scaled(q, values, scales, TOPK, 16, block,
+                                   N_DOCS_INT8, tq=512)
+    ref_ids = np.asarray(ref[1])
+    el8 = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        for _ in range(5):
+            out = pallas_topk_serve_scaled(q, values, scales, TOPK, 4, block,
+                                           N_DOCS_INT8, tq=512)
+        float(jnp.sum(out[0][0, 0]))
+        el8 = min(el8, (time.time() - t0 - rt) / 5)
+    values.delete(), scales.delete()
+    _SPEC_STATE.update(q_np=q_np, ref_ids=ref_ids, int8_qps=nq / el8)
+    print(f"# spectrumed exact-int8 serve reference: {nq / el8:.0f} qps",
+          file=sys.stderr)
+    return _SPEC_STATE
+
+
+def _pq_sample() -> np.ndarray:
+    """262k spectrumed training sample (host fp32), memoized per process —
+    shared by the PCA/OPQ/PQ/IVF-PQ training paths."""
+    if "sample" not in _SPEC_STATE:
+        lam = ((np.arange(DIM) + 1.0) ** -0.35).astype(np.float32)
+        centers = _make_centers()
+        _SPEC_STATE["sample"] = (
+            np.asarray(_clustered_chunk(centers, 2 * 10**9, 262_144),
+                       np.float32) * lam[None, :])
+    return _SPEC_STATE["sample"]
+
+
+def _opq_rotation(M: int, nbits: int) -> np.ndarray:
+    """Trained OPQ rotation for (M, nbits) on the shared spectrumed sample,
+    disk-cached (the Procrustes alternation costs 120-150 s on this host)."""
+    key = f"opq_{M}x{nbits}_v1"
+    cached = _cache_get(key)
+    if cached is not None:
+        return cached["rot"]
+    from denseretrievaltoolkits_tpu.index.transforms import OPQTransform
+
+    opq = OPQTransform(DIM, M=M, nbits=nbits)
+    t0 = time.time()
+    opq.train(_pq_sample())
+    print(f"# opq{M}x{nbits} train: {time.time() - t0:.0f}s", file=sys.stderr)
+    _cache_put(key, rot=np.asarray(opq.matrix, np.float32))
+    return opq.matrix
+
+
 def bench_pcar_sq4() -> float:
     """PCAR384,SQ4 at 8.8M: the trained-factory compression ladder's
     2-bits-per-original-dim point (reference analog: arbitrary
@@ -696,48 +856,26 @@ def bench_pcar_sq4() -> float:
                 jax.lax.dynamic_update_slice(bs, cs, (off,)))
     place = jax.jit(place_fn, donate_argnums=(0, 1))
 
-    # 1) spectrumed int8 reference corpus -> ranking + serve-qps denominator
-    values = jnp.zeros((n, DIM), jnp.int8)
-    scales = jnp.ones((n,), jnp.float32)
-    off = 0
-    while off < n:
-        rows = min(INT8_CHUNK, n - off)
-        chunk = _clustered_chunk(centers, off, rows) * lam[None, :]
-        cv, cs = quantize_int8_device(chunk, block_rows=1024)
-        chunk.delete()
-        values, scales = place(values, scales, cv, cs, off)
-        off += rows
-    values.block_until_ready()
-    q_np = (np.asarray(_clustered_chunk(centers, 10**9, nq), np.float32)
-            * np.asarray(lam)[None, :])
-    q = jax.device_put(jnp.asarray(q_np, jnp.bfloat16))
-    rt = _roundtrip()
-    ref = pallas_topk_serve_scaled(q, values, scales, TOPK, 16, block,
-                                   N_DOCS_INT8, tq=tq)
-    ref_ids = np.asarray(ref[1])
-    el8 = float("inf")
-    for _ in range(3):
-        t0 = time.time()
-        for _ in range(5):
-            out = pallas_topk_serve_scaled(q, values, scales, TOPK, 4, block,
-                                           N_DOCS_INT8, tq=tq)
-        float(jnp.sum(out[0][0, 0]))
-        el8 = min(el8, (time.time() - t0 - rt) / 5)
-    _PCAR_STATE["int8_qps"] = nq / el8
-    print(f"# pcar ref int8 serve (spectrumed): {nq / el8:.0f} qps",
-          file=sys.stderr)
-    values.delete(), scales.delete()
+    # 1) shared spectrumed int8 reference (built once per process)
+    spec = _spec_reference()
+    q_np, ref_ids = spec["q_np"], spec["ref_ids"]
+    _PCAR_STATE["int8_qps"] = spec["int8_qps"]
 
-    # 2) PCA rotation trained on a 262k sample (host SVD)
-    sample = np.asarray(_clustered_chunk(centers, 2 * 10**9, 262_144)
-                        * lam[None, :])
-    pca = PCATransform(DIM, dout, rotate=True)
-    pca.train(sample)
-    kept = float(np.sum(np.var(sample @ pca.matrix, axis=0))
-                 / np.sum(np.var(sample, axis=0)))
-    del sample
-    W = jnp.asarray(pca.matrix)
-    print(f"# pcar pca kept variance {kept:.4f}", file=sys.stderr)
+    # 2) PCA rotation trained on a 262k sample (host SVD; disk-cached — a
+    # deterministic function of the fixed sample seed)
+    cached = _cache_get("pca384_v1")
+    if cached is not None:
+        W_np = cached["matrix"]
+    else:
+        sample = _pq_sample()
+        pca = PCATransform(DIM, dout, rotate=True)
+        pca.train(sample)
+        kept = float(np.sum(np.var(sample @ pca.matrix, axis=0))
+                     / np.sum(np.var(sample, axis=0)))
+        print(f"# pcar pca kept variance {kept:.4f}", file=sys.stderr)
+        W_np = pca.matrix
+        _cache_put("pca384_v1", matrix=W_np)
+    W = jnp.asarray(W_np)
 
     # 3) transformed nibble-packed corpus (1.7 GB) + serve / i8q timing
     v4 = jnp.zeros((n, dout // 2), jnp.int8)
@@ -800,172 +938,115 @@ def bench_pcar_sq4() -> float:
 _PQ_STATE = {}
 
 
-def bench_pq() -> float:
-    """PQ96 at 8.8M: the capacity rung past SQ4 (96 B/row — ~160M x 768 rows
-    per 16 GB v5e chip; reference analog: ``faiss.index_factory("PQ96")``,
-    DRT/evaluator/index.py:47-54).
-
-    Same power-law-spectrum clustered mixture as the PCAR row (a principal
-    structure is what gives a trained codec something to fit), same
-    in-session exact-int8 serve reference for ranking AND the qps
-    denominator.  PQ scores are reconstructions, so the recall contract is
-    the candidate-window one (top-10 of the exact reference inside PQ's
-    top-100 — the rerank contract; FAISS reports PQ the same way).
-    Companion rows: OPQ96 recall (trained rotation, same kernel + one query
-    rotation — measures what the Procrustes alternation buys) in
-    ``_PQ_STATE``."""
+def _pq_arm(m_sub: int, nbits: int, block: int, rot=None,
+            time_it: bool = True, cb_key: str | None = None):
+    """Train(or load)+encode+serve ONE flat-PQ configuration on the 8.8M
+    spectrumed mixture; returns (qps|None, recall10@TOPK vs the shared
+    exact-int8 reference).  Arm configs are the hardware-swept serving
+    defaults (index/pq.py): 8-bit = s8-MXU decode at block 1024; 4-bit =
+    bf16 decode at block 2048."""
     import jax
     import jax.numpy as jnp
 
-    from denseretrievaltoolkits_tpu.index.transforms import OPQTransform
-    from denseretrievaltoolkits_tpu.ops.pq import (build_bdcb,
+    from denseretrievaltoolkits_tpu.ops.pq import (build_bdcb, build_bdcb_i8,
                                                    pallas_topk_pq,
                                                    pq_encode_device, pq_train)
-    from denseretrievaltoolkits_tpu.ops.quant import quantize_int8_device
-    from denseretrievaltoolkits_tpu.ops.topk import pallas_topk_serve_scaled
 
+    spec = _spec_reference()
+    ref10 = spec["ref_ids"][:, :10]
+    q_f = jnp.asarray(spec["q_np"], jnp.float32)
     nq = N_QUERIES
     lam = jnp.asarray((np.arange(DIM) + 1.0) ** -0.35, jnp.float32)
     centers = _make_centers()
     n = N_DOCS_INT8 + ((-N_DOCS_INT8) % 2048)  # divisible by every block
 
+    kq = 1 << nbits
+    cached = _cache_get(cb_key) if cb_key else None
+    if cached is not None:
+        cb = cached["cb"]
+    else:
+        sample = _pq_sample()
+        smp = sample @ rot if rot is not None else sample
+        cb = pq_train(smp, m_sub, iters=8, k=kq)
+        if cb_key:
+            _cache_put(cb_key, cb=np.asarray(cb, np.float32))
+    cb_dev = jnp.asarray(cb)
+    if nbits == 8:
+        bd8, sc = build_bdcb_i8(cb)
+        bdcb, scale = jnp.asarray(bd8), jnp.asarray(sc)
+    else:
+        bdcb, scale = jnp.asarray(build_bdcb(cb)), None
+    rows = m_sub // 2 if nbits == 4 else m_sub
+    rot_dev = jnp.asarray(rot) if rot is not None else None
+
     def place_fn(buf, chunk, off):
         return jax.lax.dynamic_update_slice(buf, chunk, (0, off))
     place_codes = jax.jit(place_fn, donate_argnums=(0,))
 
-    # 1) spectrumed int8 reference -> ranking + serve-qps denominator
-    def place2_fn(bv, bs, cv, cs, off):
-        return (jax.lax.dynamic_update_slice(bv, cv, (off, 0)),
-                jax.lax.dynamic_update_slice(bs, cs, (off,)))
-    place2 = jax.jit(place2_fn, donate_argnums=(0, 1))
-    values = jnp.zeros((n, DIM), jnp.int8)
-    scales = jnp.ones((n,), jnp.float32)
-    off = 0
-    while off < n:
-        rows = min(INT8_CHUNK, n - off)
-        chunk = _clustered_chunk(centers, off, rows) * lam[None, :]
-        cv, cs = quantize_int8_device(chunk, block_rows=1024)
-        chunk.delete()
-        values, scales = place2(values, scales, cv, cs, off)
-        off += rows
-    values.block_until_ready()
-    q_np = (np.asarray(_clustered_chunk(centers, 10**9, nq), np.float32)
-            * np.asarray(lam)[None, :])
-    q_bf = jax.device_put(jnp.asarray(q_np, jnp.bfloat16))
-    rt = _roundtrip()
-    ref = pallas_topk_serve_scaled(q_bf, values, scales, TOPK, 16, 2048,
-                                   N_DOCS_INT8, tq=512)
-    ref10 = np.asarray(ref[1])[:, :10]
-    el8 = float("inf")
-    for _ in range(3):
-        t0 = time.time()
-        for _ in range(5):
-            out = pallas_topk_serve_scaled(q_bf, values, scales, TOPK, 4,
-                                           2048, N_DOCS_INT8, tq=512)
-        float(jnp.sum(out[0][0, 0]))
-        el8 = min(el8, (time.time() - t0 - rt) / 5)
-    _PQ_STATE["int8_qps"] = nq / el8
-    print(f"# pq ref int8 serve (spectrumed): {nq / el8:.0f} qps",
-          file=sys.stderr)
-    values.delete(), scales.delete()
-
-    # 2) shared 262k training sample; per-arm codebooks/encodes below.
-    # Arm configs are the hardware-swept serving defaults (index/pq.py):
-    # 8-bit = s8-MXU decode at block 1024; 4-bit = bf16 decode at block
-    # 2048 (small scratch -> big blocks -> 4x smaller candidate merge).
-    sample = np.asarray(_clustered_chunk(centers, 2 * 10**9, 262_144)
-                        * lam[None, :])
-    q_f = jnp.asarray(q_np, jnp.float32)
-
-    def arm(m_sub, nbits, block, rot=None, time_it=True):
-        """Train + encode + serve one PQ configuration; returns (qps|None,
-        recall10@TOPK vs the exact-int8 reference)."""
-        from denseretrievaltoolkits_tpu.ops.pq import build_bdcb_i8
-
-        kq = 1 << nbits
-        smp = sample @ rot if rot is not None else sample
-        cb = pq_train(smp, m_sub, iters=8, k=kq)
-        cb_dev = jnp.asarray(cb)
-        if nbits == 8:
-            bd8, sc = build_bdcb_i8(cb)
-            bdcb, scale = jnp.asarray(bd8), jnp.asarray(sc)
-        else:
-            bdcb, scale = jnp.asarray(build_bdcb(cb)), None
-        rows = m_sub // 2 if nbits == 4 else m_sub
-        rot_dev = jnp.asarray(rot) if rot is not None else None
-        codes = jnp.zeros((rows, n), jnp.int8)
-        o = 0
-        t0 = time.time()
-        while o < n:
-            r = min(INT8_CHUNK, n - o)
-            chunk = _clustered_chunk(centers, o, r) * lam[None, :]
-            if rot_dev is not None:
-                rc = jnp.dot(chunk, rot_dev,
-                             preferred_element_type=jnp.float32)
-                chunk.delete()
-                chunk = rc
-            cc = pq_encode_device(chunk, cb_dev)
+    codes = jnp.zeros((rows, n), jnp.int8)
+    o = 0
+    t0 = time.time()
+    while o < n:
+        r = min(INT8_CHUNK, n - o)
+        chunk = _clustered_chunk(centers, o, r) * lam[None, :]
+        if rot_dev is not None:
+            rc = jnp.dot(chunk, rot_dev, preferred_element_type=jnp.float32)
             chunk.delete()
-            codes = place_codes(codes, cc, o)
-            o += r
-        codes.block_until_ready()
-        _PQ_STATE["encode_s"] = time.time() - t0
-        n_blocks = n // block
-        lam_j = TOPK / n_blocks
-        J = max(4, int(np.ceil(lam_j + 4.0 * np.sqrt(lam_j) + 4.0)))
-        qq = (jnp.dot(q_f, rot_dev, preferred_element_type=jnp.float32)
-              if rot_dev is not None else q_f)
-        out = pallas_topk_pq(qq, codes, bdcb, TOPK, J, block, N_DOCS_INT8,
-                             tq=512, nbits=nbits, scale=scale)
-        qps_arm = None
-        if time_it:
-            el = float("inf")
+            chunk = rc
+        cc = pq_encode_device(chunk, cb_dev)
+        chunk.delete()
+        codes = place_codes(codes, cc, o)
+        o += r
+    codes.block_until_ready()
+    _PQ_STATE["encode_s"] = time.time() - t0
+    n_blocks = n // block
+    lam_j = TOPK / n_blocks
+    J = max(4, int(np.ceil(lam_j + 4.0 * np.sqrt(lam_j) + 4.0)))
+    qq = (jnp.dot(q_f, rot_dev, preferred_element_type=jnp.float32)
+          if rot_dev is not None else q_f)
+    rt = _roundtrip()
+    out = pallas_topk_pq(qq, codes, bdcb, TOPK, J, block, N_DOCS_INT8,
+                         tq=512, nbits=nbits, scale=scale)
+    qps_arm = None
+    if time_it:
+        el = float("inf")
+        for _ in range(3):
+            t0 = time.time()
             for _ in range(3):
-                t0 = time.time()
-                for _ in range(3):
-                    out = pallas_topk_pq(qq, codes, bdcb, TOPK, J, block,
-                                         N_DOCS_INT8, tq=512, nbits=nbits,
-                                         scale=scale)
-                float(jnp.sum(out[0][0, 0]))
-                el = min(el, (time.time() - t0 - rt) / 3)
-            qps_arm = nq / el
-        ids = np.asarray(out[1])
-        rec = float(np.mean(
-            [len(set(a) & set(b)) / 10 for a, b in zip(ids, ref10)]))
-        codes.delete()
-        return qps_arm, rec
+                out = pallas_topk_pq(qq, codes, bdcb, TOPK, J, block,
+                                     N_DOCS_INT8, tq=512, nbits=nbits,
+                                     scale=scale)
+            float(jnp.sum(out[0][0, 0]))
+            el = min(el, (time.time() - t0 - rt) / 3)
+        qps_arm = nq / el
+    ids = np.asarray(out[1])
+    rec = float(np.mean(
+        [len(set(a) & set(b)) / 10 for a, b in zip(ids, ref10)]))
+    codes.delete()
+    return qps_arm, rec
 
-    # PQ96: the 8-bit rung (s8-MXU decode serve path, as shipped)
-    qps, _PQ_STATE["recall"] = arm(96, 8, 1024)
-    print(f"# pq96 serve(i8dec): {qps:.0f} qps "
-          f"({qps / _PQ_STATE['int8_qps']:.2f}x int8-serve) recall10@{TOPK} "
-          f"{_PQ_STATE['recall']:.4f}", file=sys.stderr)
 
-    # OPQ96: what the trained rotation buys the 8-bit rung (recall only)
-    opq = OPQTransform(DIM, M=96)
-    t0 = time.time()
-    opq.train(sample)
-    print(f"# opq96 train: {time.time() - t0:.0f}s", file=sys.stderr)
-    _, _PQ_STATE["recall_opq"] = arm(96, 8, 1024, rot=opq.matrix,
-                                     time_it=False)
-    print(f"# opq96 recall10@{TOPK}: {_PQ_STATE['recall_opq']:.4f}",
-          file=sys.stderr)
+def bench_ivfpq(rot=None, tag: str = "ivfpq192x4") -> float:
+    """IVF{n},PQ192x4 (optionally OPQ-chained: ``rot`` is applied to the
+    training sample, every corpus chunk, and the queries — the canonical
+    FAISS composition ``OPQ192x4,IVF{n},PQ192x4``; VERDICT r4 #3) on the
+    SAME spectrumed corpus/reference — residual encoding (FAISS IVFPQ
+    by_residual defaults), probe-pruned decode-and-scan (index/ivf_pq.py).
+    Rotation is orthogonal, so recall vs the unrotated exact reference is
+    exact.  Trained state (coarse centroids + codebooks) and the corpus
+    assignment vector are disk-cached per tag."""
+    import jax
+    import jax.numpy as jnp
 
-    # OPQ192x4: the 4-bit flagship — same 96 B/row, ~2.7x the serve qps
-    opq4 = OPQTransform(DIM, M=192, nbits=4)
-    t0 = time.time()
-    opq4.train(sample)
-    print(f"# opq192x4 train: {time.time() - t0:.0f}s", file=sys.stderr)
-    q4, r4 = arm(192, 4, 2048, rot=opq4.matrix)
-    _PQ_STATE["qps_x4"], _PQ_STATE["recall_x4"] = q4, r4
-    print(f"# opq192x4 serve: {q4:.0f} qps "
-          f"({q4 / _PQ_STATE['int8_qps']:.2f}x int8-serve) recall10@{TOPK} "
-          f"{r4:.4f}", file=sys.stderr)
-
-    # IVF256,PQ192x4: the composition rung (probe-pruned decode-and-scan,
-    # index/ivf_pq.py) on the SAME spectrumed corpus/reference — residual
-    # encoding, no OPQ rotation (FAISS IVFPQ by_residual defaults)
     from denseretrievaltoolkits_tpu.index.ivf_pq import IVFPQIndex
+
+    spec = _spec_reference()
+    ref10 = spec["ref_ids"][:, :10]
+    q_np = spec["q_np"]
+    nq = N_QUERIES
+    lam = jnp.asarray((np.arange(DIM) + 1.0) ** -0.35, jnp.float32)
+    centers = _make_centers()
+    rot_dev = jnp.asarray(rot, jnp.float32) if rot is not None else None
 
     nlist = int(os.environ.get("BENCH_IVFPQ_NLIST", 256))
     nprobe = int(os.environ.get("BENCH_IVFPQ_NPROBE", 32))
@@ -973,41 +1054,64 @@ def bench_pq() -> float:
                      block=2048)
     idx.bulk_j = int(os.environ.get("BENCH_IVFPQ_J", 8))
     idx.max_hot = int(os.environ.get("BENCH_IVFPQ_MAXHOT", 16))
+    tkey = f"{tag}_train_v1_nlist{nlist}"
+    akey = f"{tag}_assign_v1_nlist{nlist}_n{N_DOCS_INT8}"
+    cached = _cache_get(tkey)
     t0 = time.time()
-    idx.train(sample, iters=8)
+    if cached is not None:
+        idx.centroids = jnp.asarray(cached["centroids"])
+        idx.codebooks = cached["codebooks"]
+        idx._set_codebooks()
+    else:
+        sample = _pq_sample()
+        idx.train(sample @ rot if rot is not None else sample, iters=8)
+        _cache_put(tkey, centroids=np.asarray(idx.centroids, np.float32),
+                   codebooks=np.asarray(idx.codebooks, np.float32))
     train_s = time.time() - t0
-    t0 = time.time()
 
     def spec_chunk(s, r):
         c = _clustered_chunk(centers, s, r)
         out = c * lam[None, :]
         c.delete()
+        if rot_dev is not None:
+            out2 = jnp.dot(out, rot_dev, preferred_element_type=jnp.float32)
+            out.delete()
+            out = out2
         return out
 
-    idx.add_chunks(spec_chunk, N_DOCS_INT8, chunk_rows=500_000)
+    acache = _cache_get(akey)
+    t0 = time.time()
+    idx.add_chunks(spec_chunk, N_DOCS_INT8, chunk_rows=500_000,
+                   assign=acache["assign"] if acache is not None else None)
     jax.block_until_ready(idx._values)
-    print(f"# ivfpq192x4: train {train_s:.0f}s build {time.time()-t0:.0f}s "
+    if acache is None:
+        _cache_put(akey, assign=idx.last_assign)
+    print(f"# {tag}: train {train_s:.0f}s build {time.time()-t0:.0f}s "
           f"blocks={int(idx._block_cell.shape[0])}", file=sys.stderr)
+
     # tuning call learns Qcap + hot set; its host result scores recall
-    _, doc_np = idx.search_bulk(np.asarray(q_np, np.float32), TOPK,
-                                nprobe=nprobe)
+    q_rot_np = (np.asarray(q_np @ rot, np.float32) if rot is not None
+                else np.asarray(q_np, np.float32))
+    _, doc_np = idx.search_bulk(q_rot_np, TOPK, nprobe=nprobe)
     rec_ivf = float(np.mean(
         [len(set(a) & set(b)) / 10 for a, b in zip(doc_np, ref10)]))
     st = idx._bulk_state
-    print(f"# ivfpq192x4: Qcap={st['qcap']} hot={st['hot'].size} "
+    print(f"# {tag}: Qcap={st['qcap']} hot={st['hot'].size} "
           f"dropped={idx.last_dropped}", file=sys.stderr)
+    q_dev = jnp.asarray(q_rot_np, jnp.float32)
     rt = _roundtrip()
     el = float("inf")
     for _ in range(3):
         t0 = time.time()
         for _ in range(3):
-            tv, doc = idx.search_bulk_async(q_f, TOPK, nprobe=nprobe)
+            tv, doc = idx.search_bulk_async(q_dev, TOPK, nprobe=nprobe)
         float(jnp.sum(tv[0]))
         el = min(el, (time.time() - t0 - rt) / 3)
-    _PQ_STATE["qps_ivf"] = nq / el
-    _PQ_STATE["recall_ivf"] = rec_ivf
-    print(f"# ivfpq192x4 serve: {nq / el:.0f} qps "
-          f"({nq / el / _PQ_STATE['int8_qps']:.2f}x int8-serve) "
+    qps = nq / el
+    _PQ_STATE[f"qps_{tag}"] = qps
+    _PQ_STATE[f"recall_{tag}"] = rec_ivf
+    print(f"# {tag} serve: {qps:.0f} qps "
+          f"({qps / spec['int8_qps']:.2f}x int8-serve) "
           f"recall10@{TOPK} {rec_ivf:.4f}", file=sys.stderr)
     sv, ss, si, _ = st["side"]
     for a in (idx._values, idx._row_ids, idx.centroids, idx._block_cell,
@@ -1015,6 +1119,114 @@ def bench_pq() -> float:
         if a is not None and hasattr(a, "delete"):
             a.delete()
     return qps
+
+
+def bench_pq_family(on_row=None) -> None:
+    """Flat-PQ / OPQ / IVF-PQ ladder at 8.8M on the spectrumed mixture
+    (reference analog: trained ``faiss.index_factory`` strings,
+    DRT/evaluator/index.py:47-54).  Sub-arms run in VALUE order, each gated
+    on the remaining wall budget (VERDICT r4 #1) and each checkpointed via
+    ``on_row`` the moment it lands:
+
+      opq192x4    — the 4-bit flagship (96 B/row, best qps@recall)
+      ivfpq_opq   — OPQ192x4,IVF{n},PQ192x4 chain (VERDICT r4 #3: the
+                    rotation bought flat PQ +0.45 recall10; measure it on
+                    the composition)
+      ivfpq192x4  — un-rotated IVF{n},PQ192x4 (r4 regression anchor)
+      pq96        — the plain 8-bit rung
+      opq96       — what the rotation buys the 8-bit rung (recall only)
+
+    Recall contract: candidate-window (top-10 of the exact int8 reference
+    inside the arm's top-100 — the rerank contract; FAISS reports PQ the
+    same way).  qps denominator = the shared spectrumed exact-int8 serve
+    (_spec_reference) measured this session."""
+    spec_est = 0 if _SPEC_STATE.get("ref_ids") is not None else 220
+    if not _gate("pq:spec_reference", spec_est + 120):
+        return
+    spec = _spec_reference()
+    _PQ_STATE["int8_qps"] = spec["int8_qps"]
+    if on_row:
+        on_row(f"pq_ref_int8_qps_{N_DOCS_INT8 // 1000}k",
+               round(spec["int8_qps"], 1), "qps", None)
+
+    def sub(name, est_cold, est_warm, warm_keys, fn):
+        warm = all(_cache_get(k) is not None for k in warm_keys)
+        if not _gate(name, est_warm if warm else est_cold):
+            return
+        try:
+            fn()
+        except Exception as exc:
+            print(f"# pq sub-arm {name} failed: {type(exc).__name__}: {exc}",
+                  file=sys.stderr)
+
+    def run_opq4():
+        rot = _opq_rotation(192, 4)
+        qps, rec = _pq_arm(192, 4, 2048, rot=rot, cb_key="pqcb_opq192x4_v1")
+        _PQ_STATE["qps_x4"], _PQ_STATE["recall_x4"] = qps, rec
+        print(f"# opq192x4 serve: {qps:.0f} qps "
+              f"({qps / spec['int8_qps']:.2f}x int8-serve) recall10@{TOPK} "
+              f"{rec:.4f}", file=sys.stderr)
+        if on_row:
+            on_row(f"opq192x4_qps_{N_DOCS_INT8 // 1000}k_docs_top{TOPK}",
+                   round(qps, 1), "qps", round(qps / spec["int8_qps"], 2))
+            on_row(f"opq192x4_recall10in{TOPK}_{N_DOCS_INT8 // 1000}k",
+                   round(rec, 4), "recall", round(rec / 0.76, 3))
+
+    def run_ivfpq_opq():
+        rot = _opq_rotation(192, 4)
+        bench_ivfpq(rot=rot, tag="ivfpq_opq192x4")
+        if on_row:
+            on_row(f"ivfpq_opq192x4_qps_{N_DOCS_INT8 // 1000}k_docs"
+                   f"_top{TOPK}",
+                   round(_PQ_STATE["qps_ivfpq_opq192x4"], 1), "qps",
+                   round(_PQ_STATE["qps_ivfpq_opq192x4"]
+                         / spec["int8_qps"], 2))
+            on_row(f"ivfpq_opq192x4_recall10in{TOPK}_{N_DOCS_INT8 // 1000}k",
+                   round(_PQ_STATE["recall_ivfpq_opq192x4"], 4), "recall",
+                   round(_PQ_STATE["recall_ivfpq_opq192x4"] / 0.76, 3))
+
+    def run_ivfpq_plain():
+        bench_ivfpq(tag="ivfpq192x4")
+        if on_row:
+            on_row(f"ivfpq192x4_qps_{N_DOCS_INT8 // 1000}k_docs_top{TOPK}",
+                   round(_PQ_STATE["qps_ivfpq192x4"], 1), "qps",
+                   round(_PQ_STATE["qps_ivfpq192x4"] / spec["int8_qps"], 2))
+            on_row(f"ivfpq192x4_recall10in{TOPK}_{N_DOCS_INT8 // 1000}k",
+                   round(_PQ_STATE["recall_ivfpq192x4"], 4), "recall",
+                   round(_PQ_STATE["recall_ivfpq192x4"] / 0.76, 3))
+
+    def run_pq96():
+        qps, rec = _pq_arm(96, 8, 1024, cb_key="pqcb_pq96x8_v1")
+        _PQ_STATE["recall"] = rec
+        print(f"# pq96 serve(i8dec): {qps:.0f} qps "
+              f"({qps / spec['int8_qps']:.2f}x int8-serve) recall10@{TOPK} "
+              f"{rec:.4f}", file=sys.stderr)
+        if on_row:
+            on_row(f"pq96_qps_{N_DOCS_INT8 // 1000}k_docs_top{TOPK}",
+                   round(qps, 1), "qps", round(qps / spec["int8_qps"], 2))
+            on_row(f"pq96_recall10in{TOPK}_{N_DOCS_INT8 // 1000}k",
+                   round(rec, 4), "recall", round(rec / 0.31, 3))
+
+    def run_opq96():
+        rot = _opq_rotation(96, 8)
+        _, rec = _pq_arm(96, 8, 1024, rot=rot, time_it=False,
+                         cb_key="pqcb_opq96x8_v1")
+        _PQ_STATE["recall_opq"] = rec
+        print(f"# opq96 recall10@{TOPK}: {rec:.4f}", file=sys.stderr)
+        if on_row:
+            on_row(f"opq96_recall10in{TOPK}_{N_DOCS_INT8 // 1000}k",
+                   round(rec, 4), "recall", round(rec / 0.76, 3))
+
+    sub("pq:opq192x4", 420, 220, ("opq_192x4_v1", "pqcb_opq192x4_v1"),
+        run_opq4)
+    sub("pq:ivfpq_opq192x4", 480, 300,
+        ("opq_192x4_v1", "ivfpq_opq192x4_train_v1_nlist256",
+         f"ivfpq_opq192x4_assign_v1_nlist256_n{N_DOCS_INT8}"), run_ivfpq_opq)
+    sub("pq:ivfpq192x4", 420, 280,
+        ("ivfpq192x4_train_v1_nlist256",
+         f"ivfpq192x4_assign_v1_nlist256_n{N_DOCS_INT8}"), run_ivfpq_plain)
+    sub("pq:pq96", 260, 200, ("pqcb_pq96x8_v1",), run_pq96)
+    sub("pq:opq96", 360, 180, ("opq_96x8_v1", "pqcb_opq96x8_v1"), run_opq96)
 
 
 def _bert_base_model():
@@ -1131,11 +1343,17 @@ def bench_encode_varlen() -> float:
             if shape not in seen:
                 seen.add(shape)
                 encode(params, b).block_until_ready()
-        rt = _roundtrip()
-        t0 = time.time()
-        outs = [encode(params, b) for b in batches]
-        jax.block_until_ready(outs)
-        return N / (time.time() - t0 - rt)
+        # best-of-3: the r04 capture read 1.01x because a relay stall landed
+        # inside the bucketed arm's SINGLE timing pass (the instrumented
+        # re-run, recipes/varlen_probe.py, reproduced 1.91x on 3/3 trials)
+        best = float("inf")
+        for _ in range(3):
+            rt = _roundtrip()
+            t0 = time.time()
+            outs = [encode(params, b) for b in batches]
+            jax.block_until_ready(outs)
+            best = min(best, time.time() - t0 - rt)
+        return N / best
 
     pps_fixed = run(fixed)
     pps_bucketed = run(bucketed)
@@ -1212,9 +1430,33 @@ def main():
                            "error": f"{type(exc).__name__}: {exc}"})
         checkpoint_extras()
 
+    def on_row(metric, value, unit, vs):
+        extras.append({"metric": metric, "value": value, "unit": unit,
+                       "vs_baseline": vs})
+        checkpoint_extras()
+
     if os.environ.get("BENCH_SKIP_EXTRAS") != "1":
+        # ---- core arms first (the r2/r3 driver metric set + the encode
+        # family): these MUST land before any expensive trained build so a
+        # driver timeout can never again erase the whole record (r4 rc=124)
         run_extra(f"query_qps_{N_DOCS // 1000}k_docs_serve",
                   "qps", lambda: bench_serve(queries), cpu_qps * (orig_n / N_DOCS))
+        run_extra("train_step_ms_bertbase", "ms", bench_train_step,
+                  R1_TRAIN_STEP_MS, invert=True)
+        run_extra("encode_passages_per_s", "passages/s", bench_encode,
+                  R1_ENCODE_PPS)
+        # varlen: vs_baseline = bucketed / fixed-pad, measured THIS session
+        run_extra("encode_passages_per_s_varlen_bucketed", "passages/s",
+                  bench_encode_varlen, 1.0)
+        if _VARLEN_STATE.get("fixed") is not None and extras[-1]["value"]:
+            extras[-1]["vs_baseline"] = round(
+                extras[-1]["value"] / _VARLEN_STATE["fixed"], 2)
+            extras.append({
+                "metric": "encode_passages_per_s_varlen_fixedpad",
+                "value": round(_VARLEN_STATE["fixed"], 1),
+                "unit": "passages/s", "vs_baseline": None,
+            })
+            checkpoint_extras()
         run_extra(f"query_qps_int8_{N_DOCS_INT8 // 1000}k_docs_top{TOPK}",
                   "qps", lambda: bench_int8(queries), R1_INT8_QPS)
         # native-int8 MXU kernel (mode='approx' on int8 indexes): vs_baseline
@@ -1235,10 +1477,15 @@ def main():
         # IVF bulk on the SAME clustered 8.8M corpus: vs_baseline is the
         # ratio to the exact-int8 serve QPS measured THIS run — the number
         # IVF must beat (VERDICT r2 #1); companion recall metric vs the
-        # exact reference
-        run_extra(f"ivf_qps_int8_{N_DOCS_INT8 // 1000}k_docs_top{TOPK}",
-                  "qps", lambda: bench_ivf_int8(queries),
-                  _IVF_STATE.get("exact_qps") or R1_INT8_QPS)
+        # exact reference.  Budget-gated: the two-pass 8.8M build is the
+        # most expensive single step in the bench (cold ~300 s).
+        ivf_warm = (_cache_get("ivf_train_v1_nlist256") is not None and
+                    _cache_get(f"ivf_assign_v1_nlist256_n{N_DOCS_INT8}")
+                    is not None)
+        if _gate("ivf8.8M", 230 if ivf_warm else 340):
+            run_extra(f"ivf_qps_int8_{N_DOCS_INT8 // 1000}k_docs_top{TOPK}",
+                      "qps", lambda: bench_ivf_int8(queries),
+                      _IVF_STATE.get("exact_qps") or R1_INT8_QPS)
         if _IVF_STATE.get("recall") is not None:
             extras.append({
                 "metric": f"ivf_recall{TOPK}_int8_{N_DOCS_INT8 // 1000}k",
@@ -1288,9 +1535,10 @@ def main():
         # the 21M bench times the packed sq4 SERVE kernel — labeled so
         # (VERDICT r2 weak #6); the certified-exact sq4 path is covered by
         # the kernel suite (ops/topk.py pallas_topk int4)
-        run_extra(f"query_qps_int4_{N_DOCS_INT4 // 1000}k_docs_serve",
-                  "qps", lambda: bench_int4_21m(queries),
-                  cpu_qps * (orig_n / N_DOCS_INT4))
+        if _gate("int4_21M", 200):
+            run_extra(f"query_qps_int4_{N_DOCS_INT4 // 1000}k_docs_serve",
+                      "qps", lambda: bench_int4_21m(queries),
+                      cpu_qps * (orig_n / N_DOCS_INT4))
         # native-int8 sq4 kernel (mode='approx' on int4 indexes): vs_baseline
         # is the ratio to the bf16-query serve QPS measured THIS run
         if _I4Q_STATE.get("qps") is not None:
@@ -1310,9 +1558,12 @@ def main():
         # PCAR384,SQ4 at 8.8M (2 bits per original dim): vs_baseline is the
         # ratio to the spectrumed exact-int8 serve measured inside the same
         # function (same session, same data) — recorded as its own row
-        run_extra(f"pcar384sq4_qps_{N_DOCS_INT8 // 1000}k_docs_top{TOPK}",
-                  "qps", lambda: bench_pcar_sq4(),
-                  _IVF_STATE.get("exact_qps") or R1_INT8_QPS)
+        pcar_est = ((0 if _SPEC_STATE.get("ref_ids") is not None else 220)
+                    + (170 if _cache_get("pca384_v1") is not None else 210))
+        if _gate("pcar384sq4", pcar_est):
+            run_extra(f"pcar384sq4_qps_{N_DOCS_INT8 // 1000}k_docs_top{TOPK}",
+                      "qps", lambda: bench_pcar_sq4(),
+                      _IVF_STATE.get("exact_qps") or R1_INT8_QPS)
         if _PCAR_STATE.get("int8_qps") is not None:
             # rewrite the row's vs_baseline to the in-function denominator
             extras[-1]["vs_baseline"] = (
@@ -1340,81 +1591,15 @@ def main():
                 "vs_baseline": round(_PCAR_STATE["recall_i8q"] / 0.81, 3),
             })
         checkpoint_extras()
-        # PQ96 at 8.8M (96 B/row — the capacity rung past SQ4): vs_baseline
-        # is the ratio to the spectrumed exact-int8 serve measured inside the
-        # same function; recall rows use the candidate-window contract
-        # (top-10 of the exact reference within PQ's top-100) with the r4
-        # measured values as regression anchors
-        run_extra(f"pq96_qps_{N_DOCS_INT8 // 1000}k_docs_top{TOPK}",
-                  "qps", lambda: bench_pq(),
-                  _IVF_STATE.get("exact_qps") or R1_INT8_QPS)
-        if _PQ_STATE.get("int8_qps") is not None:
-            extras[-1]["vs_baseline"] = (
-                round(extras[-1]["value"] / _PQ_STATE["int8_qps"], 2)
-                if extras[-1]["value"] else None)
-            extras.append({
-                "metric": f"pq96_recall10in{TOPK}_{N_DOCS_INT8 // 1000}k",
-                "value": round(_PQ_STATE["recall"], 4), "unit": "recall",
-                # r4 measured anchors (BASELINE.md PQ section): 0.309 plain /
-                # 0.760 OPQ at 8.8M on the spectrumed mixture
-                "vs_baseline": round(_PQ_STATE["recall"] / 0.31, 3),
-            })
-        if _PQ_STATE.get("recall_opq") is not None:
-            extras.append({
-                "metric": f"opq96_recall10in{TOPK}_{N_DOCS_INT8 // 1000}k",
-                "value": round(_PQ_STATE["recall_opq"], 4), "unit": "recall",
-                "vs_baseline": round(_PQ_STATE["recall_opq"] / 0.76, 3),
-            })
-        if _PQ_STATE.get("qps_x4") is not None:
-            # 4-bit flagship (same 96 B/row as PQ96, ~2.7x serve qps);
-            # vs_baseline = ratio to the same session's exact-int8 serve
-            extras.append({
-                "metric": f"opq192x4_qps_{N_DOCS_INT8 // 1000}k_docs"
-                          f"_top{TOPK}",
-                "value": round(_PQ_STATE["qps_x4"], 1), "unit": "qps",
-                "vs_baseline": round(
-                    _PQ_STATE["qps_x4"] / _PQ_STATE["int8_qps"], 2),
-            })
-            extras.append({
-                "metric": f"opq192x4_recall10in{TOPK}_"
-                          f"{N_DOCS_INT8 // 1000}k",
-                "value": round(_PQ_STATE["recall_x4"], 4), "unit": "recall",
-                "vs_baseline": round(_PQ_STATE["recall_x4"] / 0.76, 3),
-            })
-        # IVF256,PQ192x4 composition rung: vs_baseline is the ratio to the
-        # spectrumed exact-int8 serve qps measured THIS run (same denominator
-        # as the flat PQ arms); recall contract is the candidate-window one
-        if _PQ_STATE.get("qps_ivf") is not None:
-            extras.append({
-                "metric": f"ivfpq192x4_qps_{N_DOCS_INT8 // 1000}k_docs"
-                          f"_top{TOPK}",
-                "value": round(_PQ_STATE["qps_ivf"], 1), "unit": "qps",
-                "vs_baseline": round(
-                    _PQ_STATE["qps_ivf"] / _PQ_STATE["int8_qps"], 2),
-            })
-            extras.append({
-                "metric": f"ivfpq192x4_recall10in{TOPK}_"
-                          f"{N_DOCS_INT8 // 1000}k",
-                "value": round(_PQ_STATE["recall_ivf"], 4), "unit": "recall",
-                "vs_baseline": round(_PQ_STATE["recall_ivf"] / 0.76, 3),
-            })
+        # PQ / OPQ / IVF-PQ ladder at 8.8M (96 B/row rungs): sub-arms run in
+        # value order inside bench_pq_family, each budget-gated, each
+        # checkpointing its rows the moment it lands (on_row)
+        try:
+            bench_pq_family(on_row)
+        except Exception as exc:
+            print(f"# pq family failed: {type(exc).__name__}: {exc}",
+                  file=sys.stderr)
         checkpoint_extras()
-        run_extra("train_step_ms_bertbase", "ms", bench_train_step,
-                  R1_TRAIN_STEP_MS, invert=True)
-        run_extra("encode_passages_per_s", "passages/s", bench_encode,
-                  R1_ENCODE_PPS)
-        # varlen: vs_baseline = bucketed / fixed-pad, measured THIS session
-        run_extra("encode_passages_per_s_varlen_bucketed", "passages/s",
-                  bench_encode_varlen, 1.0)
-        if _VARLEN_STATE.get("fixed") is not None and extras[-1]["value"]:
-            extras[-1]["vs_baseline"] = round(
-                extras[-1]["value"] / _VARLEN_STATE["fixed"], 2)
-            extras.append({
-                "metric": "encode_passages_per_s_varlen_fixedpad",
-                "value": round(_VARLEN_STATE["fixed"], 1),
-                "unit": "passages/s", "vs_baseline": None,
-            })
-            checkpoint_extras()
 
     # the cpu baseline was scaled to orig_n docs; rescale if the tpu run shrank
     cpu_qps_at_n = cpu_qps * (orig_n / N_DOCS)

@@ -866,10 +866,15 @@ class IVFRaggedIndex(IVFFlatIndex):
         return dest, row_ids_flat
 
     def add_chunks(self, chunk_fn, n_rows: int,
-                   chunk_rows: int = 500_000) -> None:
+                   chunk_rows: int = 500_000, assign=None) -> None:
         """Two-pass ragged build (see IVFFlatIndex.add_chunks for the chunk
         contract).  Every row lands in its cell's contiguous block range —
-        no capacity cap, no overflow."""
+        no capacity cap, no overflow.
+
+        ``assign``: optional precomputed [n_rows] int32 nearest-centroid
+        assignment (the faiss "external coarse quantizer" pattern) — skips
+        pass 1.  Must correspond to THESE centroids; callers caching it
+        across processes must key the cache on the trained quantizer."""
         if not self.is_trained:
             raise RuntimeError("IVFRaggedIndex.add_chunks before train()")
         if self._values is not None:
@@ -877,7 +882,12 @@ class IVFRaggedIndex(IVFFlatIndex):
         N = int(n_rows)
         block = self.block
 
-        assign_all = self._assign_pass(chunk_fn, N, chunk_rows)
+        if assign is not None:
+            assign_all = np.ascontiguousarray(np.asarray(assign, np.int32))
+            assert assign_all.shape == (N,), assign_all.shape
+        else:
+            assign_all = self._assign_pass(chunk_fn, N, chunk_rows)
+        self.last_assign = assign_all
         dest, row_ids_flat = self._ragged_layout(assign_all, N)
         nb_total = int(np.asarray(self._block_start)[-1])
 

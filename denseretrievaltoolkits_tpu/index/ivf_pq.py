@@ -126,10 +126,11 @@ class IVFPQIndex(IVFRaggedIndex):
     # -- population --------------------------------------------------------------
 
     def add_chunks(self, chunk_fn, n_rows: int,
-                   chunk_rows: int = 500_000) -> None:
+                   chunk_rows: int = 500_000, assign=None) -> None:
         """Two-pass ragged build (parent contract), but pass 2 encodes each
         chunk's RESIDUALS to PQ codes and scatters code COLUMNS — peak HBM
-        is one fp32 chunk + its residual + the (32x smaller) code store."""
+        is one fp32 chunk + its residual + the (32x smaller) code store.
+        ``assign``: optional precomputed assignment (parent contract)."""
         if not self.is_trained:
             raise RuntimeError("IVFPQIndex.add_chunks before train()")
         if self._values is not None:
@@ -137,7 +138,12 @@ class IVFPQIndex(IVFRaggedIndex):
         from ..ops.pq import pq_encode_device
 
         N = int(n_rows)
-        assign_all = self._assign_pass(chunk_fn, N, chunk_rows)
+        if assign is not None:
+            assign_all = np.ascontiguousarray(np.asarray(assign, np.int32))
+            assert assign_all.shape == (N,), assign_all.shape
+        else:
+            assign_all = self._assign_pass(chunk_fn, N, chunk_rows)
+        self.last_assign = assign_all
         dest, row_ids_flat = self._ragged_layout(assign_all, N)
         nb_total = int(np.asarray(self._block_start)[-1])
         m_storage = self.M // 2 if self.nbits == 4 else self.M

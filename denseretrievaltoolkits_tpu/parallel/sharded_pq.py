@@ -32,9 +32,17 @@ class ShardedPQIndex:
 
     Same trained-index protocol as ``PQIndex`` (is_trained/train/add_chunks)
     so ``Trainer._build_trained_index`` and ``sharded_index_factory`` drive
-    it unchanged.  Single-controller meshes only (every device addressable
-    from this process); multi-host PQ sharding is guarded with a clear
-    error — the flat/IVF families cover the multi-host corpus axis."""
+    it unchanged.  MULTI-HOST (VERDICT r4 #6, the mh_worker step-10
+    pattern): ``train`` gathers every host's sample collectively (identical
+    codebooks everywhere), each process adds only its
+    ``host_corpus_bounds(global_rows)`` window, and ``_materialize``
+    assembles the global mesh array with
+    ``make_array_from_process_local_data`` — search is the same SPMD
+    shard_map program on every process.  On multi-host the per-shard row
+    count is ``ceil(n/n_shards)`` (the host_corpus_bounds layout quantum,
+    NOT block-rounded); the fused Pallas path engages only when that count
+    happens to be a block multiple, otherwise the jnp decode-scan serves —
+    identical results either way."""
 
     def __init__(self, mesh: Mesh, dim: int, M: int = 96,
                  block_size: Optional[int] = None, use_pallas: bool = True,
@@ -42,10 +50,10 @@ class ShardedPQIndex:
         assert dim % M == 0, f"dim {dim} not divisible by M={M}"
         assert nbits in (4, 8), f"PQ nbits must be 4 or 8, got {nbits}"
         assert nbits == 8 or M % 2 == 0, "4-bit PQ packs code pairs: M even"
-        if jax.process_count() > 1:
-            raise NotImplementedError(
-                "ShardedPQIndex is single-controller; use flat/IVF sharded "
-                "families on multi-host meshes")
+        if (jax.process_count() > 1
+                and int(np.prod(mesh.devices.shape)) % jax.process_count()):
+            raise ValueError(
+                "ShardedPQIndex needs an equal per-host device count")
         d_sub = dim // M
         self._pallas_geometry = (128 % d_sub == 0) and (dim % 128 == 0)
         self.mesh = mesh
@@ -70,6 +78,9 @@ class ShardedPQIndex:
         self.docid: List = []
         self._search_fn = None
         self._search_key = None
+        # multi-host: total corpus rows across ALL hosts; each process adds
+        # only its host_corpus_bounds window (like ShardedFlatIndex)
+        self.global_rows: Optional[int] = None
 
     def __len__(self):
         return self._n
@@ -79,8 +90,16 @@ class ShardedPQIndex:
         return self.codebooks is not None
 
     def train(self, reps: np.ndarray, iters: int = 12, seed: int = 0) -> None:
+        """COLLECTIVE on multi-host: every host's (local-window, possibly
+        different-sized) sample gathers first, so the fit input — and the
+        codebooks — are identical on every process (a per-host fit would
+        decode with disagreeing codebooks: an inconsistent index)."""
         from ..ops.pq import pq_train
 
+        if jax.process_count() > 1:
+            from .sharded_ivf import _collective_sample
+
+            reps = _collective_sample(reps)
         reps = np.asarray(reps, np.float32)
         assert reps.shape[1] == self.dim
         self.codebooks = pq_train(reps, self.M, iters=iters, seed=seed,
@@ -128,6 +147,9 @@ class ShardedPQIndex:
     def _materialize(self):
         if self._codes is not None:
             return
+        if jax.process_count() > 1:
+            self._materialize_multihost()
+            return
         assert self._n, "materialize on an empty index"
         codes = (self._code_slabs[0] if len(self._code_slabs) == 1
                  else jnp.concatenate(self._code_slabs, axis=1))
@@ -142,6 +164,49 @@ class ShardedPQIndex:
         sharding = NamedSharding(self.mesh, P(DATA_AXIS, None, None))
         self._codes = jax.device_put(shards, sharding)
         self._per = per
+        self._code_slabs = []
+        self._search_fn = None
+
+    def _materialize_multihost(self):
+        """Assemble the global [n_shards, m_rows, per] code array from
+        per-host windows (metadata only — no cross-host code movement).
+        Every host encoded+added exactly its ``host_corpus_bounds`` window,
+        the same placement contract as ``ShardedFlatIndex``; ``per`` is the
+        layout quantum ceil(n/n_shards) (un-rounded, so the window bounds
+        agree with the corpus loader's shard_hosts windows)."""
+        from ..utils.distributed import host_corpus_bounds
+
+        if self.global_rows is None:
+            raise RuntimeError(
+                "multi-host ShardedPQIndex needs index.global_rows set to "
+                "the TOTAL corpus size; each process adds only its "
+                "host_corpus_bounds window")
+        n_global = int(self.global_rows)
+        per = -(-n_global // self.n_shards)
+        n_local_shards = self.n_shards // jax.process_count()
+        start, stop = host_corpus_bounds(n_global,
+                                         local_shards=n_local_shards)
+        if self._n != stop - start:
+            raise RuntimeError(
+                f"host added {self._n} rows but its window is "
+                f"[{start},{stop}) — feed the corpus loader with "
+                "shard_hosts=True")
+        codes = (self._code_slabs[0] if len(self._code_slabs) == 1
+                 else (jnp.concatenate(self._code_slabs, axis=1)
+                       if self._code_slabs
+                       else jnp.zeros((self.m_rows, 0), jnp.int8)))
+        target = per * n_local_shards
+        pad = target - codes.shape[1]
+        if pad:
+            codes = jnp.pad(codes, ((0, 0), (0, pad)))
+        local3 = np.asarray(codes).reshape(self.m_rows, n_local_shards,
+                                           per).transpose(1, 0, 2)
+        sharding = NamedSharding(self.mesh, P(DATA_AXIS, None, None))
+        self._codes = jax.make_array_from_process_local_data(
+            sharding, np.ascontiguousarray(local3),
+            global_shape=(self.n_shards, self.m_rows, per))
+        self._per = per
+        self._n = n_global
         self._code_slabs = []
         self._search_fn = None
 
@@ -231,11 +296,57 @@ class ShardedPQIndex:
 
     # -- persistence (PQIndex-compatible payload + shard-agnostic meta) ------
 
+    def _local_codes(self) -> np.ndarray:
+        """THIS process's code window [m_rows, window] in global row order,
+        trimmed of tail padding — via addressable shards only, so it works
+        on multi-host arrays too."""
+        from ..utils.distributed import host_corpus_bounds
+
+        blocks = {}
+        for s in self._codes.addressable_shards:
+            lo = s.index[0].start or 0
+            if lo not in blocks:
+                blocks[lo] = np.asarray(s.data)  # [1, m_rows, per]
+        local = np.concatenate([blocks[b] for b in sorted(blocks)], axis=0)
+        codes = local.transpose(1, 0, 2).reshape(self.m_rows, -1)
+        if jax.process_count() > 1:
+            n_local_shards = self.n_shards // jax.process_count()
+            start, stop = host_corpus_bounds(int(self._n),
+                                             local_shards=n_local_shards)
+            return codes[:, : stop - start]
+        return codes[:, : self._n]
+
     def save(self, path: str) -> None:
+        """Single-host: one ``.npz`` (codes + codebooks) + meta.  Multi-host:
+        COLLECTIVE — each process writes only its window as
+        ``<path>.part{h}.npz`` (globally-unique names, no write races),
+        process 0 writes the codebooks + meta, and everyone fences before
+        returning (the reference's analog is the rank-0 faiss.write_index +
+        barrier, DRT/trainer/trainer.py:245-250)."""
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         self._materialize()
-        codes = np.asarray(self._codes).transpose(1, 0, 2).reshape(
-            self.m_rows, self.n_shards * self._per)[:, : self._n]
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            from ..utils.distributed import host_corpus_bounds
+
+            h = jax.process_index()
+            np.savez(f"{path}.part{h}.npz", codes=self._local_codes())
+            n_local_shards = self.n_shards // jax.process_count()
+            parts = [
+                host_corpus_bounds(int(self._n), n_proc=jax.process_count(),
+                                   proc_idx=p, local_shards=n_local_shards)
+                for p in range(jax.process_count())]
+            if h == 0:
+                np.savez(path + ".cb.npz", codebooks=self.codebooks)
+                with open(path + ".meta.json", "w") as fh:
+                    json.dump({"kind": "pq", "dim": self.dim, "M": self.M,
+                               "nbits": self.nbits, "n": self._n,
+                               "parts": [b - a for a, b in parts],
+                               "docid": self.docid}, fh)
+            multihost_utils.sync_global_devices("sharded_pq_saved")
+            return
+        codes = self._local_codes()
         np.savez(path + ".npz", codes=codes, codebooks=self.codebooks)
         with open(path + ".meta.json", "w") as fh:
             json.dump({"kind": "pq", "dim": self.dim, "M": self.M,
@@ -248,6 +359,23 @@ class ShardedPQIndex:
             meta = json.load(fh)
         idx = cls(mesh, meta["dim"], M=meta["M"],
                   nbits=meta.get("nbits", 8))
+        if jax.process_count() > 1:
+            parts = meta.get("parts")
+            if parts is None or len(parts) != jax.process_count():
+                raise RuntimeError(
+                    "multi-host ShardedPQIndex.load needs a checkpoint saved "
+                    f"with the same process count (saved parts: {parts})")
+            with np.load(path + ".cb.npz") as z:
+                idx.codebooks = z["codebooks"]
+            with np.load(f"{path}.part{jax.process_index()}.npz") as z:
+                codes = z["codes"]
+            idx._set_codebooks()
+            if codes.shape[1]:
+                idx._code_slabs = [jnp.asarray(codes)]
+            idx._n = int(codes.shape[1])     # window rows until materialize
+            idx.global_rows = int(meta["n"])
+            idx.docid = meta.get("docid", [])
+            return idx
         with np.load(path + ".npz") as z:
             idx.codebooks = z["codebooks"]
             codes = z["codes"]

@@ -141,6 +141,10 @@ def test_two_process_distributed_run():
     # agree bit-for-bit across hosts (step 10)
     pqs = [out.split("ivfpqsig=")[1].split()[0] for out in outs]
     assert pqs[0] == pqs[1], f"sharded IVF-PQ results mismatch: {pqs}"
+    # multi-host sharded flat PQ: collective codebooks, windowed encode,
+    # global ADC search identical on every host (step 11; VERDICT r4 #6)
+    spqs = [out.split("spqsig=")[1].split()[0] for out in outs]
+    assert spqs[0] == spqs[1], f"sharded PQ results mismatch: {spqs}"
     # ...and the factory-index evaluate() metrics agree too (step 7b)
     sig2 = [out.split("evalsig2=")[1].split()[0] for out in outs]
     assert sig2[0] == sig2[1], f"factory eval metrics mismatch: {sig2}"
