@@ -107,7 +107,8 @@ class ModelArguments:
         metadata={"help": "Attention implementation: 'xla' (einsum+softmax, "
                   "GSPMD-partitionable) | 'flash' (Pallas flash-attention "
                   "kernel, BERT tower, single-chip only; falls back to xla "
-                  "off-TPU)"},
+                  "off-TPU) | 'fused' (single-block VMEM-resident Pallas "
+                  "kernel for short sequences; scores never reach HBM)"},
     )
 
 

@@ -227,6 +227,13 @@ def _encoder_block(x, layer, mask_bias, seg_ids, config: BertConfig, compute_dty
 
     if attention == "flash":
         ctx = _flash_attention(q, k, v, seg_ids, hd)
+    elif attention == "fused":
+        # single-block VMEM-resident kernel for short S (ops/attn.py):
+        # scores/probs never reach HBM, S pads to the 8-sublane granule
+        # (156->160) instead of flash's 128-lane block (156->256)
+        from ..ops.attn import fused_short_attention
+
+        ctx = fused_short_attention(q, k, v, seg_ids, 1.0 / math.sqrt(hd))
     else:
         # Scores stay fp32: storing them in bf16 measured 22% faster on the
         # ISOLATED inner at S=156 on v5e but exactly 0% in-model (XLA already

@@ -53,7 +53,7 @@ class DRModelSpec:
     remat: bool = False
     backbone: str = "bert"  # "bert" | "t5" (encoder tower) | "t5_full" (enc+dec step-0 reps)
     fused_loss: bool = False  # Pallas fused similarity+CE kernel (ops/contrastive.py)
-    attention: str = "xla"  # "xla" | "flash" (Pallas kernel; single-chip, bert only)
+    attention: str = "xla"  # "xla" | "flash" | "fused" (Pallas; single-chip, bert only)
 
     def __post_init__(self):
         # Fail at build time, not first trace (reference raises in pooling
@@ -62,7 +62,7 @@ class DRModelSpec:
             raise ValueError(f"Unknown pooling type: {self.pooling}")
         if self.backbone not in ("bert", "t5", "t5_full"):
             raise ValueError(f"Unknown backbone: {self.backbone}")
-        if self.attention not in ("xla", "flash"):
+        if self.attention not in ("xla", "flash", "fused"):
             raise ValueError(f"Unknown attention impl: {self.attention}")
 
 

@@ -193,3 +193,46 @@ def test_unknown_attention_impl_raises():
 
     with pytest.raises(ValueError, match="attention"):
         DRModelSpec(bert_config=bert.BertConfig(), attention="fancy")
+
+
+def test_fused_attention_parity_and_grads():
+    """attention='fused' (ops/attn.py single-block kernel, interpret mode on
+    CPU) matches the xla path on values AND gradients, including pad tokens
+    and a sequence length off the sublane granule (S=13 -> Sp=16)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from denseretrievaltoolkits_tpu.models import bert
+    from denseretrievaltoolkits_tpu.models.biencoder import DRModel, DRModelSpec
+
+    config = bert.BertConfig(
+        vocab_size=64, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=64,
+        max_position_embeddings=16)
+    rng = np.random.default_rng(1)
+    ids = rng.integers(1, 64, (4, 13)).astype(np.int32)
+    mask = np.ones((4, 13), np.int32)
+    mask[0, 9:] = 0  # ragged padding
+    mask[2, 5:] = 0
+    batch = {"input_ids": ids, "attention_mask": mask}
+
+    m_x = DRModel(DRModelSpec(bert_config=config, attention="xla"))
+    params = m_x.init_params(jax.random.key(0))
+    m_f = DRModel(DRModelSpec(bert_config=config, attention="fused"))
+
+    out_x = np.asarray(m_x.encode_passage(params, batch))
+    out_f = np.asarray(m_f.encode_passage(params, batch))
+    np.testing.assert_allclose(out_f, out_x, rtol=2e-5, atol=2e-5)
+
+    def loss(m):
+        def fn(p):
+            reps = m.encode_passage(p, batch)
+            return jnp.sum(reps * reps)
+        return fn
+
+    g_x = jax.grad(loss(m_x))(params)
+    g_f = jax.grad(loss(m_f))(params)
+    for a, b in zip(jax.tree.leaves(g_x), jax.tree.leaves(g_f)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-4, atol=2e-4)
