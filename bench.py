@@ -1229,14 +1229,15 @@ def bench_pq_family(on_row=None) -> None:
     sub("pq:opq96", 360, 180, ("opq_96x8_v1", "pqcb_opq96x8_v1"), run_opq96)
 
 
-def _bert_base_model():
+def _bert_base_model(attention: str = "xla"):
     import jax
 
     from denseretrievaltoolkits_tpu.models.bert import BertConfig
     from denseretrievaltoolkits_tpu.models.biencoder import DRModel, DRModelSpec
 
     config = BertConfig()  # bert-base shape
-    model = DRModel(DRModelSpec(bert_config=config, dtype="bfloat16"))
+    model = DRModel(DRModelSpec(bert_config=config, dtype="bfloat16",
+                                attention=attention))
     params = model.init_params(jax.random.key(0))
     return config, model, params
 
@@ -1301,6 +1302,32 @@ def bench_encode() -> float:
         per_batch = min(per_batch, (time.time() - t0 - rt) / iters)
     pps = 256 / per_batch
     print(f"# encode: {pps:.0f} passages/s", file=sys.stderr)
+    return pps
+
+
+def bench_encode_fused() -> float:
+    """Same conditions as bench_encode but attention='fused' (ops/attn.py):
+    the seq-160-native single-block kernel (VERDICT r4 #5) vs the xla row."""
+    import jax
+    import jax.numpy as jnp
+
+    config, model, params = _bert_base_model(attention="fused")
+    encode = jax.jit(model.encode_passage)
+    rng = np.random.default_rng(0)
+    batch = _token_batch(rng, 256, 156, config.vocab_size)
+    reps = encode(params, batch)
+    reps.block_until_ready()
+    rt = _roundtrip()
+    iters = 20
+    per_batch = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        for _ in range(iters):
+            reps = encode(params, batch)
+        float(jnp.sum(reps[0, 0]))
+        per_batch = min(per_batch, (time.time() - t0 - rt) / iters)
+    pps = 256 / per_batch
+    print(f"# encode fused-attn: {pps:.0f} passages/s", file=sys.stderr)
     return pps
 
 
@@ -1445,6 +1472,13 @@ def main():
                   R1_TRAIN_STEP_MS, invert=True)
         run_extra("encode_passages_per_s", "passages/s", bench_encode,
                   R1_ENCODE_PPS)
+        # fused-attention encode: vs_baseline = ratio over the xla row just
+        # measured (same session), the VERDICT r4 #5 comparison
+        _xla_pps = next((e["value"] for e in extras
+                         if e["metric"] == "encode_passages_per_s"), None)
+        if _xla_pps:
+            run_extra("encode_passages_per_s_fused_attn", "passages/s",
+                      bench_encode_fused, _xla_pps)
         # varlen: vs_baseline = bucketed / fixed-pad, measured THIS session
         run_extra("encode_passages_per_s_varlen_bucketed", "passages/s",
                   bench_encode_varlen, 1.0)

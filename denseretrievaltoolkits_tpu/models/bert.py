@@ -212,6 +212,24 @@ def _encoder_block(x, layer, mask_bias, seg_ids, config: BertConfig, compute_dty
     qkv_bias = jnp.concatenate(
         [layer["q_bias"], layer["k_bias"], layer["v_bias"]], axis=-1)
     qkv = dense(x, qkv_kernel, qkv_bias)
+    if attention == "fused" and "lora_q_A" not in layer:
+        # single-block VMEM-resident kernel for short S (ops/attn.py): the
+        # kernel consumes the raw [B,S,3H] QKV output directly (heads split
+        # in VMEM), so no host-side transpose/reshape ever materializes;
+        # scores/probs never reach HBM, and S pads to the sublane granule
+        # (156->160) instead of flash's 128-lane block (156->256).
+        # Measured 1.48x over the xla chain on v5e (BASELINE.md r5 profile).
+        from ..ops.attn import fused_qkv_attention
+
+        ctx = fused_qkv_attention(qkv, seg_ids, 1.0 / math.sqrt(hd), nh, hd)
+        attn_out = dense(ctx, layer["o_kernel"], layer["o_bias"])
+        x = _layer_norm(x + attn_out, layer["attn_ln_scale"],
+                        layer["attn_ln_bias"], c.layer_norm_eps)
+        h = dense(x, layer["wi_kernel"], layer["wi_bias"])
+        h = jax.nn.gelu(h, approximate=False)
+        h = dense(h, layer["wo_kernel"], layer["wo_bias"])
+        return _layer_norm(x + h, layer["mlp_ln_scale"],
+                           layer["mlp_ln_bias"], c.layer_norm_eps)
     q = qkv[..., :H]
     k = qkv[..., H:2 * H].reshape(B, S, nh, hd)
     v = qkv[..., 2 * H:]
@@ -227,13 +245,6 @@ def _encoder_block(x, layer, mask_bias, seg_ids, config: BertConfig, compute_dty
 
     if attention == "flash":
         ctx = _flash_attention(q, k, v, seg_ids, hd)
-    elif attention == "fused":
-        # single-block VMEM-resident kernel for short S (ops/attn.py):
-        # scores/probs never reach HBM, S pads to the 8-sublane granule
-        # (156->160) instead of flash's 128-lane block (156->256)
-        from ..ops.attn import fused_short_attention
-
-        ctx = fused_short_attention(q, k, v, seg_ids, 1.0 / math.sqrt(hd))
     else:
         # Scores stay fp32: storing them in bf16 measured 22% faster on the
         # ISOLATED inner at S=156 on v5e but exactly 0% in-model (XLA already

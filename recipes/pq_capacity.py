@@ -164,6 +164,61 @@ def main():
         "encode_s": round(t_enc),
     }), flush=True)
 
+    # 5) the IVF-PQ capacity arm (VERDICT r4 #3): at this scale every flat
+    # dense rung (bf16/int8/sq4) is HBM-capacity-excluded, so the question
+    # "does probe-pruning ever pay for itself?" is finally answerable —
+    # OPQ{M}x4,IVF{nlist},PQ{M}x4 vs the flat OPQ scan above, same rotation,
+    # same exact reference.  Skippable via PQCAP_IVFPQ=0.
+    if os.environ.get("PQCAP_IVFPQ", "1") != "1":
+        return
+    codes.delete()
+    from denseretrievaltoolkits_tpu.index.ivf_pq import IVFPQIndex
+
+    nlist = int(os.environ.get("PQCAP_NLIST", 1024))
+    nprobe = int(os.environ.get("PQCAP_NPROBE", 64))
+    idx = IVFPQIndex(DIM, nlist=nlist, nprobe=nprobe, M=M, nbits=4,
+                     block=BLOCK)
+    idx.bulk_j = int(os.environ.get("PQCAP_J", 8))
+    idx.max_hot = int(os.environ.get("PQCAP_MAXHOT", 16))
+    t_train2 = time.time()
+    idx.train(sample @ opq.matrix, iters=8)
+    t_train2 = time.time() - t_train2
+
+    def rot_chunk(s, r):
+        chunk = _clustered_chunk(centers, s, r) * lam[None, :]
+        out_ = jnp.dot(chunk, rot, preferred_element_type=jnp.float32)
+        chunk.delete()
+        return out_
+
+    t_build = time.time()
+    idx.add_chunks(rot_chunk, N, chunk_rows=CHUNK)
+    jax.block_until_ready(idx._values)
+    t_build = time.time() - t_build
+    print(f"# ivfpq build {t_build:.0f}s "
+          f"blocks={int(idx._block_cell.shape[0])}", file=sys.stderr,
+          flush=True)
+
+    q_rot_np = np.asarray(q_np @ np.asarray(opq.matrix), np.float32)
+    _, doc_np = idx.search_bulk(q_rot_np, TOPK, nprobe=nprobe)
+    rec_ivf = float(np.mean(
+        [len(set(a) & set(b)) / 10 for a, b in zip(doc_np, ref10)]))
+    q_dev = jnp.asarray(q_rot_np, jnp.float32)
+    el2 = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        for _ in range(3):
+            tv, doc = idx.search_bulk_async(q_dev, TOPK, nprobe=nprobe)
+        float(jnp.sum(tv[0]))
+        el2 = min(el2, (time.time() - t0 - rt) / 3)
+    print(json.dumps({
+        "metric": f"ivfpq_opq{M}x4_qps_{N // 1000}k_docs_top{TOPK}",
+        "value": round(NQ / el2, 1), "unit": "qps",
+        "recall10in100": round(rec_ivf, 4),
+        "nlist": nlist, "nprobe": nprobe,
+        "vs_flat_opq_qps": round((NQ / el2) / (NQ / el), 2),
+        "train_s": round(t_train2), "build_s": round(t_build),
+    }), flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -92,6 +92,14 @@ def main():
         msf = timeit(encf, p12, iters=iters)
         record("encode_12L_flash", msf,
                f"{B * 1000.0 / msf:.0f} passages/s, max|Δ| vs xla {err:.2e}")
+        # the seq-160-native single-block kernel (ops/attn.py, VERDICT r4 #5)
+        encfu = jax.jit(lambda p: bert_encode(
+            p, cfg12, ids, mask, compute_dtype=jnp.bfloat16, attention="fused"))
+        out_fu = np.asarray(encfu(p12), np.float32)
+        err_fu = float(np.max(np.abs(out_x - out_fu)))
+        msfu = timeit(encfu, p12, iters=iters)
+        record("encode_12L_fused", msfu,
+               f"{B * 1000.0 / msfu:.0f} passages/s, max|Δ| vs xla {err_fu:.2e}")
     per_layer = (ms12 - ms2) / 10.0
     record("per_layer_marginal", per_layer, "(12L-2L)/10")
     record("fixed_cost", ms2 - 2 * per_layer, "embed+LN+dispatch")

@@ -57,6 +57,7 @@ def run_cell(out_dir, arm, seed, opts):
             "--eval", str(opts.eval), "--epochs", str(opts.epochs),
             "--topics", str(opts.topics), "--seed", str(seed),
             "--lr", str(opts.lr), "--search_mode", opts.search_mode,
+            "--n_passages", str(opts.n_passages),
         ] + make_arms(opts)[arm]
         if opts.platform:
             argv += ["--platform", opts.platform]
@@ -90,6 +91,10 @@ def main(argv=None):
     ap.add_argument("--search_mode", default="serve",
                     help="eval search mode; 'serve' exercises the packed "
                          "device kernel at a scale where it is load-bearing")
+    ap.add_argument("--n_passages", type=int, default=2,
+                    help="train_n_passages per query (1 pos + n-1 negs); "
+                         "the reference's BM25 recipe uses 8 (run.sh:127-145)"
+                         " — VERDICT r4 #4's operating point")
     ap.add_argument("--arms", nargs="+", default=["random", "bm25", "mine"],
                     choices=["random", "bm25", "mine"])
     ap.add_argument("--platform", default=None, choices=["cpu", "tpu"])

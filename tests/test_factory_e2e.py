@@ -30,6 +30,9 @@ from denseretrievaltoolkits_tpu.train.trainer import Trainer
 
 from helpers import make_exactmatch_dataset, make_tokenizer
 
+# long-running integration file: excluded from the smoke set (pytest -m 'not slow')
+pytestmark = pytest.mark.slow
+
 
 def _run_pipeline(tmp, factory_str, search_mode="serve"):
     tokenizer = make_tokenizer(tmp)

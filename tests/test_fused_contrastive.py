@@ -11,6 +11,9 @@ from denseretrievaltoolkits_tpu.ops.contrastive import (
 )
 from denseretrievaltoolkits_tpu.train.losses import contrastive_loss
 
+# long-running integration file: excluded from the smoke set (pytest -m 'not slow')
+pytestmark = pytest.mark.slow
+
 
 def _data(rng, Q, P, H):
     q = rng.normal(size=(Q, H)).astype(np.float32)

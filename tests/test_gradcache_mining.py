@@ -17,6 +17,9 @@ from denseretrievaltoolkits_tpu.train.trainer import Trainer
 
 from helpers import make_exactmatch_dataset, make_tokenizer
 
+# long-running integration file: excluded from the smoke set (pytest -m 'not slow')
+pytestmark = pytest.mark.slow
+
 TINY = BertConfig(
     vocab_size=97, hidden_size=16, num_hidden_layers=2, num_attention_heads=2,
     intermediate_size=32, max_position_embeddings=48,

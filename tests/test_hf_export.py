@@ -11,6 +11,9 @@ from denseretrievaltoolkits_tpu.config import parse_args
 from denseretrievaltoolkits_tpu.models.bert import BertConfig
 from denseretrievaltoolkits_tpu.models.biencoder import DRModel, DRModelSpec
 
+# long-running integration file: excluded from the smoke set (pytest -m 'not slow')
+pytestmark = pytest.mark.slow
+
 TINY = dict(
     vocab_size=128, hidden_size=32, num_hidden_layers=2, num_attention_heads=4,
     intermediate_size=64, max_position_embeddings=64,

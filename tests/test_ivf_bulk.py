@@ -217,6 +217,9 @@ from denseretrievaltoolkits_tpu.index.ivf import IVFRaggedIndex
 from denseretrievaltoolkits_tpu.index.flat import index_factory
 from denseretrievaltoolkits_tpu.index.io import load_index
 
+# long-running integration file: excluded from the smoke set (pytest -m 'not slow')
+pytestmark = pytest.mark.slow
+
 
 @pytest.mark.parametrize("dtype", ["float32", "int8"])
 def test_ragged_matches_fixed_capacity_recall(setup, dtype):

@@ -17,6 +17,9 @@ from denseretrievaltoolkits_tpu.index.io import load_index
 from denseretrievaltoolkits_tpu.index.ivf_pq import IVFPQIndex
 from denseretrievaltoolkits_tpu.index.modes import resolve_ivfpq_mode
 
+# long-running integration file: excluded from the smoke set (pytest -m 'not slow')
+pytestmark = pytest.mark.slow
+
 DIM = 256
 
 

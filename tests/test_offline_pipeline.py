@@ -12,6 +12,9 @@ from denseretrievaltoolkits_tpu.evaluator.trec import load_from_trec
 
 from helpers import make_exactmatch_dataset, make_tokenizer
 
+# long-running integration file: excluded from the smoke set (pytest -m 'not slow')
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def workspace(tmp_path_factory):

@@ -24,6 +24,9 @@ from denseretrievaltoolkits_tpu.index.transforms import (OPQTransform,
                                                          TransformedIndex)
 from denseretrievaltoolkits_tpu.ops import pq as pq_ops
 
+# long-running integration file: excluded from the smoke set (pytest -m 'not slow')
+pytestmark = pytest.mark.slow
+
 H, M = 256, 32  # d_sub=8 like the production PQ96@768, but test-sized
 
 

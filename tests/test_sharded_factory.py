@@ -29,8 +29,8 @@ from denseretrievaltoolkits_tpu.parallel.sharded_ivf import (
     sharded_index_factory,
 )
 
-pytestmark = pytest.mark.skipif(
-    jax.device_count() < 2, reason="needs a multi-device mesh")
+pytestmark = [pytest.mark.slow, pytest.mark.skipif(
+    jax.device_count() < 2, reason="needs a multi-device mesh")]
 
 
 def _clustered(rng, n_clusters=24, per=400, dim=32, spread=0.12):
