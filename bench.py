@@ -1049,7 +1049,10 @@ def bench_ivfpq(rot=None, tag: str = "ivfpq192x4") -> float:
     rot_dev = jnp.asarray(rot, jnp.float32) if rot is not None else None
 
     nlist = int(os.environ.get("BENCH_IVFPQ_NLIST", 256))
-    nprobe = int(os.environ.get("BENCH_IVFPQ_NPROBE", 32))
+    # nprobe=nlist/32: the measured qps-recall sweet spot (r5 sweep,
+    # recipes/ivfpq_sweep.py — 8,300 qps @ 0.731 at 8.8M, dominating flat
+    # OPQ on both axes; 32 probes HALVED qps for +0.035 recall)
+    nprobe = int(os.environ.get("BENCH_IVFPQ_NPROBE", max(1, nlist // 32)))
     idx = IVFPQIndex(DIM, nlist=nlist, nprobe=nprobe, M=192, nbits=4,
                      block=2048)
     idx.bulk_j = int(os.environ.get("BENCH_IVFPQ_J", 8))

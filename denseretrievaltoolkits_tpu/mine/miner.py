@@ -13,6 +13,14 @@ batched top-k sweep over the train queries:
 The refreshed dataset feeds the same QPCollator/random-sampler path, so the
 input pipeline never stalls: mining happens between epochs at the same
 cadence flag style as save/eval (``mine_per_train``).
+
+Operating envelope (measured, BASELINE.md round-5 multi-seed): keep the
+mined-negative count per query WELL BELOW the mining depth and give the
+epoch budget headroom to absorb each refresh dip.  At train_n_passages=2
+(1 mined negative) with a converged epoch budget, refresh wins Recall@100
+on every seed (+0.07..+0.12 paired); at train_n_passages=8 (7 mined
+negatives from depth k~17) 2 of 5 seeds collapse outright — the batch
+saturates with near-duplicates and false negatives.
 """
 
 from __future__ import annotations
