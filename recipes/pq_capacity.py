@@ -199,25 +199,28 @@ def main():
           flush=True)
 
     q_rot_np = np.asarray(q_np @ np.asarray(opq.matrix), np.float32)
-    _, doc_np = idx.search_bulk(q_rot_np, TOPK, nprobe=nprobe)
-    rec_ivf = float(np.mean(
-        [len(set(a) & set(b)) / 10 for a, b in zip(doc_np, ref10)]))
     q_dev = jnp.asarray(q_rot_np, jnp.float32)
-    el2 = float("inf")
-    for _ in range(3):
-        t0 = time.time()
+    probes = [int(p) for p in
+              os.environ.get("PQCAP_NPROBES", str(nprobe)).split(",")]
+    for np_ in probes:
+        _, doc_np = idx.search_bulk(q_rot_np, TOPK, nprobe=np_)
+        rec_ivf = float(np.mean(
+            [len(set(a) & set(b)) / 10 for a, b in zip(doc_np, ref10)]))
+        el2 = float("inf")
         for _ in range(3):
-            tv, doc = idx.search_bulk_async(q_dev, TOPK, nprobe=nprobe)
-        float(jnp.sum(tv[0]))
-        el2 = min(el2, (time.time() - t0 - rt) / 3)
-    print(json.dumps({
-        "metric": f"ivfpq_opq{M}x4_qps_{N // 1000}k_docs_top{TOPK}",
-        "value": round(NQ / el2, 1), "unit": "qps",
-        "recall10in100": round(rec_ivf, 4),
-        "nlist": nlist, "nprobe": nprobe,
-        "vs_flat_opq_qps": round((NQ / el2) / (NQ / el), 2),
-        "train_s": round(t_train2), "build_s": round(t_build),
-    }), flush=True)
+            t0 = time.time()
+            for _ in range(3):
+                tv, doc = idx.search_bulk_async(q_dev, TOPK, nprobe=np_)
+            float(jnp.sum(tv[0]))
+            el2 = min(el2, (time.time() - t0 - rt) / 3)
+        print(json.dumps({
+            "metric": f"ivfpq_opq{M}x4_qps_{N // 1000}k_docs_top{TOPK}",
+            "value": round(NQ / el2, 1), "unit": "qps",
+            "recall10in100": round(rec_ivf, 4),
+            "nlist": nlist, "nprobe": np_,
+            "vs_flat_opq_qps": round((NQ / el2) / (NQ / el), 2),
+            "train_s": round(t_train2), "build_s": round(t_build),
+        }), flush=True)
 
 
 if __name__ == "__main__":
