@@ -267,10 +267,13 @@ def main(argv=None):
                          "evidence — see recipes/quality_multiseed.py)")
     opts = ap.parse_args(argv)
 
-    if opts.platform:
+    if opts.platform == "cpu":
         import jax
 
-        jax.config.update("jax_platforms", opts.platform)
+        jax.config.update("jax_platforms", "cpu")
+    # --platform tpu: leave jax_platforms alone — this container's TPU
+    # registers through the axon PJRT plugin (platform name != "tpu");
+    # the default backend resolution already picks it.
 
     rng = random.Random(opts.seed)
     os.makedirs(opts.out, exist_ok=True)

@@ -162,13 +162,12 @@ def test_msmarco_shaped_rows_load(tmp_path):
     assert "positives_ids" in dev[0]
 
 
-# --- the dry run: unchanged entry point over the published layout --------
+# --- the dry run: unchanged entry points over the published layout -------
 
-def test_run_random_sampling_over_published_schema(tmp_path):
-    """Drive run_random_sampling.py (unchanged, real CLI argv) over the
-    published wikipedia-nq + nq-corpus layout; assert the full pipeline
-    (train -> corpus encode -> index -> search -> answer labeling ->
-    metrics/dumps) produces its artifacts."""
+@pytest.fixture(scope="module")
+def cli_run(tmp_path_factory):
+    """Run run_random_sampling.py ONCE over the published layout; downstream
+    tests assert its artifacts and chain the reranker CLI off its dump."""
     import jax
 
     import run_random_sampling
@@ -176,6 +175,7 @@ def test_run_random_sampling_over_published_schema(tmp_path):
     from denseretrievaltoolkits_tpu.models.bert import BertConfig
     from denseretrievaltoolkits_tpu.models.biencoder import DRModel
 
+    tmp_path = tmp_path_factory.mktemp("cli")
     tokenizer = make_tokenizer(tmp_path)
     tok_dir = str(tmp_path / "tok")
     tokenizer.save_pretrained(tok_dir)
@@ -198,7 +198,7 @@ def test_run_random_sampling_over_published_schema(tmp_path):
         tmp_path, n_train=16, n_eval=8)
     out_dir = str(tmp_path / "out")
     cache_dir = str(tmp_path / "cache")
-    argv = [
+    common = [
         "--model_name_or_path", ckpt_dir,
         "--tokenizer_name", tok_dir,
         "--dataset", "nq",
@@ -209,7 +209,6 @@ def test_run_random_sampling_over_published_schema(tmp_path):
         "--q_max_len", "16",
         "--p_max_len", "24",
         "--output_dir", out_dir,
-        "--cache_train_dir", cache_dir,
         "--train_batch_size", "8",
         "--eval_batch_size", "8",
         "--corpus_batch_size", "8",
@@ -221,8 +220,17 @@ def test_run_random_sampling_over_published_schema(tmp_path):
         "--retrieve_num", "5",
         "--log_every", "0",
     ]
-    run_random_sampling.main(argv)
+    run_random_sampling.main(common + ["--cache_train_dir", cache_dir])
+    return {"tmp": tmp_path, "tok_dir": tok_dir, "ckpt_dir": ckpt_dir,
+            "data_dir": data_dir, "corpus_path": corpus_path,
+            "cache_dir": cache_dir, "common": common}
 
+
+def test_run_random_sampling_over_published_schema(cli_run):
+    """run_random_sampling.py (unchanged, real CLI argv) over the published
+    wikipedia-nq + nq-corpus layout: the full pipeline (train -> corpus
+    encode -> index -> search -> answer labeling -> metrics/dumps)."""
+    cache_dir = cli_run["cache_dir"]
     # metrics JSON for the post-train test eval + at least one epoch eval
     metric_files = glob.glob(os.path.join(cache_dir, "*_metrics"))
     assert metric_files, f"no metrics dumped under {cache_dir}"
@@ -239,3 +247,48 @@ def test_run_random_sampling_over_published_schema(tmp_path):
     # deploy-format save happened (openmatch manifest layout)
     results = glob.glob(os.path.join(cache_dir, "result*", "openmatch_config.json"))
     assert results, "no deploy checkpoint saved"
+
+
+@pytest.mark.slow
+def test_run_reranker_chains_off_dense_dump(cli_run):
+    """The reference's dense->rerank handoff via UNCHANGED CLIs: run_reranker
+    consumes run_random_sampling's {cache}/retrieve dump (RRDataset), trains
+    one epoch, and dumps RR metrics (reference run_reranker.py:46-51)."""
+    import run_reranker
+    from denseretrievaltoolkits_tpu.models import bert
+
+    cache_dir = cli_run["cache_dir"]
+    # the reranker starts from an arch-only checkpoint (config, random
+    # head+tower init) — the reference starts from hub bert-base the same way
+    arch_dir = str(cli_run["tmp"] / "rr_arch")
+    os.makedirs(arch_dir, exist_ok=True)
+    bert.save_config(bert.load_config(cli_run["ckpt_dir"]), arch_dir)
+    argv = [a for a in cli_run["common"]]
+    argv[argv.index(cli_run["ckpt_dir"])] = arch_dir
+    argv += ["--cache_train_dir", cache_dir]  # retrieve dump lives here
+    run_reranker.main(argv, eval_only=False)
+    rr_metrics = glob.glob(os.path.join(cache_dir, "*_RR_metrics"))
+    assert rr_metrics, f"no RR metrics under {cache_dir}"
+    with open(rr_metrics[0]) as fh:
+        m = json.load(fh)
+    assert any(k.startswith("MRR@") for k in m), m
+    rr_dumps = glob.glob(os.path.join(cache_dir, "rr", "*.json"))
+    assert rr_dumps, "no reranker score dump written"
+
+
+@pytest.mark.slow
+def test_run_bm25_negative_over_published_schema(cli_run):
+    """run_BM25_negative.py (unchanged CLI) over the published layout: BM25
+    mining (native engine when available) -> train -> full eval."""
+    import run_BM25_negative
+
+    bm25_cache = str(cli_run["tmp"] / "bm25_cache")
+    argv = [a for a in cli_run["common"]] + [
+        "--cache_train_dir", bm25_cache,
+    ]
+    run_BM25_negative.main(argv)
+    metric_files = glob.glob(os.path.join(bm25_cache, "*_metrics"))
+    assert metric_files, f"no metrics dumped under {bm25_cache}"
+    with open(metric_files[0]) as fh:
+        metrics = json.load(fh)
+    assert any(k.startswith("Recall@") for k in metrics), metrics
