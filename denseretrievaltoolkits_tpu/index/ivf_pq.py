@@ -20,6 +20,14 @@ Residual encoding (FAISS ``by_residual=True`` default): codes store
 (cell, slot), so scores are ADC against ``centroid + decode(code)`` and
 the codebooks only have to fit the residual's (much smaller) variance.
 
+Measured operating guidance (BASELINE.md round-5, v5e): ALWAYS chain the
+OPQ rotation (``OPQ{M}x4,IVF{n},PQ{M}x4``) — it lifts recall10@100
+0.37->0.73+ at 8.8M; and probe ``nprobe ~ nlist/32`` — the swept frontier
+point that dominates the flat OPQ scan on BOTH axes (1.2-1.5x qps at
+better recall).  At 40M rows (beyond every flat dense rung's HBM) the
+residual coding also wins recall outright (0.70-0.71 vs flat PQ's 0.52)
+at up to 1.29x the qps — the capacity regime belongs to this family.
+
 Hot cells (IP probing concentrates queries on large-norm centroids) move
 to a dense int8 side-scan exactly like the parent class — their rows are
 DECODED once to reconstructions and int8-quantized at slab build, so side
