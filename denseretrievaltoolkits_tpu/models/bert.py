@@ -219,17 +219,29 @@ def _encoder_block(x, layer, mask_bias, seg_ids, config: BertConfig, compute_dty
         # scores/probs never reach HBM, and S pads to the sublane granule
         # (156->160) instead of flash's 128-lane block (156->256).
         # Measured 1.48x over the xla chain on v5e (BASELINE.md r5 profile).
-        from ..ops.attn import fused_qkv_attention
+        # The kernel runs THROUGH the post-attention layernorm (o-proj +
+        # residual + LN in VMEM), removing 4 more [B,S,H] HBM passes/layer;
+        # the residual add happens in fp32 inside the kernel (the xla path
+        # sums in compute dtype before the LN upcast — strictly less
+        # accurate, parity within test tolerances).
+        from ..ops.attn import fused_attention_ln, fused_mlp_ln
 
-        ctx = fused_qkv_attention(qkv, seg_ids, 1.0 / math.sqrt(hd), nh, hd)
-        attn_out = dense(ctx, layer["o_kernel"], layer["o_bias"])
-        x = _layer_norm(x + attn_out, layer["attn_ln_scale"],
-                        layer["attn_ln_bias"], c.layer_norm_eps)
-        h = dense(x, layer["wi_kernel"], layer["wi_bias"])
-        h = jax.nn.gelu(h, approximate=False)
-        h = dense(h, layer["wo_kernel"], layer["wo_bias"])
-        return _layer_norm(x + h, layer["mlp_ln_scale"],
-                           layer["mlp_ln_bias"], c.layer_norm_eps)
+        x = fused_attention_ln(
+            qkv, x, seg_ids,
+            layer["o_kernel"].astype(compute_dtype),
+            layer["o_bias"].astype(compute_dtype),
+            layer["attn_ln_scale"], layer["attn_ln_bias"],
+            1.0 / math.sqrt(hd), nh, hd, c.layer_norm_eps)
+        # F-blocked MLP+LN kernel: the [B,S,F] gelu intermediate and the
+        # pre-LN sum never reach HBM (ops/attn.py fused_mlp_ln).
+        return fused_mlp_ln(
+            x,
+            layer["wi_kernel"].astype(compute_dtype),
+            layer["wi_bias"].astype(compute_dtype),
+            layer["wo_kernel"].astype(compute_dtype),
+            layer["wo_bias"].astype(compute_dtype),
+            layer["mlp_ln_scale"], layer["mlp_ln_bias"],
+            c.layer_norm_eps)
     q = qkv[..., :H]
     k = qkv[..., H:2 * H].reshape(B, S, nh, hd)
     v = qkv[..., 2 * H:]
