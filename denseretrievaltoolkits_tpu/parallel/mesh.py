@@ -121,12 +121,22 @@ def shard_steps(
     encode_passage: Callable,
     mesh: Mesh,
     state: Dict[str, Any],
+    encode_shard_map: bool = False,
 ) -> Tuple[Callable, Callable, Callable]:
     """pjit the three step functions over the mesh.
 
     The caller's ``state`` is re-placed in-place-by-reference semantics: the
     returned train step expects (and preserves) the sharded layout; batches are
     device_put to the data axis on entry.
+
+    ``encode_shard_map``: wrap the two encode fns in ``shard_map`` over the
+    data axis (params replicated, batch row-sharded).  GSPMD has no
+    partitioning rule for ``pallas_call``, so attention='fused' under plain
+    pjit would all-gather the batch and run the kernel replicated on every
+    device; the shard_map body instead runs it on each device's local rows —
+    this is what makes the fused encoder multi-chip.  Only taken on dp-only
+    meshes (tp shards the weight matrices, which the per-device kernel body
+    would then have to re-gather); tp>1 falls back to plain pjit.
     """
     train_jit = jax.jit(train_step, donate_argnums=(0,))
     # encode outputs PINNED to the data axis: each host's devices then hold
@@ -135,6 +145,18 @@ def shard_steps(
     # constraint XLA may replicate the output and every host would see the
     # GLOBAL batch, duplicating other hosts' corpus rows)
     rep_sharding = NamedSharding(mesh, P(DATA_AXIS, None))
+    if encode_shard_map and mesh.shape[MODEL_AXIS] == 1:
+        from jax.experimental.shard_map import shard_map
+
+        def smap(fn):
+            return shard_map(
+                fn, mesh=mesh,
+                in_specs=(P(), P(DATA_AXIS, None)),
+                out_specs=P(DATA_AXIS, None),
+                check_rep=False)
+
+        encode_query = smap(encode_query)
+        encode_passage = smap(encode_passage)
     encq_jit = jax.jit(encode_query, out_shardings=rep_sharding)
     encp_jit = jax.jit(encode_passage, out_shardings=rep_sharding)
     put_batch = make_put_batch(mesh)

@@ -163,7 +163,11 @@ class Trainer:
             from ..parallel.mesh import shard_steps
 
             self._train_step, self._encode_query, self._encode_passage = shard_steps(
-                train_step, encode_query, encode_passage, self.mesh, self.state
+                train_step, encode_query, encode_passage, self.mesh, self.state,
+                # the fused Pallas encoder has no GSPMD rule: route the encode
+                # fns through shard_map over the data axis (dp-only meshes)
+                encode_shard_map=getattr(self.model.spec, "attention", "xla")
+                == "fused",
             )
         else:
             self._train_step = jax.jit(train_step, donate_argnums=(0,))

@@ -102,6 +102,25 @@ def test_sharded_encode(tmp_path):
     np.testing.assert_allclose(reps, ref, atol=2e-5)
 
 
+def test_sharded_encode_fused_shard_map(tmp_path):
+    """attention='fused' (Pallas, no GSPMD rule) routes the encode fns
+    through shard_map over the data axis (parallel/mesh.py:shard_steps
+    encode_shard_map) on dp-only meshes — per-device kernel on local rows,
+    output row-sharded, values matching the single-device xla path."""
+    rng = np.random.default_rng(3)
+    model = DRModel(DRModelSpec(bert_config=TINY, attention="fused"))
+    params = model.init_params(jax.random.key(0))
+    mesh = make_mesh(8, 1)
+    trainer = Trainer(_train_args(tmp_path), model, params, mesh=mesh)
+    batch = _batch(rng, 16, 13)  # S off the sublane granule
+    batch["attention_mask"][1, 9:] = 0
+    reps = trainer._encode_passage(trainer.state["params"], batch)
+    assert len(reps.sharding.device_set) == 8
+    ref = np.asarray(
+        DRModel(DRModelSpec(bert_config=TINY)).encode_passage(params, batch))
+    np.testing.assert_allclose(np.asarray(reps), ref, atol=2e-5)
+
+
 @pytest.mark.parametrize("dtype", ["float32", "int8"])
 def test_sharded_index_exact(dtype):
     rng = np.random.default_rng(3)
