@@ -1395,6 +1395,44 @@ def bench_encode_varlen() -> float:
     return pps_bucketed
 
 
+def bench_encode_varlen_fused() -> float:
+    """The production encode configuration: bucketed variable-length batches
+    AND attention='fused' (both Pallas encoder kernels).  Same corpus/seed
+    as bench_encode_varlen; vs_baseline is wired to that arm's fixed-pad
+    measurement from THIS session (so the row reads 'bucketed+fused over
+    always-pad-156 xla' — the README/BASELINE 2.54x claim)."""
+    import jax
+
+    from denseretrievaltoolkits_tpu.data.collators import pad_batch
+
+    config, model, params = _bert_base_model(attention="fused")
+    encode = jax.jit(model.encode_passage)
+    rng = np.random.default_rng(0)
+    N, B, MAXL = 16384, 256, 156
+    lens = np.clip(np.exp(rng.normal(4.25, 0.55, N)), 16, MAXL).astype(int)
+    seqs = [rng.integers(1, config.vocab_size, L).tolist() for L in lens]
+    order = np.argsort(lens, kind="stable")
+    sseqs = [seqs[i] for i in order]
+    bucketed = [pad_batch(sseqs[i:i + B], MAXL, 0, bucket_step=32)
+                for i in range(0, N, B)]
+    seen = set()
+    for b in bucketed:
+        shape = b["input_ids"].shape
+        if shape not in seen:
+            seen.add(shape)
+            encode(params, b).block_until_ready()
+    best = float("inf")
+    for _ in range(3):
+        rt = _roundtrip()
+        t0 = time.time()
+        outs = [encode(params, b) for b in bucketed]
+        jax.block_until_ready(outs)
+        best = min(best, time.time() - t0 - rt)
+    pps = N / best
+    print(f"# varlen encode bucketed+fused: {pps:.0f} p/s", file=sys.stderr)
+    return pps
+
+
 def bench_cpu_baseline(sample: np.ndarray, queries: np.ndarray) -> float:
     """numpy brute-force exact top-k on a corpus sample, scaled to N_DOCS."""
     t0 = time.time()
@@ -1494,6 +1532,11 @@ def main():
                 "unit": "passages/s", "vs_baseline": None,
             })
             checkpoint_extras()
+        # production config: bucketed + fused encoder kernels, vs this
+        # session's fixed-pad xla arm (the 2.54x README claim)
+        if _VARLEN_STATE.get("fixed") and _gate("bucketed_fused", 150):
+            run_extra("encode_passages_per_s_bucketed_fused", "passages/s",
+                      bench_encode_varlen_fused, _VARLEN_STATE["fixed"])
         run_extra(f"query_qps_int8_{N_DOCS_INT8 // 1000}k_docs_top{TOPK}",
                   "qps", lambda: bench_int8(queries), R1_INT8_QPS)
         # native-int8 MXU kernel (mode='approx' on int8 indexes): vs_baseline

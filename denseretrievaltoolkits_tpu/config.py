@@ -107,8 +107,11 @@ class ModelArguments:
         metadata={"help": "Attention implementation: 'xla' (einsum+softmax, "
                   "GSPMD-partitionable) | 'flash' (Pallas flash-attention "
                   "kernel, BERT tower, single-chip only; falls back to xla "
-                  "off-TPU) | 'fused' (single-block VMEM-resident Pallas "
-                  "kernel for short sequences; scores never reach HBM)"},
+                  "off-TPU) | 'fused' (VMEM-resident Pallas encoder-block "
+                  "kernels for short sequences: attention+o-proj+LN and "
+                  "MLP+gelu+LN — scores and the [B,S,F] gelu intermediate "
+                  "never reach HBM; multi-chip via shard_map on dp-only "
+                  "meshes)"},
     )
 
 

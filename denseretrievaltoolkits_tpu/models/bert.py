@@ -307,7 +307,10 @@ def bert_encode(
     [B,nh,S,S] tensors in HBM; single-chip only: the pallas_call has no
     custom partitioning rule, so under a mesh GSPMD would replicate it.
     Falls back to "xla" off-TPU so CPU tests and virtual meshes keep one
-    code path)."""
+    code path) | "fused" (two VMEM-resident encoder-block kernels,
+    ops/attn.py; per-block single-chip, but the trainer routes encode
+    through shard_map over the data axis on dp-only meshes —
+    parallel/mesh.py:shard_steps)."""
     c = config
     B, S = input_ids.shape
     emb = params["embeddings"]
